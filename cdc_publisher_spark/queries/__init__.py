@@ -1,0 +1,9 @@
+"""Declared queries, grouped by SURVEY.md §2.2 family.
+
+Importing this package registers every spec into
+:mod:`cdc_publisher_spark.registry`.
+"""
+
+from cdc_publisher_spark.queries import (  # noqa: F401
+    aggregation,
+)

@@ -1,0 +1,79 @@
+"""Declared-query registry — the engine's correctness contract.
+
+Every operator the engine claims (SURVEY.md §2.2) registers here as a
+``QuerySpec``: a Spark callable ``(spark, sf_dir) -> DataFrame`` plus,
+where the semantics are batch-deterministic, the equivalent DuckDB SQL
+(the oracle). The driver's t2 gate and our own pytest oracle harness both
+iterate this registry, so "implemented" == "registered and hash-checked".
+
+Hash-stability rules (SURVEY.md §2.2 preamble) every spec must follow:
+- alias every computed column identically in Spark and oracle SQL;
+- ROUND double aggregates (sum via decimal cast when row counts are
+  large enough for fp summation-order drift to bite);
+- timestamps leave the query as DATE / ISO string / epoch integers;
+- no implicit decimal; integer sums in DuckDB cast back to BIGINT
+  (DuckDB SUM(BIGINT) is HUGEINT, Spark's is LONG).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    family: str  # SURVEY §2.2 family letter, e.g. "D" or "K"
+    spark: SparkQuery
+    oracle: str | None  # DuckDB SQL; None => driver does rows-only check
+    doc: str = ""
+    bench: bool = False  # include in bench.py headline set
+    tags: tuple[str, ...] = field(default=())
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str,
+    family: str,
+    oracle: str | None,
+    doc: str = "",
+    bench: bool = False,
+    tags: tuple[str, ...] = (),
+) -> Callable[[SparkQuery], SparkQuery]:
+    """Decorator: register a Spark query fn under ``name``."""
+
+    def deco(fn: SparkQuery) -> SparkQuery:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        _REGISTRY[name] = QuerySpec(
+            name=name, family=family, spark=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""),
+            bench=bench, tags=tags,
+        )
+        return fn
+
+    return deco
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    """Name -> spec, importing all query modules first (side-effect
+    registration)."""
+    # Imported lazily to avoid import cycles (query modules import this
+    # module for the decorator).
+    from cdc_publisher_spark import queries  # noqa: F401
+
+    return dict(_REGISTRY)
+
+
+def spark_queries() -> dict[str, SparkQuery]:
+    return {name: spec.spark for name, spec in all_specs().items()}
+
+
+def oracle_sqls() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in all_specs().items() if spec.oracle is not None}
