@@ -1,0 +1,62 @@
+"""Text-analysis column expressions (SURVEY.md §2.2 K-4, north star).
+
+All built-in expressions (split/regexp/aggregate) — token counting,
+quality ratios, shingling — so per-document stats run at scan speed.
+The documents table is whitespace-tokenized word soup; the same
+expressions apply to real text unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: BPE-ish pre-tokenizer: letter runs, digit runs, single non-space symbols.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokens."""
+    return F.split(text, r"\s+")
+
+
+def n_words(text: Column) -> Column:
+    return F.size(words(text))
+
+
+def n_tokens_regex(text: Column) -> Column:
+    """Token count under the BPE-ish regex (K token counting)."""
+    return F.regexp_count(text, F.lit(TOKEN_REGEX))
+
+
+def distinct_words(text: Column) -> Column:
+    return F.array_distinct(words(text))
+
+
+def type_token_ratio(text: Column) -> Column:
+    return F.size(distinct_words(text)).cast("double") / F.size(words(text)).cast("double")
+
+
+def avg_word_len(text: Column) -> Column:
+    """Mean characters per whitespace token."""
+    total = F.aggregate(words(text), F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w))
+    return total.cast("double") / F.size(words(text)).cast("double")
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles — the near-dup unit (K-2). Pure
+    expression: transform over an index sequence, no explode needed
+    until the join."""
+    ws = words(text)
+    joined = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - k),
+        lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j + 1) for j in range(k)]),
+    )
+    return F.array_distinct(F.when(F.size(ws) >= k, joined).otherwise(F.array()))
+
+
+def set_fingerprint(text: Column) -> Column:
+    """Order-insensitive document fingerprint: md5 of the sorted
+    distinct-word list (K document fingerprinting; the rolling-hash
+    variant lives in operators/fingerprint.py)."""
+    return F.md5(F.concat_ws(" ", F.array_sort(distinct_words(text))))

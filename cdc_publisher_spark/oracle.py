@@ -63,6 +63,9 @@ def canon_cell(v: object) -> str:
         return "{" + ",".join(f"{k}:{canon_cell(x)}" for k, x in sorted(v.items())) + "}"
     if isinstance(v, pd.Timestamp):
         return v.isoformat()
+    tolist = getattr(v, "tolist", None)
+    if tolist is not None and getattr(v, "ndim", 0):  # numpy array (list-typed cell)
+        return canon_cell(tolist())
     # numpy scalars and anything else stringifiable
     try:
         if pd.isna(v):  # numpy nan / NaT

@@ -6,4 +6,13 @@ Importing this package registers every spec into
 
 from cdc_publisher_spark.queries import (  # noqa: F401
     aggregation,
+    cdc_queries,
+    filters,
+    joins,
+    llm,
+    scalars,
+    setops,
+    sort_limit,
+    streaming_batch,
+    windows,
 )

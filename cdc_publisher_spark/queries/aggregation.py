@@ -72,3 +72,177 @@ def q_d1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+@register(
+    "q_d2_rollup_priority_year",
+    family="D",
+    doc="ROLLUP over (priority, year). Subtotal rows surface as 'ALL' "
+    "markers (string-coalesced) so nullable-int dtype quirks can't "
+    "break the oracle hash.",
+    oracle="""
+        SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+               COALESCE(CAST(CAST(year(o_orderdate) AS INT) AS VARCHAR), 'ALL') AS order_year,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+        FROM orders
+        GROUP BY ROLLUP (o_orderpriority, CAST(year(o_orderdate) AS INT))
+        ORDER BY priority, order_year
+    """,
+)
+def q_d2_rollup_priority_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").withColumn("order_year_i", F.year("o_orderdate"))
+    return (
+        o.rollup("o_orderpriority", "order_year_i")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum(F.col("o_totalprice"), "decimal(18,4)").alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            F.coalesce(F.col("order_year_i").cast("string"), F.lit("ALL")).alias("order_year"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("priority", "order_year")
+    )
+
+
+@register(
+    "q_d2b_cube_status_priority",
+    family="D",
+    doc="CUBE over (orderstatus, priority): all four grouping sets.",
+    oracle="""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n_orders,
+               ROUND(AVG(o_totalprice), 4) AS avg_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY status, priority
+    """,
+)
+def q_d2b_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), F.round(F.avg("o_totalprice"), 4).alias("avg_price"))
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "avg_price",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@register(
+    "q_d3_dispersion_stats",
+    family="D",
+    doc="min/max/stddev_samp/var_samp per group, rounded for cross-"
+    "engine float stability.",
+    oracle="""
+        SELECT o_orderstatus,
+               ROUND(MIN(o_totalprice), 4) AS min_price,
+               ROUND(MAX(o_totalprice), 4) AS max_price,
+               ROUND(STDDEV_SAMP(o_totalprice), 2) AS sd_price,
+               ROUND(VAR_SAMP(o_totalprice), 1) AS var_price
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+)
+def q_d3_dispersion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.min("o_totalprice"), 4).alias("min_price"),
+            F.round(F.max("o_totalprice"), 4).alias("max_price"),
+            F.round(F.stddev_samp("o_totalprice"), 2).alias("sd_price"),
+            F.round(F.var_samp("o_totalprice"), 1).alias("var_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "q_d4_filtered_agg",
+    family="D",
+    doc="Filtered aggregation: COUNT(*) FILTER / count_if / sum(CASE).",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(*) AS n_all,
+               COUNT(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
+               CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
+               CAST(SUM(CAST(CASE WHEN l_tax > 0.04 THEN l_extendedprice ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE) AS taxed_price
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+)
+def q_d4_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_all"),
+            F.count_if(F.col("l_quantity") >= 25).alias("n_bulk"),
+            F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).cast("bigint").alias("n_discounted"),
+            dsum(F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice")).otherwise(0.0), "decimal(18,4)").alias("taxed_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q_d5_approx_distinct",
+    family="D",
+    oracle=None,  # algorithmic: HLL sketches differ across engines; see
+    # tests/test_aggregation_semantics.py for the |approx-exact| bound.
+    doc="approx_count_distinct (HyperLogLog++) per returnflag — the "
+    "scale path for COUNT(DISTINCT) at 100 TB (no exact distinct "
+    "shuffle). Driver records rows-only; accuracy bound is pytest'd.",
+)
+def q_d5_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q_d6_latest_event_per_user",
+    family="D",
+    doc="Argmax per key — the batch form of the reference's latest-"
+    "value-per-key (kafka_ccd_store.clj:28-42): latest event value per "
+    "user with (ts, event_id) tiebreak via max_by over a struct.",
+    oracle="""
+        SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+               ROUND(value, 4) AS last_value, epoch_us(ts) AS last_ts_us
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+        ORDER BY user_id
+    """,
+)
+def q_d6_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    ordering = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.max_by("event_id", ordering).alias("last_event_id"),
+            F.max_by("event_type", ordering).alias("last_type"),
+            F.round(F.max_by("value", ordering), 4).alias("last_value"),
+            F.unix_micros(F.max("ts")).alias("last_ts_us"),
+        )
+        .orderBy("user_id")
+    )

@@ -1,0 +1,132 @@
+"""CDC-kernel queries — the reference's own relational surface
+(SURVEY.md §2.1 T3/F1/P1/A1/A2), hash-checked.
+
+The driver's tables carry no CCD fixtures, so the control-stream shape
+is derived deterministically from ``events``: key=user_id,
+offset=event_id, status=event_type, queue='aq.q_<user_id>'. The
+operators under test are the real kernel modules (cdc/), not inline
+re-implementations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_publisher_spark.cdc.keying import key_from_id_map
+from cdc_publisher_spark.cdc.latest_state import latest_per_key, max_offset
+from cdc_publisher_spark.registry import register
+from cdc_publisher_spark.tables import load
+
+
+def _ccd_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events re-keyed as a CCD control stream (see module docstring)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        F.col("user_id").alias("key"),
+        F.col("event_id").alias("offset"),
+        F.col("event_type").alias("status"),
+        F.concat(F.lit("aq.q_"), F.col("user_id").cast("string")).alias("queue"),
+        F.col("ts"),
+    )
+
+
+@register(
+    "q_cdc_latest_state",
+    family="CDC",
+    doc="A1 latest-value-per-key over the control stream "
+    "(kafka_ccd_store.clj:28-42) via cdc.latest_state.latest_per_key "
+    "(max_by aggregate, no window shuffle).",
+    oracle="""
+        SELECT key, off AS last_offset, status AS last_status, queue
+        FROM (
+            SELECT user_id AS key, event_id AS off, event_type AS status,
+                   'aq.q_' || CAST(user_id AS VARCHAR) AS queue,
+                   row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+        ORDER BY key
+    """,
+)
+def q_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ccds = _ccd_stream(spark, sf_dir)
+    latest = latest_per_key(ccds, "key", "offset")
+    return latest.select(
+        "key",
+        F.col("offset").alias("last_offset"),
+        F.col("status").alias("last_status"),
+        "queue",
+    ).orderBy("key")
+
+
+@register(
+    "q_cdc_active_routes",
+    family="CDC",
+    doc="F1+P1: filter the latest CCD state to active ('purchase' here) "
+    "and project queue names (jms_publisher.clj:132,207) — the set of "
+    "routes the fan-out would install.",
+    oracle="""
+        SELECT key, queue
+        FROM (
+            SELECT user_id AS key, event_type AS status,
+                   'aq.q_' || CAST(user_id AS VARCHAR) AS queue,
+                   row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1 AND status = 'purchase'
+        ORDER BY key
+    """,
+)
+def q_cdc_active_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ccds = _ccd_stream(spark, sf_dir)
+    latest = latest_per_key(ccds, "key", "offset")
+    return (
+        latest.filter(F.col("status") == "purchase")
+        .select("key", "queue")
+        .orderBy("key")
+    )
+
+
+@register(
+    "q_cdc_resume_token",
+    family="CDC",
+    doc="A2: max-offset resume token with empty-snapshot default 0 "
+    "(kafka_ccd_store.clj:133).",
+    oracle="""
+        SELECT COALESCE(MAX(event_id), 0) AS resume_offset
+        FROM events
+    """,
+)
+def q_cdc_resume_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ccds = _ccd_stream(spark, sf_dir)
+    return max_offset(ccds, "offset")
+
+
+@register(
+    "q_cdc_key_derivation",
+    family="CDC",
+    doc="T3 deterministic key derivation (core.clj:13-22) through the "
+    "real UDF on a two-column primary key; the oracle formats the same "
+    "sorted-flattened JSON array by string concat "
+    "('l_orderkey' < 'line' in codepoint order).",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               '["l_orderkey",' || CAST(l_orderkey AS VARCHAR)
+                 || ',"line",' || CAST(l_linenumber AS VARCHAR) || ']' AS kafka_key
+        FROM lineitem
+        WHERE l_orderkey < 300
+        ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q_cdc_key_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
+    id_map = F.create_map(
+        F.lit("l_orderkey"),
+        F.col("l_orderkey").cast("long"),
+        F.lit("line"),
+        F.col("l_linenumber").cast("long"),
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        key_from_id_map(id_map).alias("kafka_key"),
+    ).orderBy("l_orderkey", "l_linenumber")

@@ -1,0 +1,267 @@
+"""Family C — joins (SURVEY.md §2.2 C).
+
+Join strategy at scale (SURVEY.md §4.2): dimension tables (region,
+nation, supplier, customer, part) broadcast — Catalyst picks that from
+size stats, and `F.broadcast` pins it where the dimension is known-small
+by construction. Fact-fact joins (lineitem⋈orders) shuffle on the join
+key; AQE handles skew. The non-equi self-join (C5) is banded so the
+range condition rides an equi-join; the as-of join (C7) is the
+union+carry-forward operator, not a range product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from cdc_publisher_spark.operators.asof import asof_join
+from cdc_publisher_spark.queries.aggregation import dsum
+from cdc_publisher_spark.registry import register
+from cdc_publisher_spark.tables import load
+
+
+@register(
+    "q_c1_revenue_by_customer",
+    family="C",
+    bench=True,
+    doc="TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem, revenue per "
+    "customer in one segment. customer broadcasts; orders⋈lineitem "
+    "shuffles on orderkey.",
+    oracle="""
+        SELECT c_custkey, c_name,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_lines
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate  >= TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY c_custkey, c_name
+        ORDER BY c_custkey
+    """,
+)
+def q_c1_revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "1996-01-01")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") >= "1996-01-01")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q_c2_snowflake_revenue",
+    family="C",
+    bench=True,
+    doc="TPC-H Q5 shape: 6-way snowflake with the same-nation "
+    "customer/supplier constraint; all dims broadcast, one fact shuffle.",
+    oracle="""
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND s_nationkey = c_nationkey
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n_name
+        ORDER BY n_name
+    """,
+)
+def q_c2_snowflake_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "q_c3_customers_without_urgent_orders",
+    family="C",
+    doc="Anti join (reference has no outer joins; this is the "
+    "LEFT JOIN ... IS NULL / NOT EXISTS pattern). Spark plans a "
+    "broadcast/shuffle anti join from left_anti.",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        )
+        ORDER BY c_custkey
+    """,
+)
+def q_c3_customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    urgent = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    return (
+        cust.join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q_c4_customers_with_recent_orders",
+    family="C",
+    doc="Left semi join (EXISTS): customers having a 2001 order.",
+    oracle="""
+        SELECT c_custkey, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+        )
+        ORDER BY c_custkey
+    """,
+)
+def q_c4_customers_with_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    recent = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "2001-01-01")
+    return (
+        cust.join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q_c5_event_pairs_within_hour",
+    family="C",
+    doc="Theta/range self-join: per-user event pairs within one hour. "
+    "The equi key (user_id) carries the join; the range rides as a "
+    "post-join filter, so no cross product beyond each user's group.",
+    oracle="""
+        SELECT a.event_id AS first_id, b.event_id AS second_id, a.user_id,
+               epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+        FROM events a
+        JOIN events b
+          ON a.user_id = b.user_id
+         AND b.ts > a.ts
+         AND b.ts <= a.ts + INTERVAL 1 HOUR
+        ORDER BY first_id, second_id
+    """,
+)
+def q_c5_event_pairs_within_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    a = ev.alias("a")
+    b = ev.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") > F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            F.col("a.event_id").alias("first_id"),
+            F.col("b.event_id").alias("second_id"),
+            F.col("a.user_id").alias("user_id"),
+            (F.unix_micros(F.col("b.ts")) - F.unix_micros(F.col("a.ts"))).alias("gap_us"),
+        )
+        .orderBy("first_id", "second_id")
+    )
+
+
+@register(
+    "q_c6_region_grid",
+    family="C",
+    doc="Cross join: region × a 3-row literal table.",
+    oracle="""
+        SELECT r_name, k, r_name || '-' || CAST(k AS VARCHAR) AS cell
+        FROM region
+        CROSS JOIN (SELECT CAST(x AS BIGINT) AS k FROM generate_series(1, 3) t(x)) g
+        ORDER BY r_name, k
+    """,
+)
+def q_c6_region_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load(spark, sf_dir, "region")
+    grid = spark.range(1, 4).withColumnRenamed("id", "k")
+    return (
+        region.crossJoin(grid)
+        .select(
+            "r_name",
+            "k",
+            F.concat(F.col("r_name"), F.lit("-"), F.col("k").cast("string")).alias("cell"),
+        )
+        .orderBy("r_name", "k")
+    )
+
+
+@register(
+    "q_c7_asof_prior_click",
+    family="C",
+    doc="As-of join: for each purchase event, the user's most recent "
+    "strictly-earlier click. Implemented with the union+carry-forward "
+    "operator (operators/asof.py); DuckDB ASOF JOIN is the oracle.",
+    oracle="""
+        SELECT p.event_id AS purchase_id,
+               p.user_id,
+               c.event_id  AS prior_click_id,
+               epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts > c.ts
+        ORDER BY purchase_id
+    """,
+)
+def q_c7_asof_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id"],
+        strict=True,
+        right_tiebreak="event_id",
+    )
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("event_id_r").alias("prior_click_id"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_r"))).alias("gap_us"),
+    ).orderBy("purchase_id")

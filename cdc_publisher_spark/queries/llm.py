@@ -1,0 +1,334 @@
+"""Family K — LLM-data-pipeline operators (SURVEY.md §2.2 K, north star).
+
+The oracle-checkable core: exact dedup, shingle-Jaccard near-dup,
+text stats, token counting, fingerprinting, embedding norms, top-k
+cosine similarity. The approximate/scale variants (MinHash+LSH,
+SimHash, LSH-bucketed ANN) live in operators/ and register their own
+rows-only specs — pytest cross-checks them against these exact forms.
+
+Everything here is built-in expressions; the only shuffles are the
+token join (K-2, O(shared shingles)) and the top-k window (K-3/K-6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from cdc_publisher_spark.functions import text as TX
+from cdc_publisher_spark.functions import vectors as VX
+from cdc_publisher_spark.registry import register
+from cdc_publisher_spark.tables import load
+
+
+@register(
+    "q_k1_exact_dedup",
+    family="K",
+    doc="K-1 exact dedup: hash-groupBy on document text; keeper = "
+    "min(doc_id). At 100 TB: group on md5(text) (fixed-width shuffle "
+    "key) instead of the raw text column.",
+    oracle="""
+        SELECT md5(text) AS text_hash,
+               MIN(doc_id) AS keep_id,
+               COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY text
+        ORDER BY keep_id
+    """,
+)
+def q_k1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("text")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .select(F.md5("text").alias("text_hash"), "keep_id", "n_copies")
+        .orderBy("keep_id")
+    )
+
+
+@register(
+    "q_k2_jaccard_neardup",
+    family="K",
+    bench=True,
+    doc="K-2 exact near-dup: trigram-shingle Jaccard >= 0.5 pairs via "
+    "shingle-explode + self-equi-join on shingle (no doc×doc cross "
+    "product — cost is O(co-occurring shingles)). Ground truth for the "
+    "MinHash operator.",
+    oracle="""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+            FROM w CROSS JOIN generate_series(1, 4096) g(i)
+            WHERE i + 2 <= len(ws)
+        ),
+        sz AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id d1, b.doc_id d2, COUNT(*) i
+            FROM sh a JOIN sh b USING (s)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT d1, d2, ROUND(i * 1.0 / (s1.n + s2.n - i), 4) AS jaccard
+        FROM inter
+        JOIN sz s1 ON s1.doc_id = d1
+        JOIN sz s2 ON s2.doc_id = d2
+        WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.5
+        ORDER BY d1, d2
+    """,
+)
+def q_k2_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", TX.shingles(F.col("text"), 3).alias("sh")
+    )
+    tok = docs.select("doc_id", F.explode("sh").alias("s"))
+    sizes = docs.select("doc_id", F.size("sh").alias("n"))
+    inter = (
+        tok.alias("a")
+        .join(tok.alias("b"), "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("i"))
+    )
+    jac = (
+        inter.join(F.broadcast(sizes).alias("s1"), F.col("d1") == F.col("s1.doc_id"))
+        .join(F.broadcast(sizes).alias("s2"), F.col("d2") == F.col("s2.doc_id"))
+        .select(
+            "d1",
+            "d2",
+            (F.col("i") * 1.0 / (F.col("s1.n") + F.col("s2.n") - F.col("i"))).alias("j"),
+        )
+    )
+    return (
+        jac.filter(F.col("j") >= 0.5)
+        .select("d1", "d2", F.round("j", 4).alias("jaccard"))
+        .orderBy("d1", "d2")
+    )
+
+
+@register(
+    "q_k4_text_stats",
+    family="K",
+    doc="K-4 per-document text quality stats: word/distinct counts, "
+    "type-token ratio, mean word length, stored-length consistency.",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+               CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+               ROUND(len(list_distinct(string_split(text, ' '))) * 1.0
+                     / len(string_split(text, ' ')), 4) AS ttr,
+               ROUND((length(text) - len(string_split(text, ' ')) + 1) * 1.0
+                     / len(string_split(text, ' ')), 4) AS avg_word_len,
+               CAST(length(text) AS BIGINT) = n_chars AS len_consistent
+        FROM documents
+        ORDER BY doc_id
+    """,
+)
+def q_k4_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    text = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.n_words(text).alias("n_words"),
+        F.size(TX.distinct_words(text)).alias("n_distinct"),
+        F.round(TX.type_token_ratio(text), 4).alias("ttr"),
+        F.round(TX.avg_word_len(text), 4).alias("avg_word_len"),
+        (F.length(text).cast("bigint") == F.col("n_chars")).alias("len_consistent"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_k5_embedding_norms",
+    family="K",
+    doc="K-5 vector norms via higher-order functions (no UDF): "
+    "L1/L2/Linf + first normalized component.",
+    oracle="""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings)
+        SELECT vec_id,
+               ROUND(sqrt(list_sum(list_transform(e, x -> x * x))), 4) AS l2,
+               ROUND(list_sum(list_transform(e, x -> abs(x))), 4) AS l1,
+               ROUND(list_max(list_transform(e, x -> abs(x))), 4) AS linf,
+               ROUND(e[1] / sqrt(list_sum(list_transform(e, x -> x * x))), 4) AS first_normed
+        FROM v
+        ORDER BY vec_id
+    """,
+)
+def q_k5_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    vec = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.round(VX.l2_norm(vec), 4).alias("l2"),
+        F.round(VX.l1_norm(vec), 4).alias("l1"),
+        F.round(VX.linf_norm(vec), 4).alias("linf"),
+        F.round(F.element_at(VX.normalize(vec), 1), 4).alias("first_normed"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "q_k6_cosine_topk",
+    family="K",
+    bench=True,
+    doc="K-3 brute-force top-k cosine: 5 query vectors vs the corpus, "
+    "top-10 each. Query side broadcasts; ranking is a bounded window. "
+    "The LSH-bucketed scale path is operators/ann.py.",
+    oracle="""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+        q AS (SELECT * FROM v WHERE vec_id < 5),
+        c AS (SELECT * FROM v WHERE vec_id >= 5),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   list_dot_product(q.e, c.e)
+                     / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))) AS cos,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_dot_product(q.e, c.e)
+                                / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))) DESC,
+                                c.vec_id) AS rk
+            FROM q CROSS JOIN c
+        )
+        SELECT query_id, cand_id, ROUND(cos, 4) AS cosine, rk
+        FROM scored WHERE rk <= 10
+        ORDER BY query_id, rk
+    """,
+)
+def q_k6_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = e.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id", "cand_id", VX.cosine(F.col("qv"), F.col("cv")).alias("cos")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("query_id", "cand_id", F.round("cos", 4).alias("cosine"), "rk")
+        .orderBy("query_id", "rk")
+    )
+
+
+@register(
+    "q_k7_nearest_neighbor",
+    family="K",
+    doc="K-3 all-pairs argmax: nearest neighbor (cosine) for the first "
+    "50 vectors — embedding-cosine near-dup detection shape.",
+    oracle="""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+        q AS (SELECT * FROM v WHERE vec_id < 50),
+        scored AS (
+            SELECT q.vec_id, c.vec_id AS nn_id,
+                   list_dot_product(q.e, c.e)
+                     / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))) AS cos,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_dot_product(q.e, c.e)
+                                / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))) DESC,
+                                c.vec_id) AS rk
+            FROM q JOIN v c ON c.vec_id <> q.vec_id
+        )
+        SELECT vec_id, nn_id, ROUND(cos, 4) AS cosine
+        FROM scored WHERE rk = 1
+        ORDER BY vec_id
+    """,
+)
+def q_k7_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("vec_id"), F.col("embedding").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("nn_id"), F.col("embedding").alias("cv"))
+    scored = c.crossJoin(F.broadcast(q)).filter(F.col("nn_id") != F.col("vec_id")).select(
+        "vec_id", "nn_id", VX.cosine(F.col("qv"), F.col("cv")).alias("cos")
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("nn_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "nn_id", F.round("cos", 4).alias("cosine"))
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "q_k8_corpus_stats_by_lang",
+    family="K",
+    doc="Per-language corpus profile (language filter + quality "
+    "aggregates): doc counts, length stats, source diversity, tokens.",
+    oracle="""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               ROUND(AVG(n_chars), 4) AS avg_chars,
+               CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_words,
+               COUNT(DISTINCT source) AS n_sources
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """,
+)
+def q_k8_corpus_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.sum(TX.n_words(F.col("text")).cast("bigint")).alias("total_words"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q_k9_set_fingerprint",
+    family="K",
+    doc="K document fingerprinting (set form): md5 over the sorted "
+    "distinct-word list; groups = candidate duplicate clusters. The "
+    "positional rolling-hash variant is operators/fingerprint.py.",
+    oracle="""
+        SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+               MIN(doc_id) AS first_doc,
+               COUNT(*) AS cluster_size
+        FROM documents
+        GROUP BY 1
+        ORDER BY first_doc
+    """,
+)
+def q_k9_set_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(TX.set_fingerprint(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("first_doc"), F.count("*").alias("cluster_size"))
+        .orderBy("first_doc")
+    )
+
+
+@register(
+    "q_k10_token_counts",
+    family="K",
+    doc="K token counting: whitespace tokens vs BPE-ish regex tokens "
+    "(letter runs / digit runs / symbols) per document.",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_bpe_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS INT) AS n_alpha_tokens
+        FROM documents
+        ORDER BY doc_id
+    """,
+)
+def q_k10_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    text = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.n_words(text).alias("n_ws_tokens"),
+        TX.n_tokens_regex(text).cast("int").alias("n_bpe_tokens"),
+        F.regexp_count(text, F.lit(r"[A-Za-z]+")).cast("int").alias("n_alpha_tokens"),
+    ).orderBy("doc_id")

@@ -1,0 +1,135 @@
+"""Family I, batch-equivalent forms (SURVEY.md §2.2 I, §5.2.2).
+
+Streaming semantics themselves are pytest'd with memory sinks
+(tests/test_streaming.py); these are the deterministic batch
+equivalents that DuckDB can oracle-check: Spark's ``window()`` /
+sessionization expressed over the static events table. The window
+bucketing here is byte-identical to what the streaming queries emit,
+so the streaming tests assert stream-result == these batch results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from cdc_publisher_spark.queries.aggregation import dsum
+from cdc_publisher_spark.registry import register
+from cdc_publisher_spark.tables import load
+
+
+@register(
+    "q_i1_tumbling_hour",
+    family="I",
+    bench=True,
+    doc="Tumbling 1-hour windows over events via window(); oracle is "
+    "date_trunc bucketing (identical start instants).",
+    oracle="""
+        SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us,
+               event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY bucket_us, event_type
+    """,
+)
+def q_i1_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum(F.col("value"), "decimal(18,6)").alias("total_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("bucket_us"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("bucket_us", "event_type")
+    )
+
+
+@register(
+    "q_i2_sliding_hour",
+    family="I",
+    doc="Sliding windows (1 h length, 30 min slide): each event lands "
+    "in 2 windows. Oracle reproduces the window-start set with a "
+    "2-row offset cross join.",
+    oracle="""
+        SELECT (epoch_us(ts) // 1800000000 - k) * 1800000000 AS win_start_us,
+               COUNT(*) AS n,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        CROSS JOIN (SELECT CAST(x AS BIGINT) AS k FROM generate_series(0, 1) t(x)) offs
+        GROUP BY 1
+        ORDER BY win_start_us
+    """,
+)
+def q_i2_sliding_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("n_users"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("win_start_us"),
+            "n",
+            "n_users",
+        )
+        .orderBy("win_start_us")
+    )
+
+
+@register(
+    "q_i3_sessionize",
+    family="I",
+    doc="Sessionization (30-minute inactivity gap) in pure window "
+    "algebra: lag-gap flag -> running session counter -> per-session "
+    "aggregate. The streaming twin uses session_window(); "
+    "tests/test_streaming.py asserts both agree.",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessions AS (
+            SELECT *, SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+            FROM flagged
+        )
+        SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+               COUNT(*) AS n_events,
+               epoch_us(MIN(ts)) AS session_start_us,
+               epoch_us(MAX(ts)) AS session_end_us,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+        FROM sessions
+        GROUP BY user_id, session_seq
+        ORDER BY user_id, session_seq
+    """,
+)
+def q_i3_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_seq",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).cast("bigint"),
+    )
+    return (
+        sessions.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.unix_micros(F.min("ts")).alias("session_start_us"),
+            F.unix_micros(F.max("ts")).alias("session_end_us"),
+            dsum(F.col("value"), "decimal(18,6)").alias("session_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )

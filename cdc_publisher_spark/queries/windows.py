@@ -1,0 +1,168 @@
+"""Family E — window functions (SURVEY.md §2.2 E).
+
+Generalizes the reference's argmax-by-offset (A1) to the full window
+grammar. Every orderBy carries a unique tiebreak column so ranks and
+frames are deterministic — a window result that depends on shuffle
+order is not hash-checkable (and not reproducible at scale either).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from cdc_publisher_spark.registry import register
+from cdc_publisher_spark.tables import load
+
+
+@register(
+    "q_e1_rank_customers",
+    family="E",
+    doc="row_number / rank / dense_rank per nation by acctbal.",
+    oracle="""
+        SELECT c_custkey, c_nationkey,
+               row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn,
+               rank()       OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS rnk,
+               dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS drnk
+        FROM customer
+        ORDER BY c_custkey
+    """,
+)
+def q_e1_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    by_bal = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
+    unique = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.row_number().over(unique).alias("rn"),
+        F.rank().over(by_bal).alias("rnk"),
+        F.dense_rank().over(by_bal).alias("drnk"),
+    ).orderBy("c_custkey")
+
+
+@register(
+    "q_e2_lag_lead_events",
+    family="E",
+    doc="lag/lead over the per-user event stream. Neighbor ids are "
+    "coalesced to -1: nullable-int columns round-trip differently "
+    "through pandas on the two engines.",
+    oracle="""
+        SELECT event_id, user_id,
+               COALESCE(lag(event_id)  OVER w, -1) AS prev_id,
+               COALESCE(lead(event_id) OVER w, -1) AS next_id,
+               ROUND(value - COALESCE(lag(value) OVER w, 0.0), 4) AS delta_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY event_id
+    """,
+)
+def q_e2_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.lag("event_id").over(w), F.lit(-1)).alias("prev_id"),
+        F.coalesce(F.lead("event_id").over(w), F.lit(-1)).alias("next_id"),
+        F.round(F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0.0)), 4).alias("delta_value"),
+    ).orderBy("event_id")
+
+
+@register(
+    "q_e3_running_order_total",
+    family="E",
+    doc="Running sum of order totals per customer (frame: unbounded "
+    "preceding → current). Prefix sums add in frame order on both "
+    "engines; rounded anyway.",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               ROUND(SUM(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+               row_number() OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+        FROM orders
+        ORDER BY o_orderkey
+    """,
+)
+def q_e3_running_order_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)), 2).alias("running_total"),
+        F.row_number().over(w).alias("order_seq"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "q_e4_sliding_avg_value",
+    family="E",
+    doc="Sliding 3-row mean of event value per user (frame -2..0).",
+    oracle="""
+        SELECT event_id, user_id,
+               ROUND(AVG(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS avg3
+        FROM events
+        ORDER BY event_id
+    """,
+)
+def q_e4_sliding_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, W.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 4).alias("avg3"),
+    ).orderBy("event_id")
+
+
+@register(
+    "q_e5_ntile_quartiles",
+    family="E",
+    doc="ntile(4) by account balance (unique order).",
+    oracle="""
+        SELECT c_custkey,
+               ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS quartile
+        FROM customer
+        ORDER BY c_custkey
+    """,
+)
+def q_e5_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    w = W.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return c.select("c_custkey", F.ntile(4).over(w).alias("quartile")).orderBy("c_custkey")
+
+
+@register(
+    "q_e6_first_last_value",
+    family="E",
+    doc="first_value/last_value with an explicit full-partition frame "
+    "(the default frame would make last_value = current row).",
+    oracle="""
+        SELECT c_custkey, c_nationkey,
+               first_value(c_custkey) OVER w AS richest_cust,
+               last_value(c_custkey)  OVER w AS poorest_cust
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY c_custkey
+    """,
+)
+def q_e6_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    w = (
+        W.partitionBy("c_nationkey")
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.first("c_custkey").over(w).alias("richest_cust"),
+        F.last("c_custkey").over(w).alias("poorest_cust"),
+    ).orderBy("c_custkey")

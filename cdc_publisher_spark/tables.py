@@ -40,7 +40,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     declarative (no caching, no collect)."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
-    return spark.read.parquet(table_path(sf_dir, name))
+    from cdc_publisher_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
+    df = spark.read.parquet(table_path(sf_dir, name))
+    # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it arrives
+    # as int64 nanos. Truncate to µs exactly like DuckDB does reading
+    # the same file, so oracle comparisons see identical instants.
+    schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    if name == "events" and schema.get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
