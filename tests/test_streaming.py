@@ -1,0 +1,329 @@
+"""Streaming semantics tests (SURVEY.md §5.2.4): memory-sink micro-batch
+drives for the pipeline, stateful latest-state, windows, watermarks,
+dedup, stream-static join, and the D1 control loop.
+
+File sources + processAllAvailable() give deterministic batch
+sequencing: write file -> drain -> write file -> drain.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_publisher_spark.cdc.keying import derive_key_from_json
+from cdc_publisher_spark.cdc.latest_state import latest_per_key
+from cdc_publisher_spark.sources.files import read_dml_stream, stream_table
+from cdc_publisher_spark.streaming.pipeline import run_file_to_parquet, split_wire
+from cdc_publisher_spark.streaming.routes import RouteRegistry, route_control_batch
+
+
+def _dml(i: int, table: str = "orders") -> str:
+    return json.dumps(
+        {
+            "id": {"okey": i, "line": i % 3},
+            "type": ["insert", "update", "delete"][i % 3],
+            "table": table,
+            "data": {"qty": i * 2, "note": f"row{i}"},
+            "info": {"user": "tester", "timestamp": f"2024-01-{(i % 27) + 1:02d}T00:00:00"},
+        },
+        separators=(",", ":"),
+    )
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    return src, str(out), str(ckpt)
+
+
+def test_pipeline_end_to_end_with_dead_letter_and_restart(spark, workdir):
+    src, out, ckpt = workdir
+    good_raws = [_dml(i) for i in range(10)]
+    (src / "batch1.jsonl").write_text("\n".join(good_raws[:3] + ["{corrupt"] + good_raws[3:5] + ["   "]))
+
+    stream = read_dml_stream(spark, str(src))
+    q = run_file_to_parquet(stream, out, ckpt)
+    q.processAllAvailable()
+
+    # second batch arrives later; same checkpoint — no reprocessing
+    (src / "batch2.jsonl").write_text("\n".join(good_raws[5:]))
+    q.processAllAvailable()
+    q.stop()
+
+    result = spark.read.parquet(out)
+    good = result.filter(F.col("topic") == "orders").collect()
+    dead = result.filter(F.col("topic") == "cdc-dead-letter").collect()
+    # values byte-for-byte verbatim; keys = reference T3 derivation
+    assert sorted(r["value"] for r in good) == sorted(good_raws)
+    for r in good:
+        assert r["key"] == derive_key_from_json(r["value"])
+    # both malformed lines dead-lettered with null key, payload kept
+    assert sorted(r["value"] for r in dead) == ["   ", "{corrupt"]
+    assert all(r["key"] is None for r in dead)
+
+    # restart from the same checkpoint: nothing re-emitted
+    q2 = run_file_to_parquet(read_dml_stream(spark, str(src)), out, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+    assert spark.read.parquet(out).count() == len(good) + len(dead)
+
+
+def test_stream_latest_per_key_matches_batch(spark, tmp_path):
+    from cdc_publisher_spark.streaming.latest_state_stream import stream_latest_per_key
+
+    src = tmp_path / "ccd"
+    src.mkdir()
+    rows1 = [{"key": k, "offset": o, "status": f"s{o}"} for k in range(4) for o in range(0, 6, 2)]
+    rows2 = [{"key": k, "offset": o, "status": f"s{o}"} for k in range(4) for o in (5, 1)]
+    (src / "a.jsonl").write_text("\n".join(json.dumps(r) for r in rows1))
+
+    schema = "key int, offset long, status string"
+    stream = spark.readStream.schema(schema).json(str(src))
+    latest = stream_latest_per_key(stream, ["key"], "offset", ["status"])
+    q = (
+        latest.writeStream.format("memory")
+        .queryName("latest_state_t")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    (src / "b.jsonl").write_text("\n".join(json.dumps(r) for r in rows2))
+    q.processAllAvailable()
+    q.stop()
+
+    # last emitted update per key == batch latest_per_key over all rows
+    emitted = spark.sql("SELECT * FROM latest_state_t").collect()
+    final: dict[int, tuple[int, str]] = {}
+    for r in emitted:  # updates arrive in batch order; later batches overwrite
+        cur = final.get(r["key"])
+        if cur is None or r["offset"] >= cur[0]:
+            final[r["key"]] = (r["offset"], r["status"])
+    all_rows = spark.createDataFrame(
+        [(r["key"], r["offset"], r["status"]) for r in rows1 + rows2], schema
+    )
+    expected = {
+        r["key"]: (r["offset"], r["status"])
+        for r in latest_per_key(all_rows, "key", "offset").collect()
+    }
+    assert final == expected
+    # late/stale offsets (1) after offset 5 must NOT appear as updates
+    stale = [r for r in emitted if r["offset"] == 1]
+    assert stale == []
+
+
+def test_streaming_tumbling_window_equals_batch(spark, sf_smoke, tmp_path):
+    from cdc_publisher_spark.queries.streaming_batch import q_i1_tumbling_hour
+    from cdc_publisher_spark.tables import load
+
+    stream = stream_table(spark, sf_smoke, "events", str(tmp_path))
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.unix_micros("w.start").alias("bucket_us"), "event_type", "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_t")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["bucket_us"], r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM tumbling_t").collect()
+    }
+    expected = {
+        (r["bucket_us"], r["event_type"]): r["n"]
+        for r in q_i1_tumbling_hour(spark, sf_smoke).collect()
+    }
+    assert got == expected
+
+
+def test_session_window_matches_batch_sessionize(spark, sf_smoke, tmp_path):
+    from cdc_publisher_spark.queries.streaming_batch import q_i3_sessionize
+    from cdc_publisher_spark.tables import load
+
+    stream = stream_table(spark, sf_smoke, "events", str(tmp_path))
+    sess = (
+        stream.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.unix_micros(F.min("ts")).alias("start_us"))
+    )
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("session_t")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["user_id"], r["start_us"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM session_t").collect()
+    }
+    expected = {
+        (r["user_id"], r["session_start_us"]): r["n_events"]
+        for r in q_i3_sessionize(spark, sf_smoke).collect()
+    }
+    assert got == expected
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    src = tmp_path / "late"
+    src.mkdir()
+    schema = "ts timestamp, k string"
+    # batch 1: advance event-time to 12:00
+    (src / "a.jsonl").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"ts": "2024-01-01 10:00:00", "k": "x"},
+                {"ts": "2024-01-01 12:00:00", "k": "x"},
+            ]
+        )
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.unix_micros("w.start").alias("start_us"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 2: a row far below the watermark (10:30 < 11:50) + a fresh row
+    (src / "b.jsonl").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"ts": "2024-01-01 10:30:00", "k": "late"},
+                {"ts": "2024-01-01 13:00:00", "k": "x"},
+            ]
+        )
+    )
+    q.processAllAvailable()
+    # batch 3: push watermark past 13:00 so the 12:00 window finalizes
+    (src / "c.jsonl").write_text(json.dumps({"ts": "2024-01-01 15:00:00", "k": "x"}))
+    q.processAllAvailable()
+    q.stop()
+    rows = {r["start_us"]: r["n"] for r in spark.sql("SELECT * FROM late_t").collect()}
+    h10 = 1704103200000000  # 2024-01-01 10:00 UTC
+    # the late 10:30 row was dropped: hour-10 window finalized with n=1
+    assert rows.get(h10) == 1
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    src = tmp_path / "dups"
+    src.mkdir()
+    schema = "ts timestamp, k string"
+    (src / "a.jsonl").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"ts": "2024-01-01 10:00:00", "k": "a"},
+                {"ts": "2024-01-01 10:00:05", "k": "a"},  # redelivery
+                {"ts": "2024-01-01 10:00:00", "k": "b"},
+            ]
+        )
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["k"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .start()
+    )
+    q.processAllAvailable()
+    # second delivery in a later batch, still within the watermark window
+    (src / "b.jsonl").write_text(json.dumps({"ts": "2024-01-01 10:00:10", "k": "a"}))
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT k, count(*) n FROM dedup_t GROUP BY k").collect()
+    counts = {r["k"]: r["n"] for r in rows}
+    assert counts == {"a": 1, "b": 1}  # at-least-once input -> exactly-once output
+
+
+def test_stream_static_join(spark, sf_smoke, tmp_path):
+    from cdc_publisher_spark.tables import load
+
+    ev = load(spark, sf_smoke, "events")
+    cust = load(spark, sf_smoke, "customer")
+    stream = stream_table(spark, sf_smoke, "events", str(tmp_path))
+    joined = stream.join(
+        F.broadcast(cust), stream.user_id == cust.c_custkey, "inner"
+    ).select("event_id", "user_id", "c_mktsegment")
+    q = joined.writeStream.format("memory").queryName("ssj_t").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT count(*) n FROM ssj_t").collect()[0]["n"]
+    expected = (
+        ev.join(cust, ev.user_id == cust.c_custkey, "inner").count()
+    )
+    assert got == expected and got > 0
+
+
+def test_route_control_loop(spark, tmp_path):
+    """D1: the registry follows activation/deactivation transitions."""
+    src = tmp_path / "routes"
+    src.mkdir()
+    schema = "key int, offset long, status string, queue string"
+    added, removed = [], []
+    registry = RouteRegistry(
+        on_add=lambda qname: added.append(qname) or f"handle-{qname}",
+        on_remove=lambda qname, h: removed.append((qname, h)),
+    )
+    from cdc_publisher_spark.streaming.latest_state_stream import stream_latest_per_key
+
+    def rows(batch):
+        return "\n".join(json.dumps(r) for r in batch)
+
+    (src / "a.jsonl").write_text(
+        rows(
+            [
+                {"key": 1, "offset": 1, "status": "active", "queue": "aq.q1"},
+                {"key": 2, "offset": 1, "status": "active", "queue": "aq.q2"},
+                {"key": 3, "offset": 1, "status": "submitted", "queue": "aq.q3"},
+            ]
+        )
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    latest = stream_latest_per_key(stream, ["key"], "offset", ["status", "queue"])
+    q = (
+        latest.writeStream.outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck4"))
+        .foreachBatch(route_control_batch(registry))
+        .start()
+    )
+    q.processAllAvailable()
+    assert registry.live_count == 2 and set(added) == {"aq.q1", "aq.q2"}
+
+    # q2 errors out; q3 becomes active
+    (src / "b.jsonl").write_text(
+        rows(
+            [
+                {"key": 2, "offset": 9, "status": "error", "queue": "aq.q2"},
+                {"key": 3, "offset": 9, "status": "active", "queue": "aq.q3"},
+            ]
+        )
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert registry.live_count == 2
+    assert set(registry.routes()) == {"aq.q1", "aq.q3"}
+    assert removed == [("aq.q2", "handle-aq.q2")]
