@@ -1,0 +1,86 @@
+"""Unified deduplication API (SURVEY.md north star K-1/K-2).
+
+One entry point over the engine's dedup family:
+
+- ``exact``     hash-groupBy on content (md5 shuffle key)
+- ``minhash``   MinHash+LSH candidates, exact-Jaccard verified
+- ``simhash``   64-bit SimHash within Hamming distance
+- ``embedding`` cosine >= threshold on an embedding column
+
+Each returns the *drop list* (doc ids to remove, keeping the smallest
+id per duplicate cluster) so callers compose:
+``df.join(drops, "doc_id", "left_anti")``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cdc_publisher_spark.operators.ann import brute_force_topk
+from cdc_publisher_spark.operators.minhash import minhash_near_duplicates
+from cdc_publisher_spark.operators.simhash import simhash_near_duplicates
+
+
+def _drops_from_pairs(pairs: DataFrame) -> DataFrame:
+    """Pairs (d1 < d2) -> drop list: every doc that appears as the
+    larger id of a pair (the smaller survives, transitively)."""
+    return pairs.select(F.col("d2").alias("doc_id")).distinct()
+
+
+def exact_duplicate_drops(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    keep = docs.groupBy(text_col).agg(F.min(id_col).alias("keep_id"))
+    return (
+        docs.join(keep, text_col)
+        .filter(F.col(id_col) != F.col("keep_id"))
+        .select(F.col(id_col).alias("doc_id"))
+        .distinct()
+    )
+
+
+def near_duplicate_drops(
+    docs: DataFrame,
+    method: str = "minhash",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+    max_hamming: int = 3,
+) -> DataFrame:
+    if method == "minhash":
+        pairs = minhash_near_duplicates(docs, id_col, text_col, threshold=jaccard_threshold)
+    elif method == "simhash":
+        pairs = simhash_near_duplicates(docs, id_col, text_col, max_hamming=max_hamming)
+    else:
+        raise ValueError(f"unknown method {method!r}; use 'minhash' or 'simhash'")
+    return _drops_from_pairs(pairs)
+
+
+def embedding_duplicate_drops(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cosine_threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup: top-1 neighbor per vector (bounded),
+    pair kept when cosine >= threshold."""
+    nn = brute_force_topk(vectors, vectors, k=1, corpus_id=id_col, query_id=id_col, vec_col=vec_col)
+    pairs = (
+        nn.filter(F.col("cosine") >= cosine_threshold)
+        .select(
+            F.least("query_id", "cand_id").alias("d1"),
+            F.greatest("query_id", "cand_id").alias("d2"),
+        )
+        .distinct()
+    )
+    return _drops_from_pairs(pairs)
+
+
+def deduplicate(
+    docs: DataFrame, method: str = "exact", id_col: str = "doc_id", text_col: str = "text", **kw
+) -> DataFrame:
+    """Return ``docs`` minus duplicates under ``method``."""
+    if method == "exact":
+        drops = exact_duplicate_drops(docs, id_col, text_col)
+    else:
+        drops = near_duplicate_drops(docs, method, id_col, text_col, **kw)
+    return docs.join(drops.withColumnRenamed("doc_id", id_col), id_col, "left_anti")

@@ -1,0 +1,143 @@
+"""MinHash + LSH near-duplicate detection (SURVEY.md §2.2 K-2 scale path).
+
+Pipeline (all JVM-side expressions — no UDF, no Arrow hop):
+
+1. shingle each doc (functions/text.py, distinct k-word shingles);
+2. signatures: explode shingles, one hash aggregate computes all
+   ``n_hashes`` min-hashes at once (``min(xxhash64(i, shingle))`` per
+   i) — a single O(shingles) shuffle;
+3. banding: group signature into ``bands`` hashes of ``rows_per_band``
+   values; explode (doc, band_idx, band_hash);
+4. candidates: self-equi-join on (band_idx, band_hash) — only docs
+   sharing a band collide, so the join is O(collisions), never
+   O(docs²);
+5. optional exact verify: shingle-join Jaccard on the candidate set
+   only.
+
+At 100 TB this is the only shape that works: signatures are a linear
+scan; the band join's shuffle key is (band_idx, band_hash) — uniform
+by construction (hashes), so no skew; the exact verify touches only
+candidate pairs. With b bands of r rows, P(candidate) = 1-(1-J^r)^b;
+the defaults (32 hashes = 16 bands x 2) give P(miss) ≈ 7e-8 at J=0.8.
+
+Determinism: xxhash64 with fixed per-index salt columns — same result
+every run, so the verified output is hash-checkable against the exact
+Jaccard oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cdc_publisher_spark.functions.text import shingles
+
+DEFAULT_N_HASHES = 32
+DEFAULT_BANDS = 16
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = DEFAULT_N_HASHES,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, n_shingles, h0..h{n-1}) — one row per doc."""
+    sh = docs.select(F.col(id_col), shingles(F.col(text_col), shingle_k).alias("sh"))
+    exploded = sh.select(id_col, F.size("sh").alias("n_shingles"), F.explode("sh").alias("s"))
+    aggs = [F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(n_hashes)]
+    return exploded.groupBy(id_col).agg(F.max("n_shingles").alias("n_shingles"), *aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = DEFAULT_N_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Distinct (d1, d2) candidate pairs, d1 < d2."""
+    rows_per_band = n_hashes // bands
+    band_cols = [
+        F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+            f"b{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    buckets = banded.select(
+        id_col,
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("bh")) for b in range(bands)])
+        ).alias("bucket"),
+    ).select(id_col, "bucket.band", "bucket.bh")
+    a, b_ = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(b_, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    n_hashes: int = DEFAULT_N_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """LSH candidates -> exact shingle-Jaccard verify -> pairs >= threshold.
+
+    Output (d1, d2, jaccard) — identical semantics to the exhaustive
+    q_k2 join, at candidate-pair cost.
+    """
+    sig = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_k)
+    cands = lsh_candidate_pairs(sig, id_col, n_hashes, bands)
+
+    sh = docs.select(F.col(id_col), shingles(F.col(text_col), shingle_k).alias("sh"))
+    tok = sh.select(id_col, F.explode("sh").alias("s"))
+    sizes = sh.select(F.col(id_col), F.size("sh").alias("n"))
+
+    # exact verify restricted to candidates: join candidate pairs to
+    # shingle sets via two semi-joins on doc id, then count shared.
+    inter = (
+        tok.alias("ta")
+        .join(cands, F.col(f"ta.{id_col}") == F.col("d1"))
+        .join(
+            tok.alias("tb"),
+            (F.col(f"tb.{id_col}") == F.col("d2")) & (F.col("ta.s") == F.col("tb.s")),
+        )
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("i"))
+    )
+    return (
+        inter.join(F.broadcast(sizes).alias("s1"), F.col("d1") == F.col(f"s1.{id_col}"))
+        .join(F.broadcast(sizes).alias("s2"), F.col("d2") == F.col(f"s2.{id_col}"))
+        .select(
+            "d1",
+            "d2",
+            (F.col("i") / (F.col("s1.n") + F.col("s2.n") - F.col("i"))).alias("j"),
+        )
+        .filter(F.col("j") >= threshold)
+        .select("d1", "d2", F.round("j", 4).alias("jaccard"))
+    )
+
+
+def estimated_jaccard(sig: DataFrame, id_col: str = "doc_id", n_hashes: int = DEFAULT_N_HASHES) -> DataFrame:
+    """All-pairs signature agreement (estimate of J) — diagnostic for
+    small data; production uses the banded path above."""
+    cols = [f"h{i}" for i in range(n_hashes)]
+    a, b = sig.alias("a"), sig.alias("b")
+    agree = sum((F.col(f"a.{c}") == F.col(f"b.{c}")).cast("int") for c in cols)
+    return (
+        a.crossJoin(b)
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("d1"),
+            F.col(f"b.{id_col}").alias("d2"),
+            (agree / F.lit(n_hashes)).alias("est_jaccard"),
+        )
+    )

@@ -1,0 +1,218 @@
+"""Operator tests (SURVEY.md §5.2): approximate operators against their
+exact twins, pandas-UDF fingerprint against the pure-Python twin,
+lang-id on a corpus with real signal, multimodal plumbing around the
+stubbed decoder."""
+
+from __future__ import annotations
+
+import ctypes
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_publisher_spark.operators import multimodal
+from cdc_publisher_spark.operators.ann import ann_topk, brute_force_topk
+from cdc_publisher_spark.operators.dedup import deduplicate, exact_duplicate_drops
+from cdc_publisher_spark.operators.fingerprint import rolling_fingerprint, rolling_fingerprint_py
+from cdc_publisher_spark.operators.langid import classify, fit_profiles
+from cdc_publisher_spark.operators.minhash import minhash_near_duplicates
+from cdc_publisher_spark.operators.simhash import (
+    simhash64_py,
+    simhash_fingerprints,
+    simhash_near_duplicates,
+)
+from cdc_publisher_spark.tables import load
+
+
+def test_minhash_equals_exact_jaccard(spark, sf_oracle):
+    from cdc_publisher_spark.queries.llm import q_k2_jaccard_neardup
+
+    docs = load(spark, sf_oracle, "documents")
+    got = {
+        (r["d1"], r["d2"]): r["jaccard"]
+        for r in minhash_near_duplicates(docs, threshold=0.5).collect()
+    }
+    expected = {
+        (r["d1"], r["d2"]): r["jaccard"] for r in q_k2_jaccard_neardup(spark, sf_oracle).collect()
+    }
+    assert got == expected and len(expected) > 0
+
+
+def test_simhash_matches_python_twin(spark, sf_oracle):
+    docs = load(spark, sf_oracle, "documents").filter(F.col("doc_id") < 40)
+    fps = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(docs).collect()}
+    # feed the twin the SAME token hashes Spark used (xxhash64)
+    toks = (
+        docs.select("doc_id", F.explode(F.split("text", r"\s+")).alias("w"))
+        .select("doc_id", F.xxhash64("w").alias("h"))
+        .collect()
+    )
+    by_doc: dict[int, list[int]] = {}
+    for r in toks:
+        by_doc.setdefault(r["doc_id"], []).append(r["h"])
+    for doc_id, hashes in by_doc.items():
+        assert fps[doc_id] == simhash64_py(hashes), f"doc {doc_id}"
+
+
+def test_simhash_near_dup_pairs_exact(spark, sf_oracle):
+    """The banded candidate join + verify must equal brute-force
+    Hamming over collected fingerprints."""
+    docs = load(spark, sf_oracle, "documents")
+    fps = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(docs).collect()}
+    ids = sorted(fps)
+    expected = set()
+    for i, d1 in enumerate(ids):
+        u1 = ctypes.c_uint64(fps[d1]).value
+        for d2 in ids[i + 1 :]:
+            h = bin(u1 ^ ctypes.c_uint64(fps[d2]).value).count("1")
+            if h <= 3:
+                expected.add((d1, d2, h))
+    got = {
+        (r["d1"], r["d2"], r["hamming"])
+        for r in simhash_near_duplicates(docs, max_hamming=3).collect()
+    }
+    assert got == expected and len(got) > 0
+
+
+def test_ann_recall_vs_brute_force(spark, sf_oracle):
+    e = load(spark, sf_oracle, "embeddings")
+    queries = e.filter(F.col("vec_id") < 20)
+    corpus = e.filter(F.col("vec_id") >= 20)
+    # NB the synthetic embeddings are isotropic random vectors — the
+    # worst case for hyperplane LSH (no cluster structure to exploit),
+    # so recall here is a floor, not representative of real corpora.
+    exact = brute_force_topk(corpus, queries, k=10)
+    approx = ann_topk(corpus, queries, k=10, n_planes=3)
+    exact_sets: dict[int, set[int]] = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r["query_id"], set()).add(r["cand_id"])
+    approx_sets: dict[int, set[int]] = {}
+    for r in approx.collect():
+        approx_sets.setdefault(r["query_id"], set()).add(r["cand_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q]) for q in exact_sets
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.5, f"mean recall {mean_recall:.2f} (per-query {recalls})"
+    # approximate results are always true cosines (no fabricated scores)
+    exact_all = {(r["query_id"], r["cand_id"]): r["cosine"] for r in exact.collect()}
+    full = {
+        (r["query_id"], r["cand_id"]): r["cosine"]
+        for r in brute_force_topk(corpus, queries, k=10**6).collect()
+    }
+    for r in approx.collect():
+        assert full[(r["query_id"], r["cand_id"])] == r["cosine"]
+
+
+def test_brute_force_topk_matches_q_k6(spark, sf_oracle):
+    from cdc_publisher_spark.queries.llm import q_k6_cosine_topk
+
+    e = load(spark, sf_oracle, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    c = e.filter(F.col("vec_id") >= 5)
+    got = [
+        (r["query_id"], r["cand_id"], r["cosine"], r["rk"])
+        for r in brute_force_topk(c, q, k=10).orderBy("query_id", "rk").collect()
+    ]
+    expected = [
+        (r["query_id"], r["cand_id"], r["cosine"], r["rk"])
+        for r in q_k6_cosine_topk(spark, sf_oracle).collect()
+    ]
+    assert got == expected
+
+
+def test_rolling_fingerprint_matches_twin_and_is_order_sensitive(spark):
+    texts = ["a b c", "c b a", "a b c", "hello world foo", ""]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["fp"]
+        for r in df.select("doc_id", rolling_fingerprint(F.col("text")).alias("fp")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == rolling_fingerprint_py(t) & 0x7FFFFFFFFFFFFFFF
+    assert got[0] == got[2]  # identical text, identical fp
+    assert got[0] != got[1]  # reordered tokens, different fp
+
+
+def test_langid_learns_real_signal(spark):
+    corpus = [
+        ("der hund und die katze sind im haus und der garten ist schön", "de"),
+        ("die kinder spielen und das wetter ist gut und schön heute", "de"),
+        ("el perro y el gato están en la casa y el jardín es bonito", "es"),
+        ("los niños juegan y el tiempo es bueno y bonito hoy en la casa", "es"),
+        ("the dog and the cat are in the house and the garden is nice", "en"),
+        ("the children play and the weather is good and nice today", "en"),
+    ]
+    train = spark.createDataFrame(corpus, "text string, lang string")
+    profiles = fit_profiles(train)
+    tests = [
+        ("die katze ist schön und der garten", "de"),
+        ("el gato es bonito y el jardín", "es"),
+        ("the cat is nice and the garden", "en"),
+    ]
+    test_df = spark.createDataFrame([(t,) for t, _ in tests], "text string")
+    preds = [r["lang_pred"] for r in classify(test_df, profiles).collect()]
+    assert preds == [lang for _, lang in tests]
+
+
+def test_langid_plumbing_on_synthetic(spark, sf_smoke):
+    docs = load(spark, sf_smoke, "documents").limit(30)
+    profiles = fit_profiles(docs)
+    out = classify(docs, profiles)
+    rows = out.select("doc_id", "lang_pred").collect()
+    assert len(rows) == 30 and all(r["lang_pred"] in profiles for r in rows)
+    rows2 = classify(docs, profiles).select("doc_id", "lang_pred").collect()
+    assert rows == rows2  # deterministic
+
+
+def _media_df(spark, n=20):
+    rows = [
+        (i, "image/fake" if i % 2 == 0 else "audio/fake", f"payload-{i}".encode() * (i + 1),
+         (f"src{i % 3}", "2024-01-01", 64, 48))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+
+def test_multimodal_decode_with_fake_codec(spark):
+    multimodal.register_decoder(multimodal.fake_decoder)
+    try:
+        df = _media_df(spark)
+        out = {r["media_id"]: r for r in multimodal.decode_media(df).collect()}
+        assert len(out) == 20
+        import hashlib
+
+        for i in range(20):
+            payload = f"payload-{i}".encode() * (i + 1)
+            assert out[i]["n_bytes"] == len(payload)
+            assert out[i]["sha256"] == hashlib.sha256(payload).hexdigest()
+            fake = multimodal.fake_decoder(payload, "")
+            assert out[i]["width"] == fake["width"] and out[i]["mean_luma"] == fake["mean_luma"]
+    finally:
+        multimodal.register_decoder(None)  # type: ignore[arg-type]
+        multimodal._DECODER = None
+
+
+def test_multimodal_unregistered_decoder_raises(spark):
+    multimodal._DECODER = None
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(_media_df(spark))
+
+
+def test_multimodal_metadata_paths(spark):
+    df = _media_df(spark)
+    stats = {r["media_type"]: (r["n"], r["total_bytes"]) for r in multimodal.media_size_stats(df).collect()}
+    assert stats["image/fake"][0] == 10 and stats["audio/fake"][0] == 10
+    frames = multimodal.frame_sample_plan(df, every_n=10).groupBy("media_id").count().collect()
+    assert all(r["count"] == 7 for r in frames)  # declared_width 64 -> frames 0,10,...,60
+
+
+def test_dedup_facade(spark, sf_oracle):
+    docs = load(spark, sf_oracle, "documents")
+    # exact: no byte-identical dups in this table -> nothing dropped
+    assert exact_duplicate_drops(docs).count() == 0
+    deduped = deduplicate(docs, method="minhash", jaccard_threshold=0.5)
+    from cdc_publisher_spark.queries.llm import q_k2_jaccard_neardup
+
+    n_drops = q_k2_jaccard_neardup(spark, sf_oracle).select("d2").distinct().count()
+    assert deduped.count() == docs.count() - n_drops
