@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Benchmark harness (BASELINE.md obligations).
+
+Runs the headline queries (registry specs with bench=True) at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], plus the CDC streaming pipeline throughput,
+and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": <sf>, "streaming_rows_per_sec": ...}
+
+Queries execute via the noop sink — full plan execution, no driver
+collect, so timings measure the engine, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from cdc_publisher_spark.registry import all_specs
+    from cdc_publisher_spark.session import get_session
+
+    spark = get_session(app_name="cdc_publisher_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.ui.explainMode", "simple")
+
+    specs = {n: s for n, s in all_specs().items() if s.bench}
+    timings: dict[str, float] = {}
+
+    # one warm-up scan so JVM/codegen startup isn't billed to the first query
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    for name in sorted(specs):
+        df = specs[name].spark(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    streaming_rps = _bench_streaming(spark, sf_dir)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "streaming_rows_per_sec": streaming_rps,
+            }
+        )
+    )
+
+
+def _bench_streaming(spark, sf_dir: str) -> float:
+    """CDC pipeline throughput: DML JSON built from lineitem rows,
+    streamed file->envelope->key->routed parquet sink."""
+    from pyspark.sql import functions as F
+
+    from cdc_publisher_spark.sources.files import read_dml_stream
+    from cdc_publisher_spark.streaming.pipeline import run_file_to_parquet
+    from cdc_publisher_spark.tables import load
+
+    wd = tempfile.mkdtemp(prefix="cdc_bench_")
+    try:
+        src = os.path.join(wd, "src")
+        li = load(spark, sf_dir, "lineitem").limit(50_000)
+        dml = li.select(
+            F.to_json(
+                F.struct(
+                    F.create_map(
+                        F.lit("l_orderkey"), F.col("l_orderkey").cast("string"),
+                        F.lit("line"), F.col("l_linenumber").cast("string"),
+                    ).alias("id"),
+                    F.lit("insert").alias("type"),
+                    F.lit("lineitem").alias("table"),
+                    F.create_map(F.lit("qty"), F.col("l_quantity").cast("string")).alias("data"),
+                )
+            ).alias("value")
+        )
+        dml.coalesce(8).write.mode("overwrite").text(src)
+        n_rows = spark.read.text(src).count()
+
+        t0 = time.perf_counter()
+        q = run_file_to_parquet(
+            read_dml_stream(spark, src),
+            os.path.join(wd, "out"),
+            os.path.join(wd, "ckpt"),
+        )
+        q.processAllAvailable()
+        q.stop()
+        elapsed = time.perf_counter() - t0
+        return round(n_rows / elapsed, 1)
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

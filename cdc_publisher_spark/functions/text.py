@@ -44,15 +44,40 @@ def avg_word_len(text: Column) -> Column:
 
 
 def shingles(text: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles — the near-dup unit (K-2). Pure
-    expression: transform over an index sequence, no explode needed
-    until the join."""
+    """Distinct k-word shingles as an array column.
+
+    WARNING — small inputs only: higher-order functions evaluate
+    interpreted (outside codegen, no common-subexpression elimination),
+    so the embedded split() re-evaluates per element — O(words²) regex
+    work per row. The scalable row-wise form is :func:`shingle_rows`.
+    """
     ws = words(text)
     joined = F.transform(
         F.sequence(F.lit(0), F.size(ws) - k),
         lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j + 1) for j in range(k)]),
     )
     return F.array_distinct(F.when(F.size(ws) >= k, joined).otherwise(F.array()))
+
+
+def shingle_rows(docs, id_col: str = "doc_id", text_col: str = "text", k: int = 3):
+    """Distinct k-word shingles as ROWS (id, s) — the scale path.
+
+    posexplode evaluates the split exactly once per document (generator
+    semantics), then one per-doc window assembles shingles via lead().
+    Linear work, whole-stage codegen throughout, one hash shuffle on
+    the doc id; no interpreted higher-order functions anywhere.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(id_col).orderBy("pos")
+    tokens = docs.select(F.col(id_col), F.posexplode(words(F.col(text_col))).alias("pos", "w"))
+    parts = [F.col("w")] + [F.lead("w", j).over(w) for j in range(1, k)]
+    assembled = tokens.select(
+        F.col(id_col),
+        F.concat_ws(" ", *parts).alias("s"),
+        F.lead("w", k - 1).over(w).isNotNull().alias("_full"),
+    )
+    return assembled.filter(F.col("_full")).select(id_col, "s").distinct()
 
 
 def set_fingerprint(text: Column) -> Column:

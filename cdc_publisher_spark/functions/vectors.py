@@ -39,7 +39,16 @@ def linf_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
+    """Per-pair cosine. For candidate scans, pre-stage each side's norm
+    once per row (cosine_with_norms) — this form re-folds both norms on
+    every pair, tripling the interpreted-HOF work."""
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_with_norms(a: Column, b: Column, a_norm: Column, b_norm: Column) -> Column:
+    """cosine from pre-staged norms: bit-identical to :func:`cosine`
+    (same op order: dot / (na * nb)), one fold per pair instead of three."""
+    return dot(a, b) / (a_norm * b_norm)
 
 
 def normalize(a: Column) -> Column:

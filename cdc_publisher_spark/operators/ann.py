@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from cdc_publisher_spark.functions.vectors import cosine
+from cdc_publisher_spark.functions.vectors import cosine_with_norms, l2_norm
 
 PLANE_SEED = 42
 
@@ -74,11 +74,19 @@ def ann_topk(
     constant factor for recall.
     """
     c = with_lsh_bucket(
-        corpus.select(F.col(corpus_id).alias("cand_id"), F.col(vec_col).alias("cv")),
+        corpus.select(
+            F.col(corpus_id).alias("cand_id"),
+            F.col(vec_col).alias("cv"),
+            l2_norm(F.col(vec_col)).alias("cn"),
+        ),
         "cv", dim, n_planes,
     )
     q = with_lsh_bucket(
-        queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("qv")),
+        queries.select(
+            F.col(query_id).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            l2_norm(F.col(vec_col)).alias("qn"),
+        ),
         "qv", dim, n_planes,
     )
     if multiprobe:
@@ -86,13 +94,17 @@ def ann_topk(
             F.col("lsh_bucket"),
             *[F.col("lsh_bucket").bitwiseXOR(F.lit(1 << i).cast("long")) for i in range(n_planes)],
         )
-        q = q.select("query_id", "qv", F.explode(probes).alias("lsh_bucket"))
+        q = q.select("query_id", "qv", "qn", F.explode(probes).alias("lsh_bucket"))
     scored = (
         q.join(c, "lsh_bucket")
         .filter(F.col("query_id") != F.col("cand_id"))
-        .select("query_id", "cand_id", "qv", "cv")
+        .select("query_id", "cand_id", "qv", "cv", "qn", "cn")
         .distinct()  # multiprobe can revisit a candidate
-        .select("query_id", "cand_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+        .select(
+            "query_id",
+            "cand_id",
+            cosine_with_norms(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")).alias("cos"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
     return (
@@ -113,12 +125,24 @@ def brute_force_topk(
     """Exact top-k baseline: broadcast the query block, score the whole
     corpus, bounded per-partition pre-rank then global window — the
     TakeOrdered shape, never a corpus×corpus product."""
-    c = corpus.select(F.col(corpus_id).alias("cand_id"), F.col(vec_col).alias("cv"))
-    q = queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(
+        F.col(corpus_id).alias("cand_id"),
+        F.col(vec_col).alias("cv"),
+        l2_norm(F.col(vec_col)).alias("cn"),
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        l2_norm(F.col(vec_col)).alias("qn"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("cand_id"))
-        .select("query_id", "cand_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+        .select(
+            "query_id",
+            "cand_id",
+            cosine_with_norms(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")).alias("cos"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
     return (

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cdc_publisher_spark.functions.text import shingles
+from cdc_publisher_spark.functions.text import shingle_rows
 
 DEFAULT_N_HASHES = 32
 DEFAULT_BANDS = 16
@@ -44,10 +44,9 @@ def minhash_signatures(
     shingle_k: int = 3,
 ) -> DataFrame:
     """(id, n_shingles, h0..h{n-1}) — one row per doc."""
-    sh = docs.select(F.col(id_col), shingles(F.col(text_col), shingle_k).alias("sh"))
-    exploded = sh.select(id_col, F.size("sh").alias("n_shingles"), F.explode("sh").alias("s"))
+    exploded = shingle_rows(docs, id_col, text_col, shingle_k)
     aggs = [F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(n_hashes)]
-    return exploded.groupBy(id_col).agg(F.max("n_shingles").alias("n_shingles"), *aggs)
+    return exploded.groupBy(id_col).agg(F.count("*").alias("n_shingles"), *aggs)
 
 
 def lsh_candidate_pairs(
@@ -97,9 +96,10 @@ def minhash_near_duplicates(
     sig = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_k)
     cands = lsh_candidate_pairs(sig, id_col, n_hashes, bands)
 
-    sh = docs.select(F.col(id_col), shingles(F.col(text_col), shingle_k).alias("sh"))
-    tok = sh.select(id_col, F.explode("sh").alias("s"))
-    sizes = sh.select(F.col(id_col), F.size("sh").alias("n"))
+    tok = shingle_rows(docs, id_col, text_col, shingle_k).select(
+        F.col(id_col), F.xxhash64("s").alias("s")
+    )
+    sizes = tok.groupBy(id_col).agg(F.count("*").alias("n"))
 
     # exact verify restricted to candidates: join candidate pairs to
     # shingle sets via two semi-joins on doc id, then count shared.

@@ -37,7 +37,15 @@ def has_sort_merge_join(df: DataFrame) -> bool:
 
 
 def codegen_stage_count(df: DataFrame) -> int:
-    return plan_string(df, "simple").count("WholeStageCodegen")
+    """Number of whole-stage-codegen spans in the FINAL plan. Under AQE
+    the final physical plan only exists after execution, so this runs
+    the query through the noop sink first (cheap at test scale)."""
+    import re
+
+    df.collect()  # a write would execute a different QueryExecution
+    plan = plan_string(df, "simple")
+    # codegen spans render as "*(N)" stage markers in simple mode
+    return len(set(re.findall(r"\*\((\d+)\)", plan)))
 
 
 def scan_read_schema(df: DataFrame) -> str:

@@ -78,11 +78,13 @@ def q_k1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_k2_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", TX.shingles(F.col("text"), 3).alias("sh")
+    docs = load(spark, sf_dir, "documents")
+    # row-wise shingling (codegen path) + int64-hashed join key: the
+    # shuffle moves 8-byte keys, not trigram strings
+    tok = TX.shingle_rows(docs, "doc_id", "text", 3).select(
+        "doc_id", F.xxhash64("s").alias("s")
     )
-    tok = docs.select("doc_id", F.explode("sh").alias("s"))
-    sizes = docs.select("doc_id", F.size("sh").alias("n"))
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         tok.alias("a")
         .join(tok.alias("b"), "s")
@@ -127,12 +129,25 @@ def q_k2_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_k4_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     text = F.col("text")
-    return docs.select(
+    # ws/n_words materialized once; avg word length arithmetically
+    # (total chars minus separators) — no interpreted HOF in the row path
+    staged = docs.select(
+        "doc_id", "n_chars", text, TX.words(text).alias("ws")
+    ).select(
         "doc_id",
-        TX.n_words(text).alias("n_words"),
-        F.size(TX.distinct_words(text)).alias("n_distinct"),
-        F.round(TX.type_token_ratio(text), 4).alias("ttr"),
-        F.round(TX.avg_word_len(text), 4).alias("avg_word_len"),
+        "n_chars",
+        text,
+        F.size("ws").alias("n_words"),
+        F.size(F.array_distinct("ws")).alias("n_distinct"),
+    )
+    return staged.select(
+        "doc_id",
+        "n_words",
+        "n_distinct",
+        F.round(F.col("n_distinct").cast("double") / F.col("n_words"), 4).alias("ttr"),
+        F.round(
+            (F.length(text) - F.col("n_words") + 1).cast("double") / F.col("n_words"), 4
+        ).alias("avg_word_len"),
         (F.length(text).cast("bigint") == F.col("n_chars")).alias("len_consistent"),
     ).orderBy("doc_id")
 
@@ -195,13 +210,19 @@ def q_k5_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_k6_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        VX.l2_norm(F.col("embedding")).alias("qn"),
     )
     c = e.filter(F.col("vec_id") >= 5).select(
-        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv")
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cv"),
+        VX.l2_norm(F.col("embedding")).alias("cn"),
     )
     scored = c.crossJoin(F.broadcast(q)).select(
-        "query_id", "cand_id", VX.cosine(F.col("qv"), F.col("cv")).alias("cos")
+        "query_id",
+        "cand_id",
+        VX.cosine_with_norms(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")).alias("cos"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
     return (
@@ -239,11 +260,19 @@ def q_k6_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_k7_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 50).select(
-        F.col("vec_id").alias("vec_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("vec_id"),
+        F.col("embedding").alias("qv"),
+        VX.l2_norm(F.col("embedding")).alias("qn"),
     )
-    c = e.select(F.col("vec_id").alias("nn_id"), F.col("embedding").alias("cv"))
+    c = e.select(
+        F.col("vec_id").alias("nn_id"),
+        F.col("embedding").alias("cv"),
+        VX.l2_norm(F.col("embedding")).alias("cn"),
+    )
     scored = c.crossJoin(F.broadcast(q)).filter(F.col("nn_id") != F.col("vec_id")).select(
-        "vec_id", "nn_id", VX.cosine(F.col("qv"), F.col("cv")).alias("cos")
+        "vec_id",
+        "nn_id",
+        VX.cosine_with_norms(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")).alias("cos"),
     )
     w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("nn_id"))
     return (

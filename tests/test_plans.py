@@ -1,0 +1,73 @@
+"""Physical-plan quality gates (SURVEY.md §4.2, the 100 TB checklist):
+filters reach the parquet scan, projections prune the read schema,
+small dimensions broadcast, expressions stay in whole-stage codegen.
+A query that silently loses these properties passes correctness but
+regresses at scale — these tests pin them.
+"""
+
+from __future__ import annotations
+
+from cdc_publisher_spark.plans import (
+    codegen_stage_count,
+    has_broadcast_join,
+    plan_string,
+    pushed_filters,
+    scan_read_schema,
+)
+from cdc_publisher_spark.registry import all_specs
+
+
+def _df(spark, sf_oracle, name):
+    return all_specs()[name].spark(spark, sf_oracle)
+
+
+def test_b1_filter_pushdown_and_pruning(spark, sf_oracle):
+    df = _df(spark, sf_oracle, "q_b1_range_filter")
+    pf = pushed_filters(df)
+    assert "l_quantity" in pf and "l_discount" in pf and "l_shipdate" in pf
+    rs = scan_read_schema(df)
+    # 5 of 11 lineitem columns read; the wide ones are pruned
+    assert "l_extendedprice" not in rs and "l_returnflag" not in rs
+    assert "l_quantity" in rs
+
+
+def test_join_queries_broadcast_dimensions(spark, sf_oracle):
+    for name in ("q_c1_revenue_by_customer", "q_c2_snowflake_revenue"):
+        assert has_broadcast_join(_df(spark, sf_oracle, name)), name
+
+
+def test_fact_join_not_broadcast_on_fact_side(spark, sf_oracle):
+    """orders⋈lineitem must shuffle (sort-merge or shuffled-hash), not
+    broadcast a fact table, for the plan to survive scale-up."""
+    plan = plan_string(_df(spark, sf_oracle, "q_c1_revenue_by_customer"), "simple")
+    # customer (dim) broadcasts; the lineitem⋈orders join must not
+    # broadcast lineitem. At sf0.01 orders may be under the threshold;
+    # assert lineitem itself is never the build side of a broadcast.
+    assert "BroadcastExchange" in plan
+    # crude but effective: no broadcast exchange directly over the
+    # lineitem scan
+    import re
+
+    for m in re.finditer(r"BroadcastExchange[^\n]*\n(?:\s+[^\n]*\n){0,2}\s*[^\n]*FileScan parquet[^\n]*", plan):
+        assert "lineitem" not in m.group(0)
+
+
+def test_aggregates_partial_final(spark, sf_oracle):
+    plan = plan_string(_df(spark, sf_oracle, "q_d1_pricing_summary"), "simple")
+    assert plan.count("HashAggregate") >= 2  # partial + final (map-side combine)
+
+
+def test_topk_uses_take_ordered(spark, sf_oracle):
+    plan = plan_string(_df(spark, sf_oracle, "q_f1_top_orders"), "simple")
+    assert "TakeOrderedAndProject" in plan  # no global sort for LIMIT k
+
+
+def test_codegen_covers_scalar_queries(spark, sf_oracle):
+    for name in ("q_h4_math_funcs", "q_b1_range_filter", "q_d1_pricing_summary"):
+        assert codegen_stage_count(_df(spark, sf_oracle, name)) >= 1, name
+
+
+def test_events_scan_prunes_for_projection(spark, sf_oracle):
+    df = _df(spark, sf_oracle, "q_cdc_resume_token")
+    rs = scan_read_schema(df)
+    assert "props" not in rs and "event_type" not in rs  # only event_id needed
