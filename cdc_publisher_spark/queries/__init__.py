@@ -15,5 +15,7 @@ from cdc_publisher_spark.queries import (  # noqa: F401
     setops,
     sort_limit,
     streaming_batch,
+    subqueries,
+    udfs,
     windows,
 )

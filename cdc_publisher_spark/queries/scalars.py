@@ -328,3 +328,29 @@ def q_h10_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(keys_sorted, lambda k: F.concat(k, F.lit("="), F.element_at(m, k))),
         ).alias("entries_csv"),
     ).orderBy("event_id")
+
+
+@register(
+    "q_h11_array_predicates",
+    family="H",
+    doc="array_contains / sort_array / array_distinct over tokenized "
+    "documents (string arrays; the numeric-array ops are q_h7/q_h8).",
+    oracle="""
+        SELECT doc_id,
+               list_contains(string_split(text, ' '), 'spark')      AS has_spark,
+               list_sort(list_distinct(string_split(text, ' ')))[1] AS first_word,
+               CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct
+        FROM documents
+        ORDER BY doc_id
+    """,
+)
+def q_h11_array_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), r"\s+")
+    staged = docs.select("doc_id", ws.alias("ws"))
+    return staged.select(
+        "doc_id",
+        F.array_contains("ws", "spark").alias("has_spark"),
+        F.sort_array(F.array_distinct("ws")).getItem(0).alias("first_word"),
+        F.size(F.array_distinct("ws")).alias("n_distinct"),
+    ).orderBy("doc_id")

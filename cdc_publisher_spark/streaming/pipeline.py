@@ -70,6 +70,35 @@ def split_wire(
     return good, dead
 
 
+def error_writeback(
+    dead_wire: DataFrame,
+    control_topic: str = "change-data-capture",
+    error_detail: str = "malformed DML payload",
+) -> DataFrame:
+    """E2 — status write-back (SURVEY.md §2.1 E2).
+
+    The README spec (README.md:19-22) says unpublishable CCDs are
+    posted back to the control topic with status='error' + details;
+    the reference's code version never implemented it. The engine
+    does: dead-letter wire records become control-topic records whose
+    value is a CCD-shaped JSON with the error detail and the offending
+    payload, keyed by the (possibly NULL) derived key.
+    """
+    ccd_error = F.to_json(
+        F.struct(
+            F.lit("error").alias("status"),
+            F.lit(error_detail).alias("error"),
+            F.col("value").alias("payload"),
+            F.col("topic").alias("source_topic"),
+        )
+    )
+    return dead_wire.select(
+        F.col("key"),
+        ccd_error.alias("value"),
+        F.lit(control_topic).alias("topic"),
+    )
+
+
 def run_file_to_parquet(
     raw_stream: DataFrame,
     out_dir: str,

@@ -327,3 +327,19 @@ def test_route_control_loop(spark, tmp_path):
     assert registry.live_count == 2
     assert set(registry.routes()) == {"aq.q1", "aq.q3"}
     assert removed == [("aq.q2", "handle-aq.q2")]
+
+
+def test_error_writeback_to_control_topic(spark):
+    """E2: dead letters become CCD error records on the control topic
+    (README.md:19-22 spec; absent from the reference's code)."""
+    from cdc_publisher_spark.streaming.pipeline import error_writeback
+
+    raws = spark.createDataFrame([("{broken",), ("also bad",)], "raw string")
+    _, dead = split_wire(raws)
+    wb = error_writeback(dead).collect()
+    assert len(wb) == 2
+    for r in wb:
+        assert r["topic"] == "change-data-capture"
+        doc = json.loads(r["value"])
+        assert doc["status"] == "error" and doc["payload"] in ("{broken", "also bad")
+        assert doc["source_topic"] == "cdc-dead-letter"
