@@ -246,3 +246,31 @@ def q_d6_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q_d9_percentiles",
+    family="D",
+    doc="Exact interpolated percentiles (median/p90) per group — "
+    "Spark percentile() vs DuckDB quantile_cont(), both exact. The "
+    "approximate scale path (percentile_approx, t-digest-style sketch) "
+    "is checked by tolerance in tests/test_aggregation_semantics.py.",
+    oracle="""
+        SELECT o_orderstatus,
+               ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+               ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+)
+def q_d9_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -16,10 +16,17 @@ def spark():
     from cdc_publisher_spark.session import get_session
 
     cpus = min(8, os.cpu_count() or 4)
+    import tempfile
+
     s = get_session(
         app_name="cdc_publisher_spark_tests",
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
+        extra_confs={
+            # static conf: must be set at build; keeps saveAsTable
+            # (bucketing tests) out of the repo working tree
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark_wh_"),
+        },
     )
     yield s
 

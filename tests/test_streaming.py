@@ -343,3 +343,62 @@ def test_error_writeback_to_control_topic(spark):
         doc = json.loads(r["value"])
         assert doc["status"] == "error" and doc["payload"] in ("{broken", "also bad")
         assert doc["source_topic"] == "cdc-dead-letter"
+
+
+def test_sliding_window_stream_equals_batch(spark, sf_smoke, tmp_path):
+    from cdc_publisher_spark.queries.streaming_batch import q_i2_sliding_hour
+
+    stream = stream_table(spark, sf_smoke, "events", str(tmp_path))
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.unix_micros("w.start").alias("win_start_us"), "n")
+    )
+    q = agg.writeStream.format("memory").queryName("sliding_t").outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    got = {r["win_start_us"]: r["n"] for r in spark.sql("SELECT * FROM sliding_t").collect()}
+    expected = {
+        r["win_start_us"]: r["n"] for r in q_i2_sliding_hour(spark, sf_smoke).collect()
+    }
+    assert got == expected
+
+
+def test_metrics_listener_collects_wire_counters(spark, workdir):
+    """M1: observe() counters + listener surface dequeue/enqueue/
+    malformed counts and rows/s in the reference's metric shape."""
+    import time
+
+    from cdc_publisher_spark.sources.files import read_dml_stream
+    from cdc_publisher_spark.streaming.metrics import CdcMetricsListener, with_wire_metrics
+
+    src, out, ckpt = workdir
+    (src / "a.jsonl").write_text("\n".join([_dml(i) for i in range(8)] + ["junk{"]))
+    listener = CdcMetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        good, dead = split_wire(read_dml_stream(spark, str(src)))
+        wire = with_wire_metrics(good.unionByName(dead))
+        q = (
+            wire.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .queryName("metrics_t")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        # progress events are delivered async; poll briefly
+        for _ in range(50):
+            if listener.totals.get("metrics_t"):
+                break
+            time.sleep(0.1)
+        totals = listener.totals.get("metrics_t", {})
+        assert totals.get("dequeue_count") == 9
+        assert totals.get("enqueue_count") == 8
+        assert totals.get("malformed_count") == 1
+        latest = listener.latest["metrics_t"]
+        assert latest["batch_duration_ms"] is not None
+    finally:
+        spark.streams.removeListener(listener)
