@@ -1,0 +1,105 @@
+"""CDC apply — materialize a change stream into a table snapshot.
+
+The reference publishes DML envelopes; the consuming side of that
+contract turns them back into tables. This operator is that consumer:
+MERGE-style apply without a lakehouse format (SURVEY.md pyspark guide:
+"CDC / SCD2 -> emulate with anti-join + union + window").
+
+Semantics per batch of envelopes (type ∈ insert|update|delete, keyed
+by the T3 id):
+
+1. reduce the batch to the LATEST change per key (seq order) — A1
+   again, as a plain max_by;
+2. snapshot rows whose key appears in the batch are dropped
+   (left_anti);
+3. surviving latest inserts/updates are unioned in (upsert);
+   deletes contribute nothing.
+
+Batch form is a pure DataFrame transform; the streaming form applies
+each micro-batch in ``foreachBatch`` against a parquet snapshot
+directory with an atomic swap (write new snapshot -> rename), giving
+idempotent at-least-once application: replaying a batch converges to
+the same snapshot.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_publisher_spark.cdc.latest_state import latest_per_key
+
+
+def apply_changes(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    type_col: str = "op",
+) -> DataFrame:
+    """One apply step: (snapshot ⟵ changes) -> new snapshot.
+
+    ``changes`` columns = key_cols + [seq_col, type_col] + payload
+    (payload columns must match the snapshot's non-key columns).
+    """
+    latest = latest_per_key(changes, key_cols, seq_col)
+    payload_cols = [c for c in snapshot.columns if c not in key_cols]
+    survivors = snapshot.join(latest.select(*key_cols), key_cols, "left_anti")
+    upserts = latest.filter(F.col(type_col).isin("insert", "update")).select(
+        *key_cols, *payload_cols
+    )
+    return survivors.unionByName(upserts)
+
+
+class ParquetSnapshotApplier:
+    """foreachBatch body maintaining a parquet snapshot under ``base``.
+
+    Layout: ``base/current`` (live snapshot) and ``base/staging``
+    (batch output), swapped atomically per batch. Replay-safe: applying
+    the same batch twice yields the same snapshot (apply is
+    idempotent on its input set), which is exactly the guarantee
+    at-least-once micro-batches need.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base: str,
+        key_cols: list[str],
+        seq_col: str,
+        schema_ddl: str,
+        type_col: str = "op",
+    ) -> None:
+        self.spark = spark
+        self.base = base
+        self.key_cols = key_cols
+        self.seq_col = seq_col
+        self.type_col = type_col
+        self.schema_ddl = schema_ddl
+        os.makedirs(base, exist_ok=True)
+
+    @property
+    def current_path(self) -> str:
+        return os.path.join(self.base, "current")
+
+    def read_snapshot(self) -> DataFrame:
+        if os.path.isdir(self.current_path):
+            return self.spark.read.parquet(self.current_path)
+        return self.spark.createDataFrame([], self.schema_ddl)
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        new_snapshot = apply_changes(
+            self.read_snapshot(), batch_df, self.key_cols, self.seq_col, self.type_col
+        )
+        staging = os.path.join(self.base, f"staging-{epoch_id}")
+        new_snapshot.write.mode("overwrite").parquet(staging)
+        old = os.path.join(self.base, f"old-{epoch_id}")
+        if os.path.isdir(self.current_path):
+            os.rename(self.current_path, old)
+        os.rename(staging, self.current_path)
+        shutil.rmtree(old, ignore_errors=True)

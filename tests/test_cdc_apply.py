@@ -1,0 +1,93 @@
+"""CDC apply operator: batch semantics (insert/update/delete, latest-
+wins within a batch), streaming snapshot maintenance, replay idempotence."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from cdc_publisher_spark.operators.cdc_apply import ParquetSnapshotApplier, apply_changes
+
+SNAP_DDL = "pk long, name string, qty long"
+CHG_DDL = "pk long, seq long, op string, name string, qty long"
+
+
+def test_apply_changes_semantics(spark):
+    snap = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], SNAP_DDL
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, 100, "update", "b2", 21),
+            (2, 101, "update", "b3", 22),   # latest wins within batch
+            (3, 102, "delete", None, None),
+            (4, 103, "insert", "d", 40),
+            (5, 104, "insert", "e", 50),
+            (5, 105, "delete", None, None),  # insert then delete -> gone
+        ],
+        CHG_DDL,
+    )
+    out = {r["pk"]: (r["name"], r["qty"]) for r in apply_changes(snap, changes, ["pk"], "seq").collect()}
+    assert out == {1: ("a", 10), 2: ("b3", 22), 4: ("d", 40)}
+
+
+def test_apply_changes_idempotent(spark):
+    snap = spark.createDataFrame([(1, "a", 10)], SNAP_DDL)
+    changes = spark.createDataFrame([(1, 5, "update", "a2", 11), (2, 6, "insert", "b", 20)], CHG_DDL)
+    once = apply_changes(snap, changes, ["pk"], "seq")
+    twice = apply_changes(once, changes, ["pk"], "seq")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_streaming_snapshot_maintenance(spark, tmp_path):
+    src = tmp_path / "chg"
+    src.mkdir()
+
+    def batch_file(name, rows):
+        (src / name).write_text("\n".join(json.dumps(r) for r in rows))
+
+    batch_file(
+        "b1.jsonl",
+        [
+            {"pk": 1, "seq": 1, "op": "insert", "name": "a", "qty": 1},
+            {"pk": 2, "seq": 2, "op": "insert", "name": "b", "qty": 2},
+        ],
+    )
+    applier = ParquetSnapshotApplier(
+        spark, str(tmp_path / "snap"), ["pk"], "seq", SNAP_DDL
+    )
+    stream = spark.readStream.schema(CHG_DDL).json(str(src))
+    q = (
+        stream.writeStream.foreachBatch(applier)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    snap1 = {r["pk"]: r["qty"] for r in applier.read_snapshot().collect()}
+    assert snap1 == {1: 1, 2: 2}
+
+    batch_file(
+        "b2.jsonl",
+        [
+            {"pk": 1, "seq": 3, "op": "delete", "name": None, "qty": None},
+            {"pk": 2, "seq": 4, "op": "update", "name": "b2", "qty": 22},
+            {"pk": 3, "seq": 5, "op": "insert", "name": "c", "qty": 3},
+        ],
+    )
+    q.processAllAvailable()
+    q.stop()
+    snap2 = {r["pk"]: (r["name"], r["qty"]) for r in applier.read_snapshot().collect()}
+    assert snap2 == {2: ("b2", 22), 3: ("c", 3)}
+
+    # restart same checkpoint: no reapplication, snapshot unchanged
+    q2 = (
+        spark.readStream.schema(CHG_DDL).json(str(src))
+        .writeStream.foreachBatch(applier)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    snap3 = {r["pk"]: (r["name"], r["qty"]) for r in applier.read_snapshot().collect()}
+    assert snap3 == snap2

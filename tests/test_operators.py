@@ -216,3 +216,38 @@ def test_dedup_facade(spark, sf_oracle):
 
     n_drops = q_k2_jaccard_neardup(spark, sf_oracle).select("d2").distinct().count()
     assert deduped.count() == docs.count() - n_drops
+
+
+def test_ivf_topk_recall(spark, sf_oracle):
+    from cdc_publisher_spark.operators.ivf import build_ivf, ivf_topk
+
+    e = load(spark, sf_oracle, "embeddings")
+    queries = e.filter(F.col("vec_id") < 20)
+    corpus = e.filter(F.col("vec_id") >= 20)
+    index = build_ivf(corpus, n_lists=16)
+    # every corpus vector landed in exactly one of 16 lists
+    n_lists = index.corpus.select("list_id").distinct().count()
+    assert 1 < n_lists <= 16
+    assert index.corpus.count() == corpus.count()
+
+    exact_sets: dict[int, set[int]] = {}
+    for r in brute_force_topk(corpus, queries, k=10).collect():
+        exact_sets.setdefault(r["query_id"], set()).add(r["cand_id"])
+    approx = ivf_topk(index, queries, k=10, nprobe=6)
+    approx_sets: dict[int, set[int]] = {}
+    cosines_ok = True
+    full = {
+        (r["query_id"], r["cand_id"]): r["cosine"]
+        for r in brute_force_topk(corpus, queries, k=10**6).collect()
+    }
+    for r in approx.collect():
+        approx_sets.setdefault(r["query_id"], set()).add(r["cand_id"])
+        cosines_ok &= full[(r["query_id"], r["cand_id"])] == r["cosine"]
+    assert cosines_ok  # scores are true cosines, never fabricated
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q]) for q in exact_sets
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    # isotropic random vectors = worst case; nprobe 6/16 scans ~3/8 of
+    # the corpus, so recall should comfortably beat that fraction
+    assert mean_recall >= 0.45, f"mean recall {mean_recall:.2f}"
