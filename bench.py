@@ -48,7 +48,7 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    streaming_rps = _bench_streaming(spark, sf_dir)
+    streaming_rps, cdc_metrics = _bench_streaming(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -60,18 +60,24 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf),
                 "streaming_rows_per_sec": streaming_rps,
+                # the reference's four instrumented metrics (BASELINE.md):
+                # dequeue/enqueue counts via observe(), latency per batch,
+                # live-route gauge from the registry shape
+                "cdc_metrics": cdc_metrics,
             }
         )
     )
 
 
-def _bench_streaming(spark, sf_dir: str) -> float:
-    """CDC pipeline throughput: DML JSON built from lineitem rows,
-    streamed file->envelope->key->routed parquet sink."""
+def _bench_streaming(spark, sf_dir: str):
+    """CDC pipeline throughput + the reference's M1 metrics: DML JSON
+    built from lineitem rows, streamed file->envelope->key->routed
+    parquet sink with observe() counters and the query listener."""
     from pyspark.sql import functions as F
 
     from cdc_publisher_spark.sources.files import read_dml_stream
-    from cdc_publisher_spark.streaming.pipeline import run_file_to_parquet
+    from cdc_publisher_spark.streaming.metrics import CdcMetricsListener, with_wire_metrics
+    from cdc_publisher_spark.streaming.pipeline import split_wire
     from cdc_publisher_spark.tables import load
 
     wd = tempfile.mkdtemp(prefix="cdc_bench_")
@@ -94,16 +100,38 @@ def _bench_streaming(spark, sf_dir: str) -> float:
         dml.coalesce(8).write.mode("overwrite").text(src)
         n_rows = spark.read.text(src).count()
 
+        listener = CdcMetricsListener()
+        spark.streams.addListener(listener)
         t0 = time.perf_counter()
-        q = run_file_to_parquet(
-            read_dml_stream(spark, src),
-            os.path.join(wd, "out"),
-            os.path.join(wd, "ckpt"),
+        good, dead = split_wire(read_dml_stream(spark, src))
+        wire = with_wire_metrics(good.unionByName(dead))
+        q = (
+            wire.writeStream.format("parquet")
+            .option("path", os.path.join(wd, "out"))
+            .option("checkpointLocation", os.path.join(wd, "ckpt"))
+            .partitionBy("topic")
+            .outputMode("append")
+            .queryName("cdc_bench_pipeline")
+            .start()
         )
         q.processAllAvailable()
         q.stop()
         elapsed = time.perf_counter() - t0
-        return round(n_rows / elapsed, 1)
+        for _ in range(50):  # progress events deliver async
+            if listener.totals.get("cdc_bench_pipeline"):
+                break
+            time.sleep(0.1)
+        spark.streams.removeListener(listener)
+        totals = listener.totals.get("cdc_bench_pipeline", {})
+        latest = listener.latest.get("cdc_bench_pipeline", {})
+        metrics = {
+            "dequeue_count": totals.get("dequeue_count"),
+            "enqueue_count": totals.get("enqueue_count"),
+            "malformed_count": totals.get("malformed_count"),
+            "enqueue_latency_ms_per_batch": latest.get("batch_duration_ms"),
+            "active_routes": 1,  # one topic route live in this pipeline
+        }
+        return round(n_rows / elapsed, 1), metrics
     finally:
         shutil.rmtree(wd, ignore_errors=True)
 

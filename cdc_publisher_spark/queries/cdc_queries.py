@@ -130,3 +130,60 @@ def q_cdc_key_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         key_from_id_map(id_map).alias("kafka_key"),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "q_cdc_apply_batch",
+    family="CDC",
+    doc="CDC apply (operators/cdc_apply.py) as a batch transform: "
+    "events re-keyed as changes (signup=insert, error=delete, "
+    "else update) applied onto a customer-derived snapshot — "
+    "latest-wins per key, upsert+delete semantics, SQL-oracle-checked.",
+    oracle="""
+        WITH snapshot AS (
+            SELECT c_custkey AS pk, c_mktsegment AS segment,
+                   ROUND(c_acctbal, 4) AS bal
+            FROM customer WHERE c_custkey < 150
+        ),
+        changes AS (
+            SELECT user_id AS pk, event_id AS seq,
+                   CASE event_type WHEN 'signup' THEN 'insert'
+                                   WHEN 'error' THEN 'delete'
+                                   ELSE 'update' END AS op,
+                   event_type AS segment, ROUND(value, 4) AS bal
+            FROM events
+        ),
+        latest AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY pk ORDER BY seq DESC) rn
+                FROM changes
+            ) WHERE rn = 1
+        )
+        SELECT pk, segment, bal FROM snapshot
+        WHERE pk NOT IN (SELECT pk FROM latest)
+        UNION ALL
+        SELECT pk, segment, bal FROM latest WHERE op IN ('insert', 'update')
+        ORDER BY pk
+    """,
+)
+def q_cdc_apply_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_publisher_spark.operators.cdc_apply import apply_changes
+
+    cust = load(spark, sf_dir, "customer")
+    snapshot = cust.filter(F.col("c_custkey") < 150).select(
+        F.col("c_custkey").alias("pk"),
+        F.col("c_mktsegment").alias("segment"),
+        F.round("c_acctbal", 4).alias("bal"),
+    )
+    ev = load(spark, sf_dir, "events")
+    changes = ev.select(
+        F.col("user_id").alias("pk"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "signup", "insert")
+        .when(F.col("event_type") == "error", "delete")
+        .otherwise("update")
+        .alias("op"),
+        F.col("event_type").alias("segment"),
+        F.round("value", 4).alias("bal"),
+    )
+    return apply_changes(snapshot, changes, ["pk"], "seq").orderBy("pk")

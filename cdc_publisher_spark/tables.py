@@ -59,3 +59,17 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view, for the SQL entry points."""
     for name in TABLE_NAMES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_partitioned(
+    df: DataFrame, out_dir: str, partition_cols: list[str], compression: str = "zstd"
+) -> None:
+    """Partitioned parquet writer — the engine's table-materialization
+    path. Hive-style partition directories give partition PRUNING on
+    read (PartitionFilters in the scan): a date/tenant filter at 100 TB
+    skips whole directories instead of reading row groups. zstd mirrors
+    the analytic-table compression choice (the reference uses lz4 on
+    its Kafka producer for the wire path)."""
+    df.write.mode("overwrite").option("compression", compression).partitionBy(
+        *partition_cols
+    ).parquet(out_dir)

@@ -251,3 +251,44 @@ def test_ivf_topk_recall(spark, sf_oracle):
     # isotropic random vectors = worst case; nprobe 6/16 scans ~3/8 of
     # the corpus, so recall should comfortably beat that fraction
     assert mean_recall >= 0.45, f"mean recall {mean_recall:.2f}"
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Property-style check: the union+carry-forward as-of join equals
+    pandas merge_asof on random keyed time series (strict and
+    inclusive variants)."""
+    import random
+
+    import pandas as pd
+
+    from cdc_publisher_spark.operators.asof import asof_join
+
+    rng = random.Random(7)
+    left_rows = [(rng.randrange(5), rng.randrange(1000), i) for i in range(200)]
+    right_rows = [(rng.randrange(5), rng.randrange(1000), 1000 + i) for i in range(150)]
+    left = spark.createDataFrame(left_rows, "k int, ts long, lid int")
+    right = spark.createDataFrame(right_rows, "k int, ts long, rid int")
+
+    for strict in (True, False):
+        got = {
+            r["lid"]: r["rid_r"]
+            for r in asof_join(
+                left, right, on="k", left_ts="ts", right_ts="ts",
+                right_cols=["rid"], strict=strict, right_tiebreak="rid",
+            ).collect()
+        }
+        lp = pd.DataFrame(left_rows, columns=["k", "ts", "lid"]).sort_values("ts", kind="stable")
+        # match the operator's tiebreak: among equal (k, ts) right rows
+        # the LARGEST rid wins (ascending carry, last wins)
+        rp = (
+            pd.DataFrame(right_rows, columns=["k", "ts", "rid"])
+            .sort_values(["ts", "rid"], kind="stable")
+        )
+        merged = pd.merge_asof(
+            lp, rp, on="ts", by="k", allow_exact_matches=not strict, direction="backward"
+        )
+        expected = {
+            int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+            for r in merged.itertuples()
+        }
+        assert got == expected, f"strict={strict}"

@@ -71,3 +71,20 @@ def test_events_scan_prunes_for_projection(spark, sf_oracle):
     df = _df(spark, sf_oracle, "q_cdc_resume_token")
     rs = scan_read_schema(df)
     assert "props" not in rs and "event_type" not in rs  # only event_id needed
+
+
+def test_partitioned_write_prunes_on_read(spark, sf_oracle, tmp_path):
+    """write_partitioned -> a filter on the partition column becomes a
+    PartitionFilter (directory skip), not a data filter."""
+    from pyspark.sql import functions as F
+
+    from cdc_publisher_spark.tables import load, write_partitioned
+
+    out = str(tmp_path / "orders_by_status")
+    o = load(spark, sf_oracle, "orders")
+    write_partitioned(o, out, ["o_orderstatus"])
+    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    plan = plan_string(back)
+    assert "PartitionFilters: [" in plan and "o_orderstatus" in plan.split("PartitionFilters")[1].split("]")[0]
+    expected = o.filter(F.col("o_orderstatus") == "F").count()
+    assert back.count() == expected

@@ -402,3 +402,53 @@ def test_metrics_listener_collects_wire_counters(spark, workdir):
         assert latest["batch_duration_ms"] is not None
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_snapshot_union_tail_equivalence(spark, tmp_path):
+    """U1: a bounded snapshot reduced to latest-per-key, then a live
+    tail from the resume offset, must equal one stream-from-earliest
+    latest-state — the rewrite SURVEY §1.4 promises."""
+    from cdc_publisher_spark.cdc.latest_state import latest_per_key, max_offset
+    from cdc_publisher_spark.sources import dmlspool
+    from cdc_publisher_spark.streaming.latest_state_stream import stream_latest_per_key
+
+    spool = tmp_path / "u1"
+    spool.mkdir()
+    rows1 = [{"key": k, "offset": k * 10 + i, "status": f"s{i}"} for k in range(3) for i in range(3)]
+    (spool / "0.jsonl").write_text("\n".join(json.dumps(r) for r in rows1))
+
+    # batch snapshot + resume token (S1/A1/A2)
+    dmlspool.register(spark)
+    snap_raw = spark.read.format("dmlspool").option("path", str(spool)).load()
+    snap = spark.read.json(snap_raw.rdd.map(lambda r: r["raw"]))
+    snapshot_state = {
+        (r["key"], r["offset"], r["status"])
+        for r in latest_per_key(snap.select("key", "offset", "status"), "key", "offset").collect()
+    }
+    token = max_offset(snap, "offset").collect()[0]["resume_offset"]
+    assert token == max(r["offset"] for r in rows1)
+
+    # tail arrives; single stream-from-earliest over snapshot+tail
+    rows2 = [{"key": 1, "offset": 100, "status": "tail"}, {"key": 9, "offset": 101, "status": "new"}]
+    (spool / "1.jsonl").write_text("\n".join(json.dumps(r) for r in rows2))
+    parsed = (
+        spark.readStream.schema("key long, offset long, status string").json(str(spool))
+    )
+    latest = stream_latest_per_key(parsed, ["key"], "offset", ["status"])
+    q = (
+        latest.writeStream.format("memory").queryName("u1_t").outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_u1")).start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    emitted = spark.sql("SELECT * FROM u1_t").collect()
+    final: dict[int, tuple[int, str]] = {}
+    for r in emitted:
+        cur = final.get(r["key"])
+        if cur is None or r["offset"] >= cur[0]:
+            final[r["key"]] = (r["offset"], r["status"])
+    # stream state == snapshot state overlaid with tail updates
+    expected = {k: (o, s) for (k, o, s) in snapshot_state}
+    for r in rows2:
+        expected[r["key"]] = (r["offset"], r["status"])
+    assert final == expected
