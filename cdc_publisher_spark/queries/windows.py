@@ -166,3 +166,36 @@ def q_e6_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("c_custkey").over(w).alias("richest_cust"),
         F.last("c_custkey").over(w).alias("poorest_cust"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "q_e7_range_frame",
+    family="E",
+    doc="RANGE frame with interval bounds: trailing-30-day order count "
+    "and spend per customer (a range frame scans by value, not row "
+    "position — the other physical frame kind).",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               COUNT(*) OVER w AS n_last_30d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS spend_last_30d
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                     RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+        ORDER BY o_orderkey
+    """,
+)
+def q_e7_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_publisher_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               COUNT(*) OVER w AS n_last_30d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS spend_last_30d
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                     RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+        ORDER BY o_orderkey
+        """
+    )
