@@ -146,3 +146,58 @@ def media_size_stats(df: DataFrame) -> DataFrame:
             F.round(F.avg(F.length("payload")), 2).alias("avg_bytes"),
         )
     )
+
+
+RESIZED_FIELDS = "media_id long, media_type string, target_w int, target_h int, payload binary, n_bytes long"
+
+_RESIZER: Callable[[bytes, str, int, int], bytes] | None = None
+
+
+def register_resizer(resizer: Callable[[bytes, str, int, int], bytes]) -> None:
+    """Install a real resize codec: (payload, media_type, w, h) -> bytes."""
+    global _RESIZER
+    _RESIZER = resizer
+
+
+def fake_resizer(payload: bytes, media_type: str, w: int, h: int) -> bytes:
+    """Deterministic stand-in: truncate/extend the payload to a
+    size proportional to the target area. Plumbing-only — replace via
+    register_resizer for real media."""
+    import hashlib
+
+    target = max(16, (w * h) // 8)
+    seed = hashlib.blake2b(payload, digest_size=32).digest()
+    return (seed * (target // 32 + 1))[:target]
+
+
+def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
+    """mapInPandas resize: emits re-encoded payloads at (width, height).
+
+    Same Arrow-batched shape as decode_media; raises
+    NotImplementedError until a codec is registered (the test container
+    has none — SURVEY north-star stub requirement).
+    """
+    resizer = _RESIZER
+    if resizer is None:
+        raise NotImplementedError(
+            "no media resizer registered; call register_resizer() with a "
+            "codec-backed implementation (PIL/ffmpeg not installed here)"
+        )
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            out = [resizer(p, t, width, height) for p, t in zip(pdf["payload"], pdf["media_type"])]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "target_w": width,
+                    "target_h": height,
+                    "payload": out,
+                    "n_bytes": [len(b) for b in out],
+                }
+            )
+
+    return df.mapInPandas(batches, schema=RESIZED_FIELDS)

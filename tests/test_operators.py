@@ -292,3 +292,20 @@ def test_asof_join_matches_pandas_merge_asof(spark):
             for r in merged.itertuples()
         }
         assert got == expected, f"strict={strict}"
+
+
+def test_multimodal_resize_stub(spark):
+    df = _media_df(spark, n=6)
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_media(df, 32, 32)
+    multimodal.register_resizer(multimodal.fake_resizer)
+    try:
+        out = multimodal.resize_media(df, 32, 32).collect()
+        assert len(out) == 6
+        for r in out:
+            assert r["target_w"] == 32 and r["n_bytes"] == len(r["payload"]) == 128
+        # deterministic: same payload -> same resized bytes
+        out2 = multimodal.resize_media(df, 32, 32).collect()
+        assert sorted(r["payload"] for r in out) == sorted(r["payload"] for r in out2)
+    finally:
+        multimodal._RESIZER = None
