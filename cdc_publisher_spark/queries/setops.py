@@ -109,3 +109,39 @@ def q_g4_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtract == SQL EXCEPT (set semantics); exceptAll would keep
     # surviving multiplicities, which EXCEPT does not.
     return a.subtract(b).orderBy("key")
+
+
+@register(
+    "q_g5_intersect_all",
+    family="G",
+    doc="INTERSECT ALL (multiset intersection — multiplicities kept).",
+    oracle="""
+        SELECT o_custkey AS key FROM orders WHERE o_totalprice > 200000
+        INTERSECT ALL
+        SELECT o_custkey AS key FROM orders WHERE o_orderpriority = '1-URGENT'
+        ORDER BY key
+    """,
+)
+def q_g5_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 200000).select(F.col("o_custkey").alias("key"))
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select(F.col("o_custkey").alias("key"))
+    return a.intersectAll(b).orderBy("key")
+
+
+@register(
+    "q_g6_except_all",
+    family="G",
+    doc="EXCEPT ALL (multiset difference — surviving multiplicities).",
+    oracle="""
+        SELECT o_custkey AS key FROM orders WHERE o_totalprice > 200000
+        EXCEPT ALL
+        SELECT o_custkey AS key FROM orders WHERE o_orderpriority = '1-URGENT'
+        ORDER BY key
+    """,
+)
+def q_g6_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 200000).select(F.col("o_custkey").alias("key"))
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select(F.col("o_custkey").alias("key"))
+    return a.exceptAll(b).orderBy("key")

@@ -104,3 +104,53 @@ def q_d8_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("O").alias("st_o"),
         F.col("P").alias("st_p"),
     ).orderBy("o_orderpriority")
+
+
+@register(
+    "q_c9_large_volume_customers",
+    family="C",
+    doc="TPC-H Q18 shape: IN over an aggregated subquery (orders whose "
+    "total lineitem quantity exceeds a threshold) joined back to "
+    "customer — Catalyst plans the IN as a left-semi join on the "
+    "aggregate.",
+    oracle="""
+        SELECT c_custkey, o_orderkey,
+               CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+               ROUND(o_totalprice, 2) AS total_price,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+        )
+        GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_orderkey
+    """,
+)
+def q_c9_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    big_orders = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big_orders, "l_orderkey", "left_semi")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum(F.col("l_quantity"), "decimal(18,4)").alias("total_qty"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("order_date"),
+            F.round("o_totalprice", 2).alias("total_price"),
+            "total_qty",
+        )
+        .orderBy("o_orderkey")
+    )
