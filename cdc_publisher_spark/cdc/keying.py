@@ -109,8 +109,43 @@ def _make_map_udf():
     return F.udf(_key, returnType=StringType())
 
 
+def _make_raw_pandas_udf():
+    """Vectorized (Arrow-batched) variant of the raw-JSON key UDF —
+    identical bytes, ~one Python call per batch instead of per row.
+    Used by the hot publish path (streaming/pipeline.py)."""
+    import json as _json
+
+    import pandas as _pd
+
+    def _key_one(raw):
+        if raw is None:
+            return None
+        try:
+            id_map = _json.loads(raw)["id"]
+            if not isinstance(id_map, dict) or not id_map:
+                return None
+        except (ValueError, TypeError, KeyError):
+            return None
+        flat = []
+        for k in sorted(id_map):
+            flat.append(k)
+            flat.append(id_map[k])
+        return _json.dumps(flat, separators=(",", ":"), ensure_ascii=False)
+
+    def _batch(s: _pd.Series) -> _pd.Series:
+        return s.map(_key_one, na_action=None)
+
+    return F.pandas_udf(_batch, returnType=StringType())
+
+
 _key_from_raw_udf = _make_raw_udf()
 _key_from_map_udf = _make_map_udf()
+_key_from_raw_pandas_udf = _make_raw_pandas_udf()
+
+
+def key_from_raw_json_vectorized(raw: Column) -> Column:
+    """Column: T3 key via the Arrow-batched pandas UDF (hot path)."""
+    return _key_from_raw_pandas_udf(raw)
 
 
 def key_from_raw_json(raw: Column) -> Column:

@@ -108,7 +108,7 @@ def ann_topk(
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= k)
         .select("query_id", "cand_id", F.round("cos", 4).alias("cosine"), "rk")
     )
@@ -146,7 +146,7 @@ def brute_force_topk(
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= k)
         .select("query_id", "cand_id", F.round("cos", 4).alias("cosine"), "rk")
     )

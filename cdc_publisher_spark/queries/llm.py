@@ -226,7 +226,7 @@ def q_k6_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= 10)
         .select("query_id", "cand_id", F.round("cos", 4).alias("cosine"), "rk")
         .orderBy("query_id", "rk")
@@ -276,7 +276,7 @@ def q_k7_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("nn_id"))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") == 1)
         .select("vec_id", "nn_id", F.round("cos", 4).alias("cosine"))
         .orderBy("vec_id")

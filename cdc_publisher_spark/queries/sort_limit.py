@@ -57,7 +57,7 @@ def q_f2_top3_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFram
     c = load(spark, sf_dir, "customer")
     w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
     return (
-        c.select("c_nationkey", "c_custkey", "c_acctbal", F.row_number().over(w).alias("pos"))
+        c.select("c_nationkey", "c_custkey", "c_acctbal", F.row_number().over(w).cast("bigint").alias("pos"))
         .filter(F.col("pos") <= 3)
         .orderBy("c_nationkey", "pos")
     )

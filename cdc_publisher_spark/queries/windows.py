@@ -36,9 +36,9 @@ def q_e1_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey",
         "c_nationkey",
-        F.row_number().over(unique).alias("rn"),
-        F.rank().over(by_bal).alias("rnk"),
-        F.dense_rank().over(by_bal).alias("drnk"),
+        F.row_number().over(unique).cast("bigint").alias("rn"),
+        F.rank().over(by_bal).cast("bigint").alias("rnk"),
+        F.dense_rank().over(by_bal).cast("bigint").alias("drnk"),
     ).orderBy("c_custkey")
 
 
@@ -94,7 +94,7 @@ def q_e3_running_order_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_custkey",
         F.round(F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)), 2).alias("running_total"),
-        F.row_number().over(w).alias("order_seq"),
+        F.row_number().over(w).cast("bigint").alias("order_seq"),
     ).orderBy("o_orderkey")
 
 
@@ -135,7 +135,7 @@ def q_e4_sliding_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_e5_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     w = W.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
-    return c.select("c_custkey", F.ntile(4).over(w).alias("quartile")).orderBy("c_custkey")
+    return c.select("c_custkey", F.ntile(4).over(w).cast("bigint").alias("quartile")).orderBy("c_custkey")
 
 
 @register(

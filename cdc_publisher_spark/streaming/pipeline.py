@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from cdc_publisher_spark.cdc.envelope import with_envelope
-from cdc_publisher_spark.cdc.keying import key_from_raw_json
+from cdc_publisher_spark.cdc.keying import key_from_raw_json_vectorized
 from cdc_publisher_spark.sources.wire import validate_wire
 
 
@@ -42,7 +42,7 @@ def to_wire(raw_df: DataFrame, raw_col: str = "raw", topic: Column | None = None
     good = enveloped.filter(~F.col("is_malformed"))
     topic_col = topic if topic is not None else default_topic(F.col("envelope.table"))
     wired = good.select(
-        key_from_raw_json(F.col(raw_col)).alias("key"),
+        key_from_raw_json_vectorized(F.col(raw_col)).alias("key"),
         F.col(raw_col).alias("value"),
         topic_col.alias("topic"),
     )

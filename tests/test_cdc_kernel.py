@@ -209,3 +209,32 @@ def test_latest_per_key_matches_python_reference(spark):
         if k not in expected or (off, v) > expected[k]:
             expected[k] = (off, v)
     assert got == expected
+
+
+def test_vectorized_udf_matches_scalar_udf(spark):
+    """The Arrow-batched key UDF must emit byte-identical keys to the
+    scalar UDF and the pure twin, including malformed/None rows."""
+    from pyspark.sql import functions as F
+
+    from cdc_publisher_spark.cdc.keying import (
+        key_from_raw_json,
+        key_from_raw_json_vectorized,
+    )
+
+    samples = [
+        '{"id":{"b":2,"a":"x"},"type":"insert","table":"t","data":{"c":1},"info":{}}',
+        '{"id":{"k":true},"type":"delete","table":"t2","data":{"z":"s"},"info":{}}',
+        '{"id":{"é":-5,"A":"ü"},"type":"update","table":"t3","data":{"y":0.5},"info":{}}',
+        "{malformed",
+        '{"id":{}}',
+        None,
+    ]
+    df = spark.createDataFrame([(r,) for r in samples], "raw string")
+    rows = df.select(
+        key_from_raw_json(F.col("raw")).alias("scalar"),
+        key_from_raw_json_vectorized(F.col("raw")).alias("vec"),
+    ).collect()
+    for r in rows:
+        assert r["scalar"] == r["vec"]
+    assert [r["vec"] for r in rows[:3]] == [derive_key_from_json(s) for s in samples[:3]]
+    assert all(r["vec"] is None for r in rows[3:])

@@ -88,3 +88,35 @@ def test_partitioned_write_prunes_on_read(spark, sf_oracle, tmp_path):
     assert "PartitionFilters: [" in plan and "o_orderstatus" in plan.split("PartitionFilters")[1].split("]")[0]
     expected = o.filter(F.col("o_orderstatus") == "F").count()
     assert back.count() == expected
+
+
+def test_asof_join_compiles_to_zero_join_nodes(spark, sf_oracle):
+    """The as-of operator's whole point: union + window, not a range
+    join — the physical plan must contain NO join operator at all
+    (a naive range join materializes every in-range pair and dies on
+    hot keys at scale)."""
+    plan = plan_string(_df(spark, sf_oracle, "q_c7_asof_prior_click"), "simple")
+    assert "Join" not in plan, plan
+    assert "Window" in plan
+
+
+def test_no_cartesian_products(spark, sf_oracle):
+    """Near-dup and range self-joins must ride equi keys (shingle hash /
+    user_id), never a cartesian / unconditioned nested-loop product."""
+    for name in (
+        "q_k2_jaccard_neardup",
+        "q_k3_minhash_neardup",
+        "q_c5_event_pairs_within_hour",
+        "q_c1_revenue_by_customer",
+        "q_c9_large_volume_customers",
+    ):
+        plan = plan_string(_df(spark, sf_oracle, name), "simple")
+        assert "CartesianProduct" not in plan, name
+        # BroadcastNestedLoop is only acceptable when one side is a
+        # bounded literal/query block (q_c6/q_k6), not for these
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_semi_join_for_aggregated_in(spark, sf_oracle):
+    plan = plan_string(_df(spark, sf_oracle, "q_c9_large_volume_customers"), "simple")
+    assert "LeftSemi" in plan
