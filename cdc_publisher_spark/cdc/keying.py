@@ -132,8 +132,9 @@ def _make_raw_pandas_udf():
             flat.append(id_map[k])
         return _json.dumps(flat, separators=(",", ":"), ensure_ascii=False)
 
-    def _batch(s: _pd.Series) -> _pd.Series:
-        return s.map(_key_one, na_action=None)
+    def _batch(s):  # no annotations: PEP-563 strings break inference;
+        # un-annotated pandas_udf defaults to the SCALAR eval type
+        return _pd.Series([_key_one(v) for v in s])
 
     return F.pandas_udf(_batch, returnType=StringType())
 

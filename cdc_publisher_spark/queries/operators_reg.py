@@ -131,3 +131,23 @@ def q_k14_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "UTF-8").alias("payload"),
     )
     return media_size_stats(media).orderBy("media_type")
+
+
+@register(
+    "q_k15_dataset_split",
+    family="K",
+    oracle=None,  # keyed on Spark's xxhash64 (no DuckDB twin);
+    # determinism/disjointness/proportions pytest'd
+    doc="Deterministic train/val/test split (operators/splits.py): "
+    "content-hash bucketing, stable across cluster sizes and reruns.",
+)
+def q_k15_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_publisher_spark.operators.splits import assign_split
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        assign_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("split")
+    )

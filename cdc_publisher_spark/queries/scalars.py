@@ -354,3 +354,88 @@ def q_h11_array_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.array_distinct("ws")).getItem(0).alias("first_word"),
         F.size(F.array_distinct("ws")).alias("n_distinct"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q_h12_string_extras",
+    family="H",
+    doc="initcap/reverse/repeat/left/right/strpos over part.",
+    oracle="""
+        SELECT p_partkey,
+               CAST(strpos(p_name, ' ') AS INT)  AS space_at,
+               reverse(p_brand)                  AS brand_rev,
+               repeat(p_type, 2)                 AS type_x2,
+               left(p_name, 4)                   AS name_l4,
+               right(p_name, 4)                  AS name_r4,
+               upper(p_name[1]) || substr(p_name, 2) AS name_cap
+        FROM part
+        ORDER BY p_partkey
+    """,
+)
+def q_h12_string_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.instr("p_name", " ").alias("space_at"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.repeat("p_type", 2).alias("type_x2"),
+        F.substring("p_name", 1, 4).alias("name_l4"),
+        F.substring(F.col("p_name"), -4, 4).alias("name_r4"),
+        F.concat(
+            F.upper(F.substring("p_name", 1, 1)), F.expr("substring(p_name, 2)")
+        ).alias("name_cap"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "q_h13_hash_funcs",
+    family="H",
+    doc="Cryptographic digests (md5 / sha256) — content-addressing "
+    "primitives for dedup keys.",
+    oracle="""
+        SELECT doc_id,
+               md5(text)    AS h_md5,
+               sha256(text) AS h_sha256
+        FROM documents
+        ORDER BY doc_id
+    """,
+)
+def q_h13_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("h_md5"),
+        F.sha2("text", 256).alias("h_sha256"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_h14_bitwise",
+    family="H",
+    doc="Bitwise ops (&, |, xor, shifts, bit_count) over keys.",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               l_orderkey & 255                        AS low_byte,
+               l_orderkey | 1                          AS odd_key,
+               xor(l_orderkey, CAST(l_linenumber AS BIGINT)) AS x,
+               l_orderkey << 2                         AS shl2,
+               l_orderkey >> 3                         AS shr3,
+               CAST(bit_count(l_orderkey) AS INT)      AS pop
+        FROM lineitem
+        WHERE l_orderkey < 500
+        ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q_h14_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    key = F.col("l_orderkey")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        key.bitwiseAND(F.lit(255)).alias("low_byte"),
+        key.bitwiseOR(F.lit(1)).alias("odd_key"),
+        key.bitwiseXOR(F.col("l_linenumber").cast("bigint")).alias("x"),
+        F.shiftleft(key, 2).alias("shl2"),
+        F.shiftright(key, 3).alias("shr3"),
+        F.bit_count(key).alias("pop"),
+    ).orderBy("l_orderkey", "l_linenumber")

@@ -309,3 +309,38 @@ def test_multimodal_resize_stub(spark):
         assert sorted(r["payload"] for r in out) == sorted(r["payload"] for r in out2)
     finally:
         multimodal._RESIZER = None
+
+
+def test_deterministic_splits(spark, sf_oracle):
+    from cdc_publisher_spark.operators.splits import assign_split, deterministic_shuffle
+
+    docs = load(spark, sf_oracle, "documents")
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["doc_id"]: r["split"] for r in assign_split(docs, "doc_id", weights).collect()}
+    # deterministic across invocations and partitioning
+    b = {
+        r["doc_id"]: r["split"]
+        for r in assign_split(docs.repartition(13), "doc_id", weights).collect()
+    }
+    assert a == b
+    # exhaustive + roughly proportioned
+    from collections import Counter
+
+    counts = Counter(a.values())
+    n = sum(counts.values())
+    assert n == docs.count()
+    assert 0.7 < counts["train"] / n < 0.9
+    assert counts["val"] > 0 and counts["test"] > 0
+    # different salt -> different assignment (globally re-rolled)
+    c = {
+        r["doc_id"]: r["split"]
+        for r in assign_split(docs, "doc_id", weights, salt="split-v2").collect()
+    }
+    assert c != a
+
+    order1 = [r["doc_id"] for r in deterministic_shuffle(docs, "doc_id").select("doc_id").collect()]
+    order2 = [
+        r["doc_id"]
+        for r in deterministic_shuffle(docs.repartition(7), "doc_id").select("doc_id").collect()
+    ]
+    assert order1 == order2 and order1 != sorted(order1)
