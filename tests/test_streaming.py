@@ -452,3 +452,15 @@ def test_snapshot_union_tail_equivalence(spark, tmp_path):
     for r in rows2:
         expected[r["key"]] = (r["offset"], r["status"])
     assert final == expected
+
+
+def test_kafka_source_guard_raises_clear_error(spark):
+    """No broker/jar in this container: the Kafka entry points must
+    fail with an actionable error, not an opaque ClassNotFound."""
+    import pytest as _pytest
+
+    from cdc_publisher_spark.sources.kafka import KafkaUnavailable, read_control_snapshot
+
+    with _pytest.raises(KafkaUnavailable) as exc:
+        read_control_snapshot(spark, "localhost:9092")
+    assert "spark-sql-kafka" in str(exc.value)
