@@ -439,3 +439,32 @@ def q_h14_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(key, 3).alias("shr3"),
         F.bit_count(key).alias("pop"),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "q_h15_try_and_nullsafe",
+    family="H",
+    doc="ANSI-safe variants: try_cast / try_divide (NULL instead of "
+    "throwing under ANSI mode) and null-safe equality (<=> / IS NOT "
+    "DISTINCT FROM).",
+    oracle="""
+        SELECT doc_id,
+               TRY_CAST(lang AS INTEGER)                       AS lang_as_int,
+               TRY_CAST(CAST(n_chars AS VARCHAR) AS BIGINT)    AS chars_roundtrip,
+               n_chars / NULLIF(CAST(doc_id % 3 AS BIGINT), 0) AS risky_div,
+               (NULLIF(lang, 'en') IS NOT DISTINCT FROM NULLIF(source, 'src0')) AS ns_eq
+        FROM documents
+        ORDER BY doc_id
+    """,
+)
+def q_h15_try_and_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").try_cast("int").alias("lang_as_int"),
+        F.col("n_chars").cast("string").try_cast("bigint").alias("chars_roundtrip"),
+        F.try_divide(F.col("n_chars"), (F.col("doc_id") % 3).cast("bigint")).alias("risky_div"),
+        F.nullif(F.col("lang"), F.lit("en"))
+        .eqNullSafe(F.nullif(F.col("source"), F.lit("src0")))
+        .alias("ns_eq"),
+    ).orderBy("doc_id")
