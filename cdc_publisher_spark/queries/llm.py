@@ -361,3 +361,78 @@ def q_k10_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.n_tokens_regex(text).cast("int").alias("n_bpe_tokens"),
         F.regexp_count(text, F.lit(r"[A-Za-z]+")).cast("int").alias("n_alpha_tokens"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q_k16_quality_score",
+    family="K",
+    doc="K-4 composite document quality score (north star: length / "
+    "punctuation / stopword ratios): per-doc ratios + corpus-relative "
+    "length z-score folded into one filterable score.",
+    oracle="""
+        WITH stats AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_words,
+                   len(list_filter(string_split(text, ' '),
+                       w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop,
+                   len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+                   length(text) AS n_c
+            FROM documents
+        ), scored AS (
+            SELECT doc_id,
+                   ROUND(n_stop * 1.0 / n_words, 4) AS stopword_ratio,
+                   ROUND(n_punct * 1.0 / n_c, 4) AS punct_ratio,
+                   ROUND((n_c - SUM(n_c) OVER () * 1.0 / COUNT(*) OVER ())
+                         / NULLIF(sqrt(SUM(n_c * n_c) OVER () * 1.0 / COUNT(*) OVER ()
+                                       - (SUM(n_c) OVER () * 1.0 / COUNT(*) OVER ())
+                                         * (SUM(n_c) OVER () * 1.0 / COUNT(*) OVER ())), 0), 4) AS len_z
+            FROM stats
+        )
+        SELECT doc_id, stopword_ratio, punct_ratio, len_z,
+               ROUND(0.5 * stopword_ratio - 0.3 * punct_ratio - 0.2 * abs(len_z), 4) AS quality
+        FROM scored
+        ORDER BY doc_id
+    """,
+)
+def q_k16_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), r"\s+")
+    stats = docs.select(
+        "doc_id",
+        F.size(ws).alias("n_words"),
+        F.size(
+            F.filter(ws, lambda w: w.isin("the", "a", "of", "and", "to"))
+        ).alias("n_stop"),
+        F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9\s]")).alias("n_punct"),
+        F.length("text").alias("n_c"),
+    )
+    w_all = W.partitionBy()
+    scored = stats.select(
+        "doc_id",
+        F.round(F.col("n_stop") * 1.0 / F.col("n_words"), 4).alias("stopword_ratio"),
+        F.round(F.col("n_punct") * 1.0 / F.col("n_c"), 4).alias("punct_ratio"),
+        # moments from exact integer sums: mean/var become identical
+        # double arithmetic on both engines (window AVG/STDDEV_POP
+        # accumulate floats in engine-specific order)
+        F.round(
+            (F.col("n_c") - F.sum("n_c").over(w_all) * 1.0 / F.count("*").over(w_all))
+            / F.nullif(
+                F.sqrt(
+                    F.sum(F.col("n_c") * F.col("n_c")).over(w_all) * 1.0 / F.count("*").over(w_all)
+                    - (F.sum("n_c").over(w_all) * 1.0 / F.count("*").over(w_all))
+                    * (F.sum("n_c").over(w_all) * 1.0 / F.count("*").over(w_all))
+                ),
+                F.lit(0.0),
+            ),
+            4,
+        ).alias("len_z"),
+    )
+    return scored.select(
+        "doc_id",
+        "stopword_ratio",
+        "punct_ratio",
+        "len_z",
+        F.round(
+            0.5 * F.col("stopword_ratio") - 0.3 * F.col("punct_ratio") - 0.2 * F.abs("len_z"), 4
+        ).alias("quality"),
+    ).orderBy("doc_id")

@@ -16,16 +16,8 @@ from cdc_publisher_spark.operators.ann import ann_topk
 from cdc_publisher_spark.operators.fingerprint import rolling_fingerprint
 from cdc_publisher_spark.operators.minhash import minhash_near_duplicates
 from cdc_publisher_spark.operators.simhash import simhash_near_duplicates
-from cdc_publisher_spark.queries.llm import q_k2_jaccard_neardup
-from cdc_publisher_spark.registry import all_specs, register
+from cdc_publisher_spark.registry import register
 from cdc_publisher_spark.tables import load
-
-# Same oracle as the exhaustive exact join: LSH+verify is exact.
-_K2_ORACLE = None
-
-
-def _k2_oracle() -> str:
-    return all_specs()["q_k2_jaccard_neardup"].oracle
 
 
 @register(
