@@ -380,16 +380,19 @@ def q_k10_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents
         ), scored AS (
             SELECT doc_id,
-                   ROUND(n_stop * 1.0 / n_words, 4) AS stopword_ratio,
-                   ROUND(n_punct * 1.0 / n_c, 4) AS punct_ratio,
-                   ROUND((n_c - SUM(n_c) OVER () * 1.0 / COUNT(*) OVER ())
-                         / NULLIF(sqrt(SUM(n_c * n_c) OVER () * 1.0 / COUNT(*) OVER ()
-                                       - (SUM(n_c) OVER () * 1.0 / COUNT(*) OVER ())
-                                         * (SUM(n_c) OVER () * 1.0 / COUNT(*) OVER ())), 0), 4) AS len_z
+                   n_stop * 1.0 / n_words AS sr,
+                   n_punct * 1.0 / n_c AS pr,
+                   (n_c - SUM(n_c) OVER () * 1.0 / COUNT(*) OVER ())
+                     / NULLIF(sqrt(SUM(n_c * n_c) OVER () * 1.0 / COUNT(*) OVER ()
+                                   - (SUM(n_c) OVER () * 1.0 / COUNT(*) OVER ())
+                                     * (SUM(n_c) OVER () * 1.0 / COUNT(*) OVER ())), 0) AS lz
             FROM stats
         )
-        SELECT doc_id, stopword_ratio, punct_ratio, len_z,
-               ROUND(0.5 * stopword_ratio - 0.3 * punct_ratio - 0.2 * abs(len_z), 4) AS quality
+        SELECT doc_id,
+               ROUND(sr, 4) AS stopword_ratio,
+               ROUND(pr, 4) AS punct_ratio,
+               ROUND(lz, 4) AS len_z,
+               ROUND(0.5 * sr - 0.3 * pr - 0.2 * abs(lz), 4) AS quality
         FROM scored
         ORDER BY doc_id
     """,
@@ -407,32 +410,23 @@ def q_k16_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("n_c"),
     )
     w_all = W.partitionBy()
+    mean = F.sum("n_c").over(w_all) * 1.0 / F.count("*").over(w_all)
+    var = (
+        F.sum(F.col("n_c") * F.col("n_c")).over(w_all) * 1.0 / F.count("*").over(w_all)
+        - mean * mean
+    )
+    # ratios stay UNROUNDED until output: composing rounded values puts
+    # the composite score exactly on rounding boundaries (1e-4 grid)
     scored = stats.select(
         "doc_id",
-        F.round(F.col("n_stop") * 1.0 / F.col("n_words"), 4).alias("stopword_ratio"),
-        F.round(F.col("n_punct") * 1.0 / F.col("n_c"), 4).alias("punct_ratio"),
-        # moments from exact integer sums: mean/var become identical
-        # double arithmetic on both engines (window AVG/STDDEV_POP
-        # accumulate floats in engine-specific order)
-        F.round(
-            (F.col("n_c") - F.sum("n_c").over(w_all) * 1.0 / F.count("*").over(w_all))
-            / F.nullif(
-                F.sqrt(
-                    F.sum(F.col("n_c") * F.col("n_c")).over(w_all) * 1.0 / F.count("*").over(w_all)
-                    - (F.sum("n_c").over(w_all) * 1.0 / F.count("*").over(w_all))
-                    * (F.sum("n_c").over(w_all) * 1.0 / F.count("*").over(w_all))
-                ),
-                F.lit(0.0),
-            ),
-            4,
-        ).alias("len_z"),
+        (F.col("n_stop") * 1.0 / F.col("n_words")).alias("sr"),
+        (F.col("n_punct") * 1.0 / F.col("n_c")).alias("pr"),
+        ((F.col("n_c") - mean) / F.nullif(F.sqrt(var), F.lit(0.0))).alias("lz"),
     )
     return scored.select(
         "doc_id",
-        "stopword_ratio",
-        "punct_ratio",
-        "len_z",
-        F.round(
-            0.5 * F.col("stopword_ratio") - 0.3 * F.col("punct_ratio") - 0.2 * F.abs("len_z"), 4
-        ).alias("quality"),
+        F.round("sr", 4).alias("stopword_ratio"),
+        F.round("pr", 4).alias("punct_ratio"),
+        F.round("lz", 4).alias("len_z"),
+        F.round(0.5 * F.col("sr") - 0.3 * F.col("pr") - 0.2 * F.abs("lz"), 4).alias("quality"),
     ).orderBy("doc_id")
