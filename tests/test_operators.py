@@ -344,3 +344,23 @@ def test_deterministic_splits(spark, sf_oracle):
         for r in deterministic_shuffle(docs.repartition(7), "doc_id").select("doc_id").collect()
     ]
     assert order1 == order2 and order1 != sorted(order1)
+
+
+def test_dedup_facade_simhash_and_embedding_paths(spark, sf_oracle):
+    from cdc_publisher_spark.operators.dedup import (
+        embedding_duplicate_drops,
+        near_duplicate_drops,
+    )
+    from cdc_publisher_spark.operators.simhash import simhash_near_duplicates
+
+    docs = load(spark, sf_oracle, "documents")
+    drops = {r["doc_id"] for r in near_duplicate_drops(docs, method="simhash").collect()}
+    pairs = simhash_near_duplicates(docs, max_hamming=3).collect()
+    assert drops == {r["d2"] for r in pairs} and len(drops) > 0
+
+    # embeddings corpus has no >=0.95 cosine pairs (max ~0.51): the
+    # threshold path must return an EMPTY drop list, not noise
+    vecs = load(spark, sf_oracle, "embeddings")
+    assert embedding_duplicate_drops(vecs, cosine_threshold=0.95).count() == 0
+    # at a low threshold every vector's top-1 neighbor qualifies
+    assert embedding_duplicate_drops(vecs.limit(50), cosine_threshold=0.0).count() > 0

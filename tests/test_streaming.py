@@ -464,3 +464,53 @@ def test_kafka_source_guard_raises_clear_error(spark):
     with _pytest.raises(KafkaUnavailable) as exc:
         read_control_snapshot(spark, "localhost:9092")
     assert "spark-sql-kafka" in str(exc.value)
+
+
+def test_stateful_latest_state_survives_restart(spark, tmp_path):
+    """The state store checkpoints per-key state: after a stop/restart
+    the operator must remember pre-restart maxima (not re-emit or
+    regress them) — the engine's equivalent of the reference resuming
+    from its offset token."""
+    from cdc_publisher_spark.streaming.latest_state_stream import stream_latest_per_key
+
+    src = tmp_path / "restart"
+    src.mkdir()
+    schema = "key int, offset long, status string"
+    (src / "a.jsonl").write_text(
+        "\n".join(json.dumps({"key": k, "offset": 10, "status": "pre"}) for k in range(3))
+    )
+
+    out = str(tmp_path / "emitted")
+
+    def start():
+        # memory sink cannot recover from a checkpoint; foreachBatch +
+        # append-parquet collector supports restart
+        stream = spark.readStream.schema(schema).json(str(src))
+        latest = stream_latest_per_key(stream, ["key"], "offset", ["status"])
+        return (
+            latest.writeStream.outputMode("update")
+            .foreachBatch(lambda df, eid: df.write.mode("append").parquet(out))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    # after restart: a STALE offset must be suppressed by recovered
+    # state; a fresh offset must win
+    (src / "b.jsonl").write_text(
+        "\n".join(
+            [
+                json.dumps({"key": 0, "offset": 5, "status": "stale"}),
+                json.dumps({"key": 1, "offset": 99, "status": "fresh"}),
+            ]
+        )
+    )
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    emitted = spark.read.parquet(out).collect()
+    post_restart = [r for r in emitted if r["status"] in ("stale", "fresh")]
+    assert [(r["key"], r["offset"], r["status"]) for r in post_restart] == [(1, 99, "fresh")]
