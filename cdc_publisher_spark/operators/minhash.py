@@ -44,7 +44,7 @@ def minhash_signatures(
     shingle_k: int = 3,
 ) -> DataFrame:
     """(id, n_shingles, h0..h{n-1}) — one row per doc."""
-    exploded = shingle_rows(docs, id_col, text_col, shingle_k)
+    exploded = shingle_rows(docs, id_col, text_col, shingle_k, hashed=True)
     aggs = [F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(n_hashes)]
     return exploded.groupBy(id_col).agg(F.count("*").alias("n_shingles"), *aggs)
 
@@ -96,9 +96,7 @@ def minhash_near_duplicates(
     sig = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_k)
     cands = lsh_candidate_pairs(sig, id_col, n_hashes, bands)
 
-    tok = shingle_rows(docs, id_col, text_col, shingle_k).select(
-        F.col(id_col), F.xxhash64("s").alias("s")
-    )
+    tok = shingle_rows(docs, id_col, text_col, shingle_k, hashed=True)
     sizes = tok.groupBy(id_col).agg(F.count("*").alias("n"))
 
     # exact verify restricted to candidates: join candidate pairs to

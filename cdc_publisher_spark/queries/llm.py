@@ -81,9 +81,7 @@ def q_k2_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     # row-wise shingling (codegen path) + int64-hashed join key: the
     # shuffle moves 8-byte keys, not trigram strings
-    tok = TX.shingle_rows(docs, "doc_id", "text", 3).select(
-        "doc_id", F.xxhash64("s").alias("s")
-    )
+    tok = TX.shingle_rows(docs, "doc_id", "text", 3, hashed=True)
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         tok.alias("a")
