@@ -428,3 +428,50 @@ def q_k16_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("lz", 4).alias("len_z"),
         F.round(0.5 * F.col("sr") - 0.3 * F.col("pr") - 0.2 * F.abs("lz"), 4).alias("quality"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q_k17_sequence_packing",
+    family="K",
+    doc="Training-sequence packing: docs stream into fixed token-budget "
+    "packs per source shard (pack boundary = running token count "
+    "crossing the budget). Pure window algebra — a running sum and a "
+    "floor division — so the packing plan is deterministic and "
+    "shuffle-cheap: one sort per shard, no driver loop.",
+    oracle="""
+        WITH sized AS (
+            SELECT source, doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+                       OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+            FROM documents
+        )
+        SELECT source, doc_id, n_tokens,
+               (cum_tokens - n_tokens) // 2048 AS pack_id,
+               cum_tokens - n_tokens - ((cum_tokens - n_tokens) // 2048) * 2048 AS pack_offset
+        FROM sized
+        ORDER BY source, doc_id
+    """,
+)
+def q_k17_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    budget = 2048
+    w = W.partitionBy("source").orderBy("doc_id")
+    sized = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", r"\s+")).cast("bigint").alias("n_tokens"),
+    ).withColumn(
+        "cum_tokens",
+        F.sum("n_tokens").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    start = F.col("cum_tokens") - F.col("n_tokens")
+    pack_id = F.floor(start / budget).cast("bigint")
+    return sized.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        pack_id.alias("pack_id"),
+        (start - pack_id * budget).alias("pack_offset"),
+    ).orderBy("source", "doc_id")
