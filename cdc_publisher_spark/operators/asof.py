@@ -64,6 +64,11 @@ def asof_join(
         F.lit(None).cast(rtypes[right_ts]).alias(ts_r),
         *[F.lit(None).cast(rtypes[c]).alias(a) for c, a in zip(right_cols, carried)],
     )
+    # A right row with NULL ts can never legitimately match, but it
+    # would sort first (asc, nulls first) and its PAYLOAD columns would
+    # still carry forward (last/ignorenulls skips nulls per-column),
+    # producing mixed rows with ts_r NULL + a real payload. Drop them.
+    right = right.filter(F.col(right_ts).isNotNull())
     right_side = right.select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("_asof_ts"),

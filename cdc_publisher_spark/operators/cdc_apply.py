@@ -57,9 +57,12 @@ def apply_changes(
 class ParquetSnapshotApplier:
     """foreachBatch body maintaining a parquet snapshot under ``base``.
 
-    Layout: ``base/current`` (live snapshot) and ``base/staging``
-    (batch output), swapped atomically per batch. Replay-safe: applying
-    the same batch twice yields the same snapshot (apply is
+    Layout: immutable snapshot dirs ``base/snap-<epoch>`` plus a
+    ``base/CURRENT`` manifest naming the live one. The manifest is
+    updated with a single atomic ``os.replace`` — there is no window
+    in which no snapshot is current (a crash mid-publish leaves the
+    previous manifest intact, never an empty state). Replay-safe:
+    applying the same batch twice yields the same snapshot (apply is
     idempotent on its input set), which is exactly the guarantee
     at-least-once micro-batches need.
     """
@@ -82,24 +85,56 @@ class ParquetSnapshotApplier:
         os.makedirs(base, exist_ok=True)
 
     @property
-    def current_path(self) -> str:
-        return os.path.join(self.base, "current")
+    def manifest_path(self) -> str:
+        return os.path.join(self.base, "CURRENT")
+
+    @property
+    def current_path(self) -> str | None:
+        """Directory of the live snapshot, or None before the first batch."""
+        if os.path.isfile(self.manifest_path):
+            with open(self.manifest_path) as fh:
+                name = fh.read().strip()
+            if name:
+                path = os.path.join(self.base, name)
+                if os.path.isdir(path):
+                    return path
+        # Manifest lost (e.g. crash before the very first publish but
+        # after a snapshot dir landed): recover the newest snapshot dir
+        # rather than silently restarting from empty state.
+        snaps = sorted(
+            (d for d in os.listdir(self.base) if d.startswith("snap-")),
+            key=lambda d: int(d.split("-", 1)[1]),
+        )
+        return os.path.join(self.base, snaps[-1]) if snaps else None
 
     def read_snapshot(self) -> DataFrame:
-        if os.path.isdir(self.current_path):
-            return self.spark.read.parquet(self.current_path)
+        path = self.current_path
+        if path is not None:
+            return self.spark.read.parquet(path)
         return self.spark.createDataFrame([], self.schema_ddl)
+
+    def _publish(self, name: str) -> None:
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(name)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, self.manifest_path)  # single atomic pointer flip
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        old_path = self.current_path
+        if old_path is not None and os.path.basename(old_path) == f"snap-{epoch_id}":
+            # Replay of an epoch whose publish already completed: the
+            # batch is fully applied; re-applying would overwrite the
+            # directory we are reading from.
+            return
         new_snapshot = apply_changes(
             self.read_snapshot(), batch_df, self.key_cols, self.seq_col, self.type_col
         )
-        staging = os.path.join(self.base, f"staging-{epoch_id}")
+        staging = os.path.join(self.base, f"snap-{epoch_id}")
         new_snapshot.write.mode("overwrite").parquet(staging)
-        old = os.path.join(self.base, f"old-{epoch_id}")
-        if os.path.isdir(self.current_path):
-            os.rename(self.current_path, old)
-        os.rename(staging, self.current_path)
-        shutil.rmtree(old, ignore_errors=True)
+        self._publish(f"snap-{epoch_id}")
+        if old_path is not None and os.path.abspath(old_path) != os.path.abspath(staging):
+            shutil.rmtree(old_path, ignore_errors=True)

@@ -29,9 +29,12 @@ def _drops_from_pairs(pairs: DataFrame) -> DataFrame:
 
 
 def exact_duplicate_drops(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    keep = docs.groupBy(text_col).agg(F.min(id_col).alias("keep_id"))
+    # Shuffle a fixed-width md5 of the content, never the raw text: at
+    # 100 TB the document bodies dominate shuffle bytes otherwise.
+    hashed = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("_text_hash"))
+    keep = hashed.groupBy("_text_hash").agg(F.min(id_col).alias("keep_id"))
     return (
-        docs.join(keep, text_col)
+        hashed.join(keep, "_text_hash")
         .filter(F.col(id_col) != F.col("keep_id"))
         .select(F.col(id_col).alias("doc_id"))
         .distinct()

@@ -25,24 +25,24 @@ from cdc_publisher_spark.tables import load
 @register(
     "q_k1_exact_dedup",
     family="K",
-    doc="K-1 exact dedup: hash-groupBy on document text; keeper = "
-    "min(doc_id). At 100 TB: group on md5(text) (fixed-width shuffle "
-    "key) instead of the raw text column.",
+    doc="K-1 exact dedup: hash-groupBy on md5(text) — a fixed-width "
+    "32-byte shuffle key instead of the raw document body, so at 100 TB "
+    "the shuffle moves hashes, not text. Keeper = min(doc_id).",
     oracle="""
         SELECT md5(text) AS text_hash,
                MIN(doc_id) AS keep_id,
                COUNT(*) AS n_copies
         FROM documents
-        GROUP BY text
+        GROUP BY md5(text)
         ORDER BY keep_id
     """,
 )
 def q_k1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return (
-        docs.groupBy("text")
+        docs.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
         .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
-        .select(F.md5("text").alias("text_hash"), "keep_id", "n_copies")
         .orderBy("keep_id")
     )
 
@@ -466,12 +466,15 @@ def q_k17_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_tokens",
         F.sum("n_tokens").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
     )
-    start = F.col("cum_tokens") - F.col("n_tokens")
-    pack_id = F.floor(start / budget).cast("bigint")
+    # Integer `div`, not float '/': '/' on bigints is double division in
+    # Spark and loses exactness past 2^53 cumulative tokens — real at
+    # 100 TB token budgets (DuckDB's '//' oracle is exact integer math).
+    sized = sized.withColumn("_start", (F.col("cum_tokens") - F.col("n_tokens")).cast("bigint"))
+    pack_id = F.expr(f"_start div {budget}").cast("bigint")
     return sized.select(
         "source",
         "doc_id",
         "n_tokens",
         pack_id.alias("pack_id"),
-        (start - pack_id * budget).alias("pack_offset"),
+        (F.col("_start") - pack_id * budget).alias("pack_offset"),
     ).orderBy("source", "doc_id")

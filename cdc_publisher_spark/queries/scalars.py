@@ -277,10 +277,13 @@ def q_h8_explode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_h9_array_agg_sorted",
     family="H",
     doc="Ordered array aggregation per group (collect_list with sort "
-    "guard — collect order is nondeterministic, sort_array fixes it).",
+    "guard — collect order is nondeterministic, sort_array fixes it). "
+    "The array is emitted as a comma-joined string so list cells stay "
+    "hashable through pandas-based canonicalizers (driver harness sorts "
+    "cells; numpy arrays are unhashable).",
     oracle="""
         SELECT label,
-               list_sort(list(vec_id)) AS vec_ids,
+               array_to_string(list_sort(list(vec_id)), ',') AS vec_ids,
                COUNT(*) AS n
         FROM embeddings
         WHERE vec_id < 100
@@ -293,7 +296,7 @@ def q_h9_array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.groupBy("label")
         .agg(
-            F.sort_array(F.collect_list("vec_id")).alias("vec_ids"),
+            F.concat_ws(",", F.sort_array(F.collect_list("vec_id"))).alias("vec_ids"),
             F.count("*").alias("n"),
         )
         .orderBy("label")

@@ -62,6 +62,7 @@ def route_control_batch(
     status_col: str = "status",
     queue_col: str = "queue",
     active_value: str = "active",
+    seq_col: str | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch body: filter the batch's latest CCD states to
     active, project queue names (F1+P1), sync the registry.
@@ -71,15 +72,33 @@ def route_control_batch(
     appear in a batch, and drops a route only when its key transitions
     to a non-active status — so we sync adds from this batch and
     removes only for keys seen in this batch.
+
+    ``seq_col`` orders transitions within a batch (offset/timestamp):
+    the latest status per queue wins deterministically. Without it the
+    upstream must emit at most one row per queue per batch (the
+    update-mode contract of stream_latest_per_key); that precondition
+    is asserted, not silently resolved with an arbitrary row.
     """
 
     def body(batch_df: DataFrame, epoch_id: int) -> None:
-        rows = (
-            batch_df.select(queue_col, status_col)
-            .groupBy(queue_col)
-            .agg(F.max_by(status_col, F.lit(1)).alias(status_col))
-            .collect()
-        )
+        if seq_col is not None:
+            latest = batch_df.groupBy(queue_col).agg(
+                F.max_by(status_col, F.col(seq_col)).alias(status_col)
+            )
+        else:
+            latest = batch_df.groupBy(queue_col).agg(
+                F.max_by(status_col, F.lit(1)).alias(status_col),
+                F.count("*").alias("_n"),
+            )
+        rows = latest.collect()
+        if seq_col is None:
+            dupes = [r[queue_col] for r in rows if r["_n"] > 1]
+            if dupes:
+                raise ValueError(
+                    "route_control_batch: multiple transitions per queue in one "
+                    f"batch for {dupes!r} but no seq_col to order them — pass "
+                    "seq_col (offset/timestamp) or emit one row per key per batch"
+                )
         seen = {r[queue_col] for r in rows}
         now_active = {r[queue_col] for r in rows if r[status_col] == active_value}
         current = set(registry.routes().keys())
