@@ -231,6 +231,7 @@ def q_c6_region_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_c7_asof_prior_click",
     family="C",
+    bench=True,
     doc="As-of join: for each purchase event, the user's most recent "
     "strictly-earlier click. Implemented with the union+carry-forward "
     "operator (operators/asof.py); DuckDB ASOF JOIN is the oracle.",

@@ -69,6 +69,7 @@ def q_k11_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_k12_ann_topk",
     family="K",
+    bench=True,
     oracle=None,  # approximate by design; recall bound pytest'd
     doc="LSH-bucketed approximate top-k cosine (operators/ann.py): "
     "random-hyperplane buckets + multiprobe, exact scoring inside "

@@ -73,6 +73,7 @@ def q_e2_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_e3_running_order_total",
     family="E",
+    bench=True,
     doc="Running sum of order totals per customer (frame: unbounded "
     "preceding → current). Prefix sums add in frame order on both "
     "engines; rounded anyway.",

@@ -43,13 +43,47 @@ class KafkaUnavailable(RuntimeError):
         )
 
 
+def reader_options(
+    servers: str, topic: str, starting_offsets: str = "earliest"
+) -> dict[str, str]:
+    """The source option set, as data (contract-testable without a
+    broker). Mirrors the reference's consumer wiring: bootstrap servers
+    + deserializers (kafka_ccd_store.clj:44-56), assign-all-partitions
+    from a chosen position (:58-73)."""
+    return {
+        "kafka.bootstrap.servers": servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+
+
+def resume_offsets_json(topic: str, partition_offsets: dict[int, int]) -> str:
+    """``startingOffsets`` JSON resuming AFTER a consumed position —
+    the reference's ``(inc offset)`` resume (jms_publisher.clj:136,
+    kafka_ccd_store.clj:75-94): pass the per-partition offsets already
+    consumed; Kafka's startingOffsets is inclusive, so each advances
+    by one."""
+    import json
+
+    return json.dumps({topic: {str(p): o + 1 for p, o in partition_offsets.items()}})
+
+
+def writer_options(
+    servers: str, checkpoint: str, compression: str = "lz4"
+) -> dict[str, str]:
+    """The sink option set, as data. lz4 mirrors the reference's
+    producer compression (kafka_queue_writer.clj:45-51); the checkpoint
+    location carries the commit-on-success contract."""
+    return {
+        "kafka.bootstrap.servers": servers,
+        "kafka.compression.type": compression,
+        "checkpointLocation": checkpoint,
+    }
+
+
 def _kafka_reader(spark: SparkSession, servers: str, topic: str, streaming: bool):
     reader = (spark.readStream if streaming else spark.read).format("kafka")
-    return (
-        reader.option("kafka.bootstrap.servers", servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", "earliest")
-    )
+    return reader.options(**reader_options(servers, topic))
 
 
 def _decode(df: DataFrame) -> DataFrame:
@@ -92,8 +126,11 @@ def read_control_tail(
     the offset log on restart — the reference's ``as-of`` resume
     (protocols/ccd_store.clj:9-18) for free."""
     try:
-        reader = _kafka_reader(spark, servers, topic, streaming=True)
-        return _decode(reader.option("startingOffsets", starting_offsets).load())
+        reader = (
+            spark.readStream.format("kafka")
+            .options(**reader_options(servers, topic, starting_offsets))
+        )
+        return _decode(reader.load())
     except Exception as e:  # pragma: no cover
         raise KafkaUnavailable(e) from e
 
@@ -109,9 +146,7 @@ def write_routed(
     try:
         return (
             wire.writeStream.format("kafka")
-            .option("kafka.bootstrap.servers", servers)
-            .option("kafka.compression.type", compression)
-            .option("checkpointLocation", checkpoint)
+            .options(**writer_options(servers, checkpoint, compression))
             .start()
         )
     except Exception as e:  # pragma: no cover
