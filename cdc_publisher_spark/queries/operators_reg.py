@@ -129,8 +129,10 @@ def q_k14_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_k15_dataset_split",
     family="K",
-    oracle=None,  # keyed on Spark's xxhash64 (no DuckDB twin);
-    # determinism/disjointness/proportions pytest'd
+    oracle=None,  # keyed on Spark's xxhash64 (no DuckDB twin); the
+    # disjoint/exhaustive/weight invariants ARE DuckDB-checked over the
+    # written Spark output (tests/test_operators.py::
+    # test_split_invariants_duckdb_checked) + determinism pytest'd
     doc="Deterministic train/val/test split (operators/splits.py): "
     "content-hash bucketing, stable across cluster sizes and reruns.",
 )

@@ -133,3 +133,36 @@ def q_i3_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_seq")
     )
+
+
+@register(
+    "q_i4_malformed_monitor",
+    family="I",
+    doc="Rate-limited malformed-message signal (reference "
+    "jms_publisher.clj:17,84-99: one logged payload per 10 minutes): "
+    "per-10-min-window count + MIN exemplar via "
+    "streaming/monitor.malformed_rate_monitor, run in its batch form "
+    "over a dead-letter stand-in slice of events. The streaming form "
+    "is the same aggregate with a watermark (pytest memory-sink).",
+    oracle="""
+        SELECT (epoch_us(ts) // 600000000) * 600000000 AS window_start_us,
+               COUNT(*) AS malformed_count,
+               MIN(props) AS example_payload
+        FROM events
+        WHERE event_type = 'error'
+        GROUP BY 1
+        ORDER BY window_start_us
+    """,
+)
+def q_i4_malformed_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_publisher_spark.streaming.monitor import malformed_rate_monitor
+
+    dead = load(spark, sf_dir, "events").filter(F.col("event_type") == "error").select(
+        "ts", F.col("props").alias("value")
+    )
+    mon = malformed_rate_monitor(dead, ts_col="ts", value_col="value")
+    return mon.select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        "malformed_count",
+        "example_payload",
+    ).orderBy("window_start_us")
