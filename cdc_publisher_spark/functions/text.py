@@ -60,9 +60,16 @@ def shingles(text: Column, k: int = 3) -> Column:
 
 
 def shingle_rows(
-    docs, id_col: str = "doc_id", text_col: str = "text", k: int = 3, hashed: bool = False
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    hashed: bool = False,
+    distinct: bool = True,
 ):
     """Distinct k-word shingles as ROWS (id, s) — the scale path.
+    ``distinct=False`` keeps duplicate shingles (repetition statistics
+    need the multiset).
 
     posexplode evaluates the split exactly once per document (generator
     semantics), then one per-doc window assembles shingles via lead().
@@ -73,6 +80,12 @@ def shingle_rows(
     BEFORE the distinct, so no string ever enters a shuffle — ~20%
     faster on the dedup path; 64-bit collision odds are negligible at
     any realistic shingle cardinality.
+
+    Measured alternative (sf0.1, rejected): materializing the words
+    array once and shingling via transform()+array_distinct+explode
+    (no window, no first shuffle) benches ~10% SLOWER than this window
+    form — the interpreted-HOF per-element cost outweighs the saved
+    shuffle at realistic doc lengths. Re-measure before switching.
     """
     from pyspark.sql import Window as W
 
@@ -85,7 +98,8 @@ def shingle_rows(
         (F.xxhash64(shingle) if hashed else shingle).alias("s"),
         F.lead("w", k - 1).over(w).isNotNull().alias("_full"),
     )
-    return assembled.filter(F.col("_full")).select(id_col, "s").distinct()
+    rows = assembled.filter(F.col("_full")).select(id_col, "s")
+    return rows.distinct() if distinct else rows
 
 
 def set_fingerprint(text: Column) -> Column:

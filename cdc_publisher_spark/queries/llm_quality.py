@@ -1,0 +1,185 @@
+"""Family K extensions: corpus-quality and mix-construction operators a
+pretraining data pipeline runs at 100 TB (north star; public method
+references: the Gopher/MassiveText repetition filters, GPT-3/Llama
+n-gram decontamination, mix rebalancing by token budget).
+
+All three are fully DuckDB-oracle-checked. q_k18 deliberately emits
+exact integer counts (numerator/denominator pairs) rather than rounded
+ratios: small-integer quotients land exactly on ROUND's .00005
+boundaries where the engines break ties differently (HALF_UP vs
+HALF_EVEN) — see the canonicalization notes in registry.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_publisher_spark.functions.text import n_words, shingle_rows, words
+from cdc_publisher_spark.registry import register
+from cdc_publisher_spark.tables import load
+
+
+@register(
+    "q_k18_repetition_quality",
+    family="K",
+    doc="Gopher-style repetition signals per document: most-frequent "
+    "unigram/bigram multiplicity vs totals, and distinct-vs-total "
+    "trigram counts (duplicate-trigram mass). Consumers threshold the "
+    "ratios; the query ships exact integers so the oracle hash is "
+    "float-free. One shingling pass per n-gram order, counts on "
+    "xxhash64'd grams — no strings in any shuffle.",
+    oracle="""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+        tok AS (SELECT doc_id, unnest(ws) AS wd FROM w),
+        uni AS (
+            SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_uni_c,
+                   CAST(SUM(c) AS BIGINT) AS n_tok
+            FROM (SELECT doc_id, wd, COUNT(*) c FROM tok GROUP BY 1, 2)
+            GROUP BY doc_id
+        ),
+        bi0 AS (
+            SELECT doc_id, ws[i] || ' ' || ws[i+1] AS s
+            FROM w CROSS JOIN generate_series(1, 4096) g(i)
+            WHERE i + 1 <= len(ws)
+        ),
+        bi AS (
+            SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bi_c,
+                   CAST(SUM(c) AS BIGINT) AS n_bi
+            FROM (SELECT doc_id, s, COUNT(*) c FROM bi0 GROUP BY 1, 2)
+            GROUP BY doc_id
+        ),
+        tri0 AS (
+            SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+            FROM w CROSS JOIN generate_series(1, 4096) g(i)
+            WHERE i + 2 <= len(ws)
+        ),
+        tri AS (
+            SELECT doc_id, COUNT(*) AS n_tri,
+                   COUNT(DISTINCT s) AS n_tri_distinct
+            FROM tri0 GROUP BY doc_id
+        )
+        SELECT doc_id, n_tok, top_uni_c, n_bi, top_bi_c, n_tri, n_tri_distinct
+        FROM uni JOIN bi USING (doc_id) JOIN tri USING (doc_id)
+        ORDER BY doc_id
+    """,
+)
+def q_k18_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(words(F.col("text"))).alias("wd"))
+    uni = (
+        tok.groupBy("doc_id", "wd")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_uni_c"), F.sum("c").alias("n_tok"))
+    )
+    bi = (
+        shingle_rows(docs, "doc_id", "text", 2, hashed=True, distinct=False)
+        .groupBy("doc_id", "s")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bi_c"), F.sum("c").alias("n_bi"))
+    )
+    tri = shingle_rows(docs, "doc_id", "text", 3, hashed=True, distinct=False).groupBy(
+        "doc_id"
+    ).agg(F.count("*").alias("n_tri"), F.count_distinct("s").alias("n_tri_distinct"))
+    return (
+        uni.join(bi, "doc_id")
+        .join(tri, "doc_id")
+        .select("doc_id", "n_tok", "top_uni_c", "n_bi", "top_bi_c", "n_tri", "n_tri_distinct")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_k19_decontamination",
+    family="K",
+    doc="Benchmark decontamination (operators/decontaminate.py): corpus "
+    "docs (doc_id >= 20) sharing any 5-gram with the eval slice "
+    "(doc_id < 20), with the distinct shared-gram count as severity. "
+    "Eval grams broadcast; the corpus side never shuffles beyond its "
+    "own shingling.",
+    oracle="""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                         || ws[i+3] || ' ' || ws[i+4] AS s
+            FROM w CROSS JOIN generate_series(1, 4096) g(i)
+            WHERE i + 4 <= len(ws)
+        ),
+        ev AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20)
+        SELECT sh.doc_id, COUNT(*) AS n_shared
+        FROM sh JOIN ev USING (s)
+        WHERE sh.doc_id >= 20
+        GROUP BY sh.doc_id
+        ORDER BY sh.doc_id
+    """,
+)
+def q_k19_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_publisher_spark.operators.decontaminate import ngram_contamination
+
+    docs = load(spark, sf_dir, "documents")
+    hits = ngram_contamination(
+        corpus=docs.filter(F.col("doc_id") >= 20),
+        eval_docs=docs.filter(F.col("doc_id") < 20),
+        k=5,
+    )
+    return hits.orderBy("doc_id")
+
+
+@register(
+    "q_k20_source_mixing",
+    family="K",
+    doc="Deterministic source-mix rebalancing (operators/mixing.py): "
+    "every source downsampled to the smallest source's token count via "
+    "a content-keyed md5 draw — the EXACT sampled set reproduces in "
+    "DuckDB from the same md5 hex, so the mix decision itself is "
+    "oracle-checked, not just its row counts.",
+    oracle="""
+        WITH sized AS (
+            SELECT source, doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                       / 4294967296.0 AS u
+            FROM documents
+        ),
+        tot AS (
+            SELECT source, CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+                   COUNT(*) AS total_docs
+            FROM sized GROUP BY source
+        ),
+        rates AS (
+            SELECT t.*, LEAST(1.0, (SELECT MIN(total_tokens) FROM tot) * 1.0
+                                   / t.total_tokens) AS rate
+            FROM tot t
+        )
+        SELECT r.source, r.total_docs, r.total_tokens,
+               COUNT(*) FILTER (WHERE s.u < r.rate) AS n_sampled,
+               CAST(COALESCE(SUM(s.n_tok) FILTER (WHERE s.u < r.rate), 0) AS BIGINT)
+                   AS tokens_sampled
+        FROM rates r JOIN sized s USING (source)
+        GROUP BY r.source, r.total_docs, r.total_tokens
+        ORDER BY r.source
+    """,
+)
+def q_k20_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_publisher_spark.operators.mixing import sample_to_token_budget
+
+    docs = load(spark, sf_dir, "documents")
+    sized = docs.select(
+        "source", "doc_id", n_words(F.col("text")).cast("bigint").alias("n_tok")
+    )
+    flagged = sample_to_token_budget(sized, "source", "n_tok", "doc_id")
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("total_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.count_if("sampled").alias("n_sampled"),
+            F.coalesce(
+                F.sum(F.when(F.col("sampled"), F.col("n_tok"))), F.lit(0)
+            ).cast("bigint").alias("tokens_sampled"),
+        )
+        .orderBy("source")
+    )

@@ -408,3 +408,54 @@ def test_split_invariants_duckdb_checked(spark, sf_oracle, tmp_path):
             assert abs(shares[name] - w) < 0.05, (name, shares[name], w)
     finally:
         con.close()
+
+
+def test_decontaminate_operator(spark, sf_oracle):
+    """decontaminate() drops exactly the docs ngram_contamination
+    flags, and contamination is reflexive on an eval set drawn from
+    the corpus itself (every eval doc shares its own grams)."""
+    from cdc_publisher_spark.operators.decontaminate import (
+        decontaminate,
+        ngram_contamination,
+    )
+
+    docs = load(spark, sf_oracle, "documents")
+    ev = docs.filter(F.col("doc_id") < 20)
+    hits = ngram_contamination(docs, ev, k=5)
+    hit_ids = {r["doc_id"] for r in hits.collect()}
+    assert {r["doc_id"] for r in ev.collect()} <= hit_ids  # self-overlap
+    clean = decontaminate(docs, ev, k=5)
+    assert {r["doc_id"] for r in clean.select("doc_id").collect()} == (
+        {r["doc_id"] for r in docs.select("doc_id").collect()} - hit_ids
+    )
+
+
+def test_source_mixing_deterministic_and_budgeted(spark, sf_oracle):
+    from cdc_publisher_spark.operators.mixing import sample_to_token_budget
+    from cdc_publisher_spark.functions.text import n_words
+
+    docs = load(spark, sf_oracle, "documents").select(
+        "source", "doc_id", n_words(F.col("text")).cast("bigint").alias("n_tok")
+    )
+    a = sample_to_token_budget(docs, "source", "n_tok", "doc_id")
+    picked_a = {r["doc_id"] for r in a.filter("sampled").collect()}
+    # partitioning-independent: same sampled set at any parallelism
+    b = sample_to_token_budget(docs.repartition(13), "source", "n_tok", "doc_id")
+    assert {r["doc_id"] for r in b.filter("sampled").collect()} == picked_a
+    # every source lands within a tolerant band of the smallest source's
+    # token total (binomial noise at sf0.01 sizes)
+    totals = {
+        r["source"]: r["t"]
+        for r in docs.groupBy("source").agg(F.sum("n_tok").alias("t")).collect()
+    }
+    target = min(totals.values())
+    sampled_tok = {
+        r["source"]: r["t"]
+        for r in a.filter("sampled").groupBy("source").agg(F.sum("n_tok").alias("t")).collect()
+    }
+    for src, tok in sampled_tok.items():
+        assert tok <= totals[src]
+        assert abs(tok - min(target, totals[src])) / target < 0.5, (src, tok, target)
+    # explicit budget: rate-1 sources keep everything
+    c = sample_to_token_budget(docs, "source", "n_tok", "doc_id", target_tokens=10**12)
+    assert c.filter("NOT sampled").count() == 0

@@ -120,3 +120,18 @@ def test_no_cartesian_products(spark, sf_oracle):
 def test_semi_join_for_aggregated_in(spark, sf_oracle):
     plan = plan_string(_df(spark, sf_oracle, "q_c9_large_volume_customers"), "simple")
     assert "LeftSemi" in plan
+
+
+def test_decontamination_broadcasts_eval_grams(spark, sf_oracle):
+    """q_k19: the eval-gram set must broadcast — the corpus side of a
+    decontamination join is the 100 TB side and must never shuffle
+    into a join exchange."""
+    df = _df(spark, sf_oracle, "q_k19_decontamination")
+    assert has_broadcast_join(df)
+
+
+def test_source_mixing_broadcasts_rates(spark, sf_oracle):
+    """q_k20: per-source rates are O(sources) rows and must broadcast
+    back onto the doc stream."""
+    df = _df(spark, sf_oracle, "q_k20_source_mixing")
+    assert has_broadcast_join(df)
