@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import json
 
+import pytest
 from pyspark.sql import functions as F
 
 from cdc_publisher_spark.operators.cdc_apply import ParquetSnapshotApplier, apply_changes
@@ -91,3 +92,46 @@ def test_streaming_snapshot_maintenance(spark, tmp_path):
     q2.stop()
     snap3 = {r["pk"]: (r["name"], r["qty"]) for r in applier.read_snapshot().collect()}
     assert snap3 == snap2
+
+
+def test_applier_crash_recovery_paths(spark, tmp_path):
+    """ADVICE r01: no crash window may leave zero live snapshots.
+    Manifest flip is atomic; a lost manifest recovers to the newest
+    snap dir; a replayed already-published epoch is a no-op."""
+    import os
+
+    base = str(tmp_path / "snap")
+    applier = ParquetSnapshotApplier(spark, base, ["pk"], "seq", SNAP_DDL)
+    b1 = spark.createDataFrame(
+        [(1, 1, "insert", "a", 1), (2, 2, "insert", "b", 2)], CHG_DDL
+    )
+    applier(b1, 0)
+    assert {r["pk"] for r in applier.read_snapshot().collect()} == {1, 2}
+
+    # crash scenario 1: staging written, crash AT the manifest flip —
+    # the previous snapshot stays live and re-applying the epoch
+    # converges
+    b2 = spark.createDataFrame([(3, 3, "insert", "c", 3)], CHG_DDL)
+
+    def crash(name):
+        raise RuntimeError("simulated crash before manifest flip")
+
+    real_publish = applier._publish
+    applier._publish = crash
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        applier(b2, 1)
+    applier._publish = real_publish
+    assert {r["pk"] for r in applier.read_snapshot().collect()} == {1, 2}
+    applier(b2, 1)
+    assert {r["pk"] for r in applier.read_snapshot().collect()} == {1, 2, 3}
+
+    # crash scenario 2: manifest file lost entirely -> newest snap wins
+    os.remove(applier.manifest_path)
+    assert {r["pk"] for r in applier.read_snapshot().collect()} == {1, 2, 3}
+
+    # replay of the published epoch: no-op, snapshot dir untouched
+    applier._publish("snap-1")
+    before = applier.current_path
+    applier(b2, 1)
+    assert applier.current_path == before
+    assert {r["pk"] for r in applier.read_snapshot().collect()} == {1, 2, 3}
