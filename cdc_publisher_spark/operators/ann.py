@@ -114,6 +114,102 @@ def ann_topk(
     )
 
 
+def cosine_pairs_exact(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact (i, j, cosine) pairs with cosine >= threshold, i < j.
+
+    This is the oracle twin for embedding-cosine near-dup (the q_k2 /
+    q_k3 pattern: exact ground truth + an LSH scale path). The block
+    side broadcasts, so the shape is broadcast-NL over one corpus scan,
+    never a shuffled corpus×corpus product — correct for verification
+    scale; at 100 TB use :func:`cosine_pairs_lsh`.
+    """
+    a = vectors.select(
+        F.col(id_col).alias("i"),
+        F.col(vec_col).alias("va"),
+        l2_norm(F.col(vec_col)).alias("na"),
+    )
+    b = vectors.select(
+        F.col(id_col).alias("j"),
+        F.col(vec_col).alias("vb"),
+        l2_norm(F.col(vec_col)).alias("nb"),
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("i") < F.col("j"))
+        .select(
+            "i",
+            "j",
+            cosine_with_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("i", "j", F.round("cos", 4).alias("cosine"))
+    )
+
+
+def cosine_pairs_lsh(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bands: int = 8,
+    band_planes: int = 4,
+) -> DataFrame:
+    """Approximate (i, j, cosine) near-dup pairs — the 100 TB path.
+
+    BANDED random-hyperplane LSH (the MinHash-band construction applied
+    to sign bits): ``n_bands`` independent signatures of ``band_planes``
+    sign bits each; a pair is a candidate when ANY band matches, then
+    candidates are exactly verified, so output ⊆
+    :func:`cosine_pairs_exact` (precision 1). Banding is what makes the
+    collision curve step-shaped: with p = 1 - θ/π per plane, candidate
+    probability is 1-(1-p^r)^b — ≈0.998 at cosine 0.9 for (b=8, r=4)
+    while uncorrelated pairs (cosine ~0, p=0.5) collide at ~0.39 only
+    to be discarded by verification. A single 8-plane signature with
+    Hamming-1 multiprobe (the topk shape) caps near 0.7 recall at
+    cosine 0.9 — measured before switching; see the recall test.
+    Shuffle key is (band, bucket): two ints, uniform, no skew.
+    """
+    planes = _planes(dim, n_bands * band_planes)
+    v = vectors.select(
+        F.col(id_col).alias("i"),
+        F.col(vec_col).alias("v"),
+        l2_norm(F.col(vec_col)).alias("n"),
+    )
+    buckets = F.array(
+        *[
+            _bucket_expr(F.col("v"), planes[k * band_planes : (k + 1) * band_planes])
+            for k in range(n_bands)
+        ]
+    )
+    sig = v.select("i", "v", "n", F.posexplode(buckets).alias("band", "bucket"))
+    right = sig.select(
+        "band",
+        "bucket",
+        F.col("i").alias("j"),
+        F.col("v").alias("vb"),
+        F.col("n").alias("nb"),
+    )
+    return (
+        sig.join(right, ["band", "bucket"])
+        .filter(F.col("i") < F.col("j"))
+        .select("i", "j", "v", "vb", "n", "nb")
+        .distinct()  # a pair may collide in several bands
+        .select(
+            "i",
+            "j",
+            cosine_with_norms(F.col("v"), F.col("vb"), F.col("n"), F.col("nb")).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("i", "j", F.round("cos", 4).alias("cosine"))
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,

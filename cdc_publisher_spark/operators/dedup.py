@@ -17,15 +17,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cdc_publisher_spark.operators.ann import brute_force_topk
+from cdc_publisher_spark.operators.ann import cosine_pairs_exact, cosine_pairs_lsh
+from cdc_publisher_spark.operators.components import neardup_clusters
 from cdc_publisher_spark.operators.minhash import minhash_near_duplicates
 from cdc_publisher_spark.operators.simhash import simhash_near_duplicates
 
 
 def _drops_from_pairs(pairs: DataFrame) -> DataFrame:
-    """Pairs (d1 < d2) -> drop list: every doc that appears as the
-    larger id of a pair (the smaller survives, transitively)."""
-    return pairs.select(F.col("d2").alias("doc_id")).distinct()
+    """Pairs (d1 < d2) -> drop list: connected components over the pair
+    graph, keep the min id per cluster, drop the rest. (Dropping every
+    d2 is NOT equivalent: for pairs (1,3),(2,3) it would keep both 1
+    and 2 from one cluster.)"""
+    cc = neardup_clusters(pairs, left="d1", right="d2")
+    return cc.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
 
 
 def exact_duplicate_drops(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -63,17 +67,15 @@ def embedding_duplicate_drops(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cosine_threshold: float = 0.95,
+    method: str = "exact",
 ) -> DataFrame:
-    """Embedding-cosine near-dup: top-1 neighbor per vector (bounded),
-    pair kept when cosine >= threshold."""
-    nn = brute_force_topk(vectors, vectors, k=1, corpus_id=id_col, query_id=id_col, vec_col=vec_col)
-    pairs = (
-        nn.filter(F.col("cosine") >= cosine_threshold)
-        .select(
-            F.least("query_id", "cand_id").alias("d1"),
-            F.greatest("query_id", "cand_id").alias("d2"),
-        )
-        .distinct()
+    """Embedding-cosine near-dup drop list: ALL pairs with cosine >=
+    threshold (not just top-1 neighbors), clustered transitively.
+    ``method='lsh'`` swaps in the bucketed candidate miner — the
+    100 TB path (subset of exact, recall-tested)."""
+    miner = cosine_pairs_exact if method == "exact" else cosine_pairs_lsh
+    pairs = miner(vectors, cosine_threshold, id_col=id_col, vec_col=vec_col).select(
+        F.col("i").alias("d1"), F.col("j").alias("d2")
     )
     return _drops_from_pairs(pairs)
 

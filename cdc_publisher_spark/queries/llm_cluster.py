@@ -1,0 +1,119 @@
+"""Family K extensions: embedding-cosine near-dup pairs and near-dup
+cluster assignment (pairs -> connected components -> canonical doc).
+
+q_k21 completes the dedup-method family from SURVEY.md §2.2 K-2
+(exact hash, shingle-Jaccard, MinHash+LSH, SimHash, and now
+embedding-cosine): exact pairs are the registered oracle twin, the
+LSH-bucketed scale path lives in operators/ann.py with a recall test.
+
+q_k22 is the step every real dedup pipeline runs after pair mining:
+transitive closure of the pair graph, labeling each document with its
+cluster's minimum doc_id (= the canonical keeper). The DuckDB oracle
+computes the same closure with a recursive CTE, so the cluster
+assignment itself is hash-checked, not just its size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_publisher_spark.functions import text as TX
+from cdc_publisher_spark.operators.ann import cosine_pairs_exact
+from cdc_publisher_spark.operators.components import neardup_clusters
+from cdc_publisher_spark.registry import register
+from cdc_publisher_spark.tables import load
+
+#: All-pairs max cosine in the synthetic embeddings is ~0.513 (random
+#: vectors — no true near-dups), so 0.42 captures a stable ~34-pair
+#: tail; the nearest value below threshold is 0.4183, three orders of
+#: magnitude beyond cross-engine float noise.
+NEARDUP_COS_THRESHOLD = 0.42
+
+
+@register(
+    "q_k21_embedding_neardup",
+    family="K",
+    doc="K-2 embedding-cosine near-dup: exact (i, j, cosine) pairs with "
+    "cosine >= 0.42 via broadcast block join (operators/ann.py "
+    "cosine_pairs_exact). Oracle twin of the LSH-bucketed scale path "
+    "(cosine_pairs_lsh, recall-tested).",
+    oracle="""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+        p AS (
+            SELECT a.vec_id i, b.vec_id j,
+                   list_dot_product(a.e, b.e)
+                     / (sqrt(list_dot_product(a.e, a.e))
+                        * sqrt(list_dot_product(b.e, b.e))) AS cos
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+        )
+        SELECT i, j, ROUND(cos, 4) AS cosine
+        FROM p WHERE cos >= 0.42
+        ORDER BY i, j
+    """,
+)
+def q_k21_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return cosine_pairs_exact(e, NEARDUP_COS_THRESHOLD).orderBy("i", "j")
+
+
+@register(
+    "q_k22_neardup_clusters",
+    family="K",
+    doc="K-2 near-dup clusters: connected components over the q_k2 "
+    "Jaccard pair graph (operators/components.py, min-label "
+    "propagation with per-round localCheckpoint). Each clustered doc "
+    "gets (cluster_id = min doc_id in component, csize); the oracle "
+    "recomputes the closure with a recursive CTE.",
+    oracle="""
+        WITH RECURSIVE
+        w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+            FROM w CROSS JOIN generate_series(1, 4096) g(i)
+            WHERE i + 2 <= len(ws)
+        ),
+        sz AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id d1, b.doc_id d2, COUNT(*) i
+            FROM sh a JOIN sh b USING (s)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT d1, d2 FROM inter
+            JOIN sz s1 ON s1.doc_id = d1
+            JOIN sz s2 ON s2.doc_id = d2
+            WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.5
+        ),
+        edges AS (SELECT d1 a, d2 b FROM pairs UNION SELECT d2, d1 FROM pairs),
+        nodes AS (SELECT DISTINCT a AS id FROM edges),
+        reach(id, lab) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.id
+        ),
+        cc AS (SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id)
+        SELECT id AS doc_id, cluster_id,
+               CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS csize
+        FROM cc ORDER BY doc_id
+    """,
+)
+def q_k22_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = TX.shingle_rows(docs, "doc_id", "text", 3, hashed=True)
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        tok.alias("a")
+        .join(tok.alias("b"), "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("i"))
+    )
+    pairs = (
+        inter.join(F.broadcast(sizes).alias("s1"), F.col("d1") == F.col("s1.doc_id"))
+        .join(F.broadcast(sizes).alias("s2"), F.col("d2") == F.col("s2.doc_id"))
+        .filter(F.col("i") * 1.0 / (F.col("s1.n") + F.col("s2.n") - F.col("i")) >= 0.5)
+        .select("d1", "d2")
+    )
+    return neardup_clusters(pairs).orderBy("doc_id")

@@ -212,9 +212,13 @@ def test_dedup_facade(spark, sf_oracle):
     # exact: no byte-identical dups in this table -> nothing dropped
     assert exact_duplicate_drops(docs).count() == 0
     deduped = deduplicate(docs, method="minhash", jaccard_threshold=0.5)
-    from cdc_publisher_spark.queries.llm import q_k2_jaccard_neardup
+    # drop semantics = connected components, keep min per cluster:
+    # expected survivors = docs - (clustered members - clusters)
+    from cdc_publisher_spark.queries.llm_cluster import q_k22_neardup_clusters
 
-    n_drops = q_k2_jaccard_neardup(spark, sf_oracle).select("d2").distinct().count()
+    cc = q_k22_neardup_clusters(spark, sf_oracle)
+    n_drops = cc.filter(F.col("doc_id") != F.col("cluster_id")).count()
+    assert n_drops > 0
     assert deduped.count() == docs.count() - n_drops
 
 
@@ -346,6 +350,73 @@ def test_deterministic_splits(spark, sf_oracle):
     assert order1 == order2 and order1 != sorted(order1)
 
 
+def _union_find_drops(pairs: list[tuple[int, int]]) -> set[int]:
+    """Pure-Python twin of the component-based drop list: every node
+    that is not the min of its connected component."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x for x in parent if find(x) != x}
+
+
+def test_connected_components_converges_on_chains(spark):
+    from cdc_publisher_spark.operators.components import connected_components, neardup_clusters
+
+    # a 6-node chain (needs several propagation rounds), a separate
+    # pair, and a triangle sharing no nodes with either
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11), (20, 21), (21, 22), (20, 22)]
+    df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    got = {r["id"]: r["cluster_id"] for r in connected_components(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+    cl = neardup_clusters(df, left="src", right="dst").collect()
+    assert {(r["doc_id"], r["cluster_id"], r["csize"]) for r in cl if r["cluster_id"] == 20} == {
+        (20, 20, 3), (21, 20, 3), (22, 20, 3)
+    }
+    # direction of the edge list must not matter
+    rev = spark.createDataFrame([(b, a) for a, b in edges], "src BIGINT, dst BIGINT")
+    got_rev = {r["id"]: r["cluster_id"] for r in connected_components(rev).collect()}
+    assert got_rev == got
+
+
+def test_cosine_pairs_lsh_recall(spark, sf_oracle):
+    from cdc_publisher_spark.operators.ann import cosine_pairs_exact, cosine_pairs_lsh
+    from cdc_publisher_spark.queries.llm_cluster import NEARDUP_COS_THRESHOLD
+
+    # precision-1 (subset) on the real corpus, at the registered threshold
+    vecs = load(spark, sf_oracle, "embeddings")
+    exact = {(r["i"], r["j"]) for r in cosine_pairs_exact(vecs, NEARDUP_COS_THRESHOLD).collect()}
+    approx = {(r["i"], r["j"]) for r in cosine_pairs_lsh(vecs, NEARDUP_COS_THRESHOLD).collect()}
+    assert len(exact) > 0 and approx <= exact
+
+    # recall in the operator's design regime: planted near-dups at
+    # cosine >= ~0.95, threshold 0.9 (the synthetic corpus has no true
+    # near-dups — max pairwise cosine ~0.51)
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((100, 64))
+    twins = base[:30] + 0.15 * rng.standard_normal((30, 64))  # cos ~0.98
+    rows = [(i, v.tolist()) for i, v in enumerate(base)] + [
+        (100 + i, v.tolist()) for i, v in enumerate(twins)
+    ]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    exact_p = {(r["i"], r["j"]) for r in cosine_pairs_exact(df, 0.9).collect()}
+    approx_p = {(r["i"], r["j"]) for r in cosine_pairs_lsh(df, 0.9).collect()}
+    assert len(exact_p) >= 30 and approx_p <= exact_p
+    assert len(approx_p) / len(exact_p) >= 0.9
+
+
 def test_dedup_facade_simhash_and_embedding_paths(spark, sf_oracle):
     from cdc_publisher_spark.operators.dedup import (
         embedding_duplicate_drops,
@@ -356,7 +427,7 @@ def test_dedup_facade_simhash_and_embedding_paths(spark, sf_oracle):
     docs = load(spark, sf_oracle, "documents")
     drops = {r["doc_id"] for r in near_duplicate_drops(docs, method="simhash").collect()}
     pairs = simhash_near_duplicates(docs, max_hamming=3).collect()
-    assert drops == {r["d2"] for r in pairs} and len(drops) > 0
+    assert drops == _union_find_drops([(r["d1"], r["d2"]) for r in pairs]) and len(drops) > 0
 
     # embeddings corpus has no >=0.95 cosine pairs (max ~0.51): the
     # threshold path must return an EMPTY drop list, not noise
