@@ -11,6 +11,7 @@ from cdc_publisher_spark.queries import (  # noqa: F401
     joins,
     llm,
     llm_cluster,
+    llm_prep,
     llm_quality,
     operators_reg,
     scalars,

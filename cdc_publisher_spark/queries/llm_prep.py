@@ -1,0 +1,213 @@
+"""Family K extensions: corpus-preparation operators — PII redaction,
+context-window chunking, incremental-ingest dedup.
+
+q_k23 exercises regex-scrub parity on strings both engines construct
+identically from doc_id/source (the synthetic corpus itself contains
+no digits or '@', so redacting raw ``text`` would be a zero-match
+non-test); the pattern set sticks to the Java-regex ∩ RE2 subset so
+Spark and DuckDB agree byte-for-byte. q_k24 chunks documents into
+64-token windows with 16-token overlap (operators/chunk.py). q_k25 is
+the ingest-time shape of dedup: a new batch is checked against the
+already-collected corpus (exact content hash + shared-shingle
+Jaccard), never corpus-vs-corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_publisher_spark.functions import text as TX
+from cdc_publisher_spark.operators.chunk import chunk_documents
+from cdc_publisher_spark.operators.redact import pii_hits, redact
+from cdc_publisher_spark.registry import register
+from cdc_publisher_spark.tables import load
+
+_SPARK_CONTACT = (
+    "concat('reach user', CAST(doc_id AS STRING), '@mail-', source, "
+    "'.example.com or 555-', lpad(CAST(doc_id % 1000 AS STRING), 3, '0'), "
+    "'-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), "
+    "' ssn 123-45-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), "
+    "' ip 10.', CAST(doc_id % 256 AS STRING), '.0.1', "
+    "' card 4111-1111-1111-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))"
+)
+
+_DUCK_CONTACT = (
+    "'reach user' || CAST(doc_id AS VARCHAR) || '@mail-' || source || "
+    "'.example.com or 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || "
+    "'-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || "
+    "' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || "
+    "' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' || "
+    "' card 4111-1111-1111-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+# DuckDB twins of operators/redact.py PII_PATTERNS (same order; RE2
+# string literals, 'g' flag = Spark regexp_replace's replace-all).
+_DUCK_PATTERNS = (
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b", "<CARD>"),
+    ("\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
+    ("\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>"),
+    ("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+)
+
+
+def _duck_redact_sql() -> str:
+    expr = "s"
+    for pat, repl in _DUCK_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return expr
+
+
+def _duck_hits_sql() -> str:
+    # progressive counting, mirroring operators/redact.py pii_hits:
+    # count a pattern on the text with all earlier patterns removed
+    stripped = "s"
+    terms = []
+    for pat, _ in _DUCK_PATTERNS:
+        terms.append(f"len(regexp_extract_all({stripped}, '{pat}'))")
+        stripped = f"regexp_replace({stripped}, '{pat}', '', 'g')"
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+@register(
+    "q_k23_pii_redaction",
+    family="K",
+    doc="K-4 PII redaction (operators/redact.py): email/card/SSN/phone/"
+    "IPv4 scrub as a chained regexp_replace projection — scan-speed, "
+    "codegen, no UDF. Both engines build identical contact strings "
+    "from doc_id/source, so the regex semantics themselves are the "
+    "thing hash-checked.",
+    oracle=f"""
+        WITH c AS (SELECT doc_id, {_DUCK_CONTACT} AS s FROM documents)
+        SELECT doc_id, {_duck_redact_sql()} AS redacted,
+               {_duck_hits_sql()} AS n_hits
+        FROM c ORDER BY doc_id
+    """,
+)
+def q_k23_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    contact = F.expr(_SPARK_CONTACT)
+    return (
+        docs.select(
+            "doc_id",
+            redact(contact).alias("redacted"),
+            pii_hits(contact).alias("n_hits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_k24_document_chunking",
+    family="K",
+    doc="K-4 context-window chunking (operators/chunk.py): 64-token "
+    "windows, 16-token overlap, chunk identity as md5 — explode + "
+    "slice only, zero shuffle, partitioning preserved.",
+    oracle="""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+        st AS (
+            SELECT doc_id, ws, i AS start
+            FROM w CROSS JOIN generate_series(0, 4096, 48) g(i)
+            WHERE i < len(ws)
+        ),
+        ch AS (
+            SELECT doc_id, CAST(start / 48 AS BIGINT) AS chunk_idx,
+                   array_to_string(list_slice(ws, start + 1, start + 64), ' ') AS chunk_text
+            FROM st
+        )
+        SELECT doc_id, chunk_idx,
+               CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS n_tok,
+               md5(chunk_text) AS chunk_md5
+        FROM ch ORDER BY doc_id, chunk_idx
+    """,
+)
+def q_k24_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=64, overlap=16).orderBy("doc_id", "chunk_idx")
+
+
+@register(
+    "q_k25_incremental_dedup",
+    family="K",
+    doc="K-1/K-2 ingest-time dedup: a new batch (doc_id >= 450) checked "
+    "against the collected corpus (doc_id < 450) — exact via md5 "
+    "semi-join, near via shared-shingle Jaccard >= 0.5 against "
+    "history only. The history side reduces to broadcast-size hash/"
+    "size tables; the batch never joins itself.",
+    oracle="""
+        WITH hist AS (SELECT * FROM documents WHERE doc_id < 450),
+        batch AS (SELECT * FROM documents WHERE doc_id >= 450),
+        hh AS (SELECT DISTINCT md5(text) h FROM hist),
+        w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+            FROM w CROSS JOIN generate_series(1, 4096) g(i)
+            WHERE i + 2 <= len(ws)
+        ),
+        sz AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT b.doc_id, h.doc_id AS hist_id, COUNT(*) i
+            FROM sh b JOIN sh h USING (s)
+            WHERE b.doc_id >= 450 AND h.doc_id < 450
+            GROUP BY 1, 2
+        ),
+        near AS (
+            SELECT DISTINCT inter.doc_id
+            FROM inter
+            JOIN sz sb ON sb.doc_id = inter.doc_id
+            JOIN sz sh2 ON sh2.doc_id = inter.hist_id
+            WHERE i * 1.0 / (sb.n + sh2.n - i) >= 0.5
+        )
+        SELECT b.doc_id,
+               (md5(b.text) IN (SELECT h FROM hh)) AS dup_exact,
+               (b.doc_id IN (SELECT doc_id FROM near)) AS dup_near,
+               NOT (md5(b.text) IN (SELECT h FROM hh)
+                    OR b.doc_id IN (SELECT doc_id FROM near)) AS keep
+        FROM batch b ORDER BY b.doc_id
+    """,
+)
+def q_k25_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") < 450)
+    batch = docs.filter(F.col("doc_id") >= 450)
+
+    hist_hashes = hist.select(F.md5("text").alias("h")).distinct()
+    exact = (
+        batch.select("doc_id", F.md5("text").alias("h"))
+        .join(F.broadcast(hist_hashes), "h", "left_semi")
+        .select("doc_id")
+        .withColumn("dup_exact", F.lit(True))
+    )
+
+    tok = TX.shingle_rows(docs, "doc_id", "text", 3, hashed=True)
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        tok.alias("b")
+        .filter(F.col("b.doc_id") >= 450)
+        .join(tok.alias("h").filter(F.col("h.doc_id") < 450), "s")
+        .groupBy(F.col("b.doc_id").alias("doc_id"), F.col("h.doc_id").alias("hist_id"))
+        .agg(F.count("*").alias("i"))
+    )
+    near = (
+        inter.alias("it")
+        .join(F.broadcast(sizes).alias("sb"), F.col("it.doc_id") == F.col("sb.doc_id"))
+        .join(F.broadcast(sizes).alias("sh2"), F.col("hist_id") == F.col("sh2.doc_id"))
+        .filter(F.col("i") * 1.0 / (F.col("sb.n") + F.col("sh2.n") - F.col("i")) >= 0.5)
+        .select(F.col("it.doc_id").alias("doc_id"))
+        .distinct()
+        .withColumn("dup_near", F.lit(True))
+    )
+
+    return (
+        batch.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("dup_exact", F.lit(False)).alias("dup_exact"),
+            F.coalesce("dup_near", F.lit(False)).alias("dup_near"),
+            (~(F.coalesce("dup_exact", F.lit(False)) | F.coalesce("dup_near", F.lit(False)))).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

@@ -530,3 +530,49 @@ def test_source_mixing_deterministic_and_budgeted(spark, sf_oracle):
     # explicit budget: rate-1 sources keep everything
     c = sample_to_token_budget(docs, "source", "n_tok", "doc_id", target_tokens=10**12)
     assert c.filter("NOT sampled").count() == 0
+
+
+def test_redact_patterns_and_hits(spark):
+    from cdc_publisher_spark.operators.redact import pii_hits, redact
+
+    rows = [
+        (1, "mail me at jo.doe+x@sub.example.co or call 555-123-4567"),
+        (2, "ssn 123-45-6789 next to phone 123-456-7890"),
+        (3, "card 4111-1111-1111-1111 from 192.168.0.1"),
+        (4, "no pii here, just text with a date 2024 and v1.2"),
+        (5, "ip 10.0.0.1 twice 10.0.0.2"),
+    ]
+    df = spark.createDataFrame(rows, "id BIGINT, s STRING")
+    got = {
+        r["id"]: (r["red"], r["hits"])
+        for r in df.select("id", redact(F.col("s")).alias("red"), pii_hits(F.col("s")).alias("hits")).collect()
+    }
+    assert got[1] == ("mail me at <EMAIL> or call <PHONE>", 2)
+    assert got[2] == ("ssn <SSN> next to phone <PHONE>", 2)
+    assert got[3] == ("card <CARD> from <IP>", 2)
+    assert got[4] == ("no pii here, just text with a date 2024 and v1.2", 0)
+    assert got[5] == ("ip <IP> twice <IP>", 2)
+
+
+def test_chunk_documents_windows(spark):
+    import pytest as _pytest
+
+    from cdc_publisher_spark.operators.chunk import chunk_documents
+
+    toks = [f"w{i}" for i in range(150)]
+    df = spark.createDataFrame([(1, " ".join(toks)), (2, "a b c")], "doc_id BIGINT, text STRING")
+    out = chunk_documents(df, chunk_tokens=64, overlap=16, with_text=True).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: starts 0,48,96,144 -> lengths 64,64,54,6
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["n_tok"] for r in c1] == [64, 64, 54, 6]
+    assert c1[0]["chunk_text"].split(" ") == toks[0:64]
+    assert c1[1]["chunk_text"].split(" ") == toks[48:112]  # 16-token overlap
+    assert c1[3]["chunk_text"].split(" ") == toks[144:150]
+    # doc 2 shorter than one window: a single whole-doc chunk
+    assert [(r["chunk_idx"], r["n_tok"], r["chunk_text"]) for r in by_doc[2]] == [(0, 3, "a b c")]
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=16, overlap=16)
