@@ -183,3 +183,82 @@ def q_k20_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q_k26_vocabulary",
+    family="K",
+    doc="Corpus vocabulary: term frequency + document frequency per "
+    "word, top-100 by tf. Map-side partial aggregation collapses each "
+    "partition to its distinct words before the shuffle; the final "
+    "top-k is a TakeOrdered, not a global sort.",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        ),
+        v AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS tf,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+            FROM tok GROUP BY w
+        )
+        SELECT w, tf, df FROM v
+        ORDER BY tf DESC, w LIMIT 100
+    """,
+)
+def q_k26_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(words(F.col("text"))).alias("w"))
+    return (
+        tok.groupBy("w")
+        .agg(F.count("*").alias("tf"), F.count_distinct("doc_id").alias("df"))
+        .orderBy(F.col("tf").desc(), "w")
+        .limit(100)
+    )
+
+
+@register(
+    "q_k27_unigram_lm_score",
+    family="K",
+    doc="Unigram-LM cross-entropy per document (the KenLM-proxy quality "
+    "filter): fit p(w) = tf/T on the corpus, score each doc as "
+    "-(1/n)*sum(ln p(w)). Per-word logs are rounded to 8 decimals and "
+    "summed as DECIMAL so the sum is order-independent and bit-equal "
+    "across engines; the O(vocab) probability table broadcasts.",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        ),
+        v AS (SELECT w, COUNT(*) AS tf FROM tok GROUP BY w),
+        t AS (SELECT SUM(tf) AS total FROM v),
+        lp AS (
+            SELECT w, CAST(ROUND(ln(tf * 1.0 / total), 8) AS DECIMAL(18, 8)) AS lw
+            FROM v CROSS JOIN t
+        )
+        SELECT tok.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tok,
+               ROUND(-SUM(lw) / COUNT(*), 4) AS cross_entropy
+        FROM tok JOIN lp USING (w)
+        GROUP BY tok.doc_id
+        ORDER BY tok.doc_id
+    """,
+)
+def q_k27_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(words(F.col("text"))).alias("w"))
+    v = tok.groupBy("w").agg(F.count("*").alias("tf"))
+    total = v.agg(F.sum("tf").alias("total"))
+    lp = v.crossJoin(F.broadcast(total)).select(
+        "w",
+        F.round(F.log(F.col("tf") * 1.0 / F.col("total")), 8)
+        .cast("decimal(18,8)")
+        .alias("lw"),
+    )
+    return (
+        tok.join(F.broadcast(lp), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.round(-F.sum("lw") / F.count("*"), 4).cast("double").alias("cross_entropy"),
+        )
+        .orderBy("doc_id")
+    )

@@ -135,3 +135,49 @@ def test_source_mixing_broadcasts_rates(spark, sf_oracle):
     back onto the doc stream."""
     df = _df(spark, sf_oracle, "q_k20_source_mixing")
     assert has_broadcast_join(df)
+
+
+def test_chunking_has_no_exchange(spark, sf_oracle):
+    """q_k24: chunking is per-document work (explode + slice) — any
+    Exchange in the plan means an accidental shuffle that would move
+    the whole corpus at 100 TB. (The final orderBy is presentation-
+    only; check the operator itself.)"""
+    from cdc_publisher_spark.operators.chunk import chunk_documents
+    from cdc_publisher_spark.tables import load
+
+    df = chunk_documents(load(spark, sf_oracle, "documents"))
+    plan = plan_string(df, "simple")
+    assert "Exchange" not in plan, plan
+
+
+def test_incremental_dedup_broadcasts_history(spark, sf_oracle):
+    """q_k25: the history hash/size tables are the small side and must
+    broadcast; the batch (the 100 TB side at scale) must not feed a
+    build side."""
+    df = _df(spark, sf_oracle, "q_k25_incremental_dedup")
+    plan = plan_string(df, "simple")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_redaction_stays_in_codegen(spark, sf_oracle):
+    """q_k23: the redaction chain is one projection — it must live
+    inside a WholeStageCodegen span, no UDF eval nodes."""
+    df = _df(spark, sf_oracle, "q_k23_pii_redaction")
+    assert codegen_stage_count(df) >= 1
+    plan = plan_string(df, "simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_vocabulary_topk_take_ordered(spark, sf_oracle):
+    """q_k26: top-100 vocab must be TakeOrdered (per-partition top-k +
+    merge), never a global sort of the whole vocabulary."""
+    plan = plan_string(_df(spark, sf_oracle, "q_k26_vocabulary"), "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2  # partial+final tf/df
+
+
+def test_unigram_lm_broadcasts_prob_table(spark, sf_oracle):
+    """q_k27: the O(vocab) log-probability table must broadcast onto
+    the token stream — the token side is the 100 TB side."""
+    assert has_broadcast_join(_df(spark, sf_oracle, "q_k27_unigram_lm_score"))
