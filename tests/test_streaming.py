@@ -514,3 +514,48 @@ def test_stateful_latest_state_survives_restart(spark, tmp_path):
     emitted = spark.read.parquet(out).collect()
     post_restart = [r for r in emitted if r["status"] in ("stale", "fresh")]
     assert [(r["key"], r["offset"], r["status"]) for r in post_restart] == [(1, 99, "fresh")]
+
+
+def test_streaming_corpus_prep_matches_batch(spark, sf_smoke, tmp_path):
+    """The K-family corpus-prep projections (PII redaction, chunking,
+    incremental-dedup flagging vs a static history) are stateless per
+    row/doc, so they must run UNCHANGED on a document stream and emit
+    exactly the batch result — micro-batch ingest of a crawl is the
+    production shape at 100 TB, not a one-shot batch."""
+    from cdc_publisher_spark.operators.chunk import chunk_documents
+    from cdc_publisher_spark.operators.redact import pii_hits, redact
+    from cdc_publisher_spark.tables import load
+
+    docs = load(spark, sf_smoke, "documents")
+    stream = stream_table(spark, sf_smoke, "documents", str(tmp_path))
+
+    contact = F.concat(F.lit("mail x"), F.col("doc_id").cast("string"), F.lit("@ex.org 10.0.0.1"))
+
+    def prep(df):
+        hist = F.broadcast(
+            docs.filter(F.col("doc_id") < 450).select(F.md5("text").alias("h")).distinct()
+        )
+        return (
+            chunk_documents(df.withColumn("text", redact(F.col("text"))), 64, 16)
+            .join(
+                df.select("doc_id", F.md5("text").alias("h"), pii_hits(contact).alias("hits")),
+                "doc_id",
+            )
+            .join(hist.withColumn("dup_hist", F.lit(True)), "h", "left")
+            .select("doc_id", "chunk_idx", "n_tok", "chunk_md5", "hits", "dup_hist")
+        )
+
+    q = (
+        prep(stream)
+        .writeStream.format("memory")
+        .queryName("prep_t")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        tuple(r) for r in spark.sql("SELECT * FROM prep_t").collect()
+    }
+    expected = {tuple(r) for r in prep(docs).collect()}
+    assert got == expected and len(got) > 0
