@@ -119,14 +119,22 @@ def cosine_pairs_exact(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    accel: str = "blas",
 ) -> DataFrame:
     """Exact (i, j, cosine) pairs with cosine >= threshold, i < j.
 
     This is the oracle twin for embedding-cosine near-dup (the q_k2 /
-    q_k3 pattern: exact ground truth + an LSH scale path). The block
-    side broadcasts, so the shape is broadcast-NL over one corpus scan,
-    never a shuffled corpus×corpus product — correct for verification
-    scale; at 100 TB use :func:`cosine_pairs_lsh`.
+    q_k3 pattern: exact ground truth + an LSH scale path; at 100 TB
+    corpus×corpus use :func:`cosine_pairs_lsh`).
+
+    ``accel='blas'`` (default) mines candidates with an Arrow-batched
+    numpy block matmul over ``mapInPandas`` — each corpus partition ×
+    a closure-shipped block matrix, the textbook BLAS tiling — with a
+    1e-9 guard band, then recomputes the cosine of the surviving
+    handful of pairs with the same sequential-fold expression the
+    DuckDB oracle uses, so the output stays bit-identical to
+    ``accel='hof'`` (the pure-Catalyst broadcast-NL form, kept as the
+    equality twin; ~20× slower at sf0.1 — 2M interpreted HOF folds).
     """
     a = vectors.select(
         F.col(id_col).alias("i"),
@@ -138,16 +146,71 @@ def cosine_pairs_exact(
         F.col(vec_col).alias("vb"),
         l2_norm(F.col(vec_col)).alias("nb"),
     )
-    return (
-        a.crossJoin(F.broadcast(b))
-        .filter(F.col("i") < F.col("j"))
-        .select(
-            "i",
-            "j",
-            cosine_with_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")).alias("cos"),
+    if accel == "blas":
+        cand = _blas_candidate_pairs(vectors, threshold, id_col, vec_col)
+        scored = (
+            cand.join(a, "i")
+            .join(b, "j")
+            .select(
+                "i",
+                "j",
+                cosine_with_norms(
+                    F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+                ).alias("cos"),
+            )
         )
-        .filter(F.col("cos") >= threshold)
+    else:
+        scored = (
+            a.crossJoin(F.broadcast(b))
+            .filter(F.col("i") < F.col("j"))
+            .select(
+                "i",
+                "j",
+                cosine_with_norms(
+                    F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+                ).alias("cos"),
+            )
+        )
+    return (
+        scored.filter(F.col("cos") >= threshold)
         .select("i", "j", F.round("cos", 4).alias("cosine"))
+    )
+
+
+def _blas_candidate_pairs(
+    vectors: DataFrame, threshold: float, id_col: str, vec_col: str
+) -> DataFrame:
+    """(i, j) id pairs with numpy-matmul cosine >= threshold - 1e-9.
+
+    The block side is collected driver-side (bounded by assumption —
+    this is the exact/diagnostic path; LSH handles unbounded corpora)
+    and shipped inside the UDF closure so the generator pickles by
+    value (the driver contract runs sessions that cannot import this
+    package on executors).
+    """
+    pdf = vectors.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v")).toPandas()
+    block_ids = np.asarray(pdf["i"].to_numpy(), dtype=np.int64)
+    block = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+    block_norms = np.linalg.norm(block, axis=1)
+    guard = threshold - 1e-9
+
+    def gen(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for part in batches:
+            ids = _np.asarray(part["i"].to_numpy(), dtype=_np.int64)
+            A = _np.array([_np.asarray(v, dtype=_np.float64) for v in part["v"]])
+            if len(A) == 0:
+                continue
+            cos = (A @ block.T) / _np.outer(_np.linalg.norm(A, axis=1), block_norms)
+            ii, jj = _np.nonzero((cos >= guard) & (ids[:, None] < block_ids[None, :]))
+            if len(ii):
+                yield _pd.DataFrame({"i": ids[ii], "j": block_ids[jj]})
+
+    return (
+        vectors.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .mapInPandas(gen, "i bigint, j bigint")
     )
 
 

@@ -576,3 +576,87 @@ def test_chunk_documents_windows(spark):
 
     with _pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=16, overlap=16)
+
+
+def test_redact_idempotent_and_matches_re_twin(spark):
+    """Property-style (seeded batch): redaction is idempotent, and the
+    Spark regex chain agrees with a pure-Python ``re`` twin on strings
+    mixing PII snippets with adversarial near-miss noise (the pattern
+    subset was chosen to mean the same thing in Java regex, RE2, and
+    Python re)."""
+    import random
+    import re as _re
+
+    from cdc_publisher_spark.operators.redact import PII_PATTERNS, redact
+
+    rng = random.Random(11)
+    pii = [
+        "a.b-c_d@ex-ample.org.uk", "555-123-4567", "123-45-6789",
+        "4111 1111 1111 1111", "4111-1111-1111-1111", "10.255.0.1",
+    ]
+    noise = [
+        "plain words", "12345", "1.2", "v1.2.3.4beta", "a@b", "x--y",
+        "12-34-5678", "555-12-345", "9999-99", "1.2.3.4.5", "@@",
+        "elephant", "555 123 4567",
+    ]
+    rows = []
+    for i in range(300):
+        parts = [rng.choice(pii if rng.random() < 0.4 else noise) for _ in range(rng.randint(1, 6))]
+        rows.append((i, " ".join(parts)))
+
+    def redact_py(s: str) -> str:
+        for _, pat, repl in PII_PATTERNS:
+            s = _re.sub(pat, repl, s)
+        return s
+
+    df = spark.createDataFrame(rows, "id BIGINT, s STRING")
+    out = df.select(
+        "id",
+        redact(F.col("s")).alias("once"),
+        redact(redact(F.col("s"))).alias("twice"),
+    ).collect()
+    by_id = {r["id"]: r for r in out}
+    for i, s in rows:
+        assert by_id[i]["once"] == by_id[i]["twice"], s  # idempotent
+        assert by_id[i]["once"] == redact_py(s), s  # dialect agreement
+
+
+def test_chunk_partition_property(spark):
+    """Zero-overlap chunking partitions the token stream exactly:
+    chunk texts concatenate back to the original, every chunk is at
+    most chunk_tokens long, and chunk count is ceil(n/chunk_tokens)."""
+    import math
+    import random
+
+    from cdc_publisher_spark.operators.chunk import chunk_documents
+
+    rng = random.Random(5)
+    rows = [
+        (i, " ".join(f"t{rng.randint(0, 99)}" for _ in range(rng.randint(1, 300))))
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = chunk_documents(df, chunk_tokens=32, overlap=0, with_text=True).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, text in rows:
+        chunks = sorted(by_doc[doc_id], key=lambda r: r["chunk_idx"])
+        n = len(text.split(" "))
+        assert len(chunks) == math.ceil(n / 32)
+        assert all(r["n_tok"] <= 32 for r in chunks)
+        assert " ".join(r["chunk_text"] for r in chunks) == text
+
+
+def test_cosine_pairs_blas_equals_hof(spark, sf_oracle):
+    """The Arrow/numpy block-matmul candidate path must be bit-identical
+    to the pure-Catalyst fold form (guard band + exact recompute): same
+    pairs, same rounded cosines."""
+    from cdc_publisher_spark.operators.ann import cosine_pairs_exact
+
+    vecs = load(spark, sf_oracle, "embeddings")
+    blas = sorted(map(tuple, cosine_pairs_exact(vecs, 0.42).collect()))
+    hof = sorted(map(tuple, cosine_pairs_exact(vecs, 0.42, accel="hof").collect()))
+    assert blas == hof and len(blas) > 0
+    # threshold above the corpus max cosine -> empty, no crash
+    assert cosine_pairs_exact(vecs, 0.95).count() == 0
