@@ -14,6 +14,7 @@ from cdc_publisher_spark.queries import (  # noqa: F401
     llm_prep,
     llm_quality,
     operators_reg,
+    retrieval,
     scalars,
     setops,
     sort_limit,
