@@ -106,6 +106,25 @@ def _bench_streaming(spark, sf_dir: str):
         dml.coalesce(8).write.mode("overwrite").text(src)
         n_rows = spark.read.text(src).count()
 
+        # warm-up: run the identical pipeline over a small slice first so
+        # the timed run measures the engine, not stream-query setup and
+        # whole-stage-codegen compilation (same rationale as the batch
+        # warm-up pass — cold start skews sf0.1 timings by ~2x here)
+        warm_src = os.path.join(wd, "warm_src")
+        dml.limit(2_000).coalesce(1).write.mode("overwrite").text(warm_src)
+        wg, wdead = split_wire(read_dml_stream(spark, warm_src))
+        wq = (
+            wg.unionByName(wdead)
+            .writeStream.format("parquet")
+            .option("path", os.path.join(wd, "warm_out"))
+            .option("checkpointLocation", os.path.join(wd, "warm_ckpt"))
+            .partitionBy("topic")
+            .outputMode("append")
+            .start()
+        )
+        wq.processAllAvailable()
+        wq.stop()
+
         listener = CdcMetricsListener()
         spark.streams.addListener(listener)
         t0 = time.perf_counter()
