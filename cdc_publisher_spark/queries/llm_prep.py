@@ -211,3 +211,56 @@ def q_k25_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_k29_chunk_dup_mass",
+    family="K",
+    doc="Substring-level dedup signal at chunk granularity (the "
+    "exact-substring-dedup approximation): per document, how many of "
+    "its non-overlapping 32-token chunks also appear verbatim in "
+    "another document. Chunk identity is md5, so the dup-detection "
+    "join shuffles fixed-width hashes; outputs are exact integers "
+    "(float-free hash check).",
+    oracle="""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+        st AS (
+            SELECT doc_id, ws, i AS start
+            FROM w CROSS JOIN generate_series(0, 4096, 32) g(i)
+            WHERE i < len(ws)
+        ),
+        ch AS (
+            SELECT doc_id,
+                   md5(array_to_string(list_slice(ws, start + 1, start + 32), ' ')) AS m
+            FROM st
+        ),
+        dup AS (SELECT m FROM ch GROUP BY m HAVING COUNT(DISTINCT doc_id) > 1)
+        SELECT ch.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(COUNT(*) FILTER (WHERE ch.m IN (SELECT m FROM dup)) AS BIGINT)
+                   AS n_dup_chunks
+        FROM ch GROUP BY ch.doc_id
+        ORDER BY ch.doc_id
+    """,
+)
+def q_k29_chunk_dup_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ch = chunk_documents(docs, chunk_tokens=32, overlap=0).select(
+        "doc_id", F.col("chunk_md5").alias("m")
+    )
+    dup = (
+        ch.groupBy("m")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("m")
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        ch.join(dup, "m", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.count_if(F.col("is_dup")).alias("n_dup_chunks"),
+        )
+        .orderBy("doc_id")
+    )

@@ -660,3 +660,59 @@ def test_cosine_pairs_blas_equals_hof(spark, sf_oracle):
     assert blas == hof and len(blas) > 0
     # threshold above the corpus max cosine -> empty, no crash
     assert cosine_pairs_exact(vecs, 0.95).count() == 0
+
+
+def test_jsonl_corpus_source_roundtrip_and_dead_letters(spark, tmp_path):
+    """sources/corpus.py: explicit-schema JSONL ingest — good lines
+    parse to the documents schema, malformed lines dead-letter instead
+    of failing the scan, streaming read == batch read, and the export
+    twin round-trips."""
+    import json
+    import os
+
+    from cdc_publisher_spark.sources.corpus import (
+        read_documents_jsonl,
+        split_documents,
+        stream_documents_jsonl,
+        write_documents_jsonl,
+    )
+
+    src = tmp_path / "corpus"
+    src.mkdir()
+    good_rows = [
+        {"doc_id": i, "text": f"doc {i} text", "lang": "en", "source": "web", "n_chars": 10 + i}
+        for i in range(20)
+    ]
+    lines = [json.dumps(r) for r in good_rows] + ["{not valid json", '["array","not","object"]']
+    (src / "part-0.jsonl").write_text("\n".join(lines[:11]))
+    (src / "part-1.jsonl").write_text("\n".join(lines[11:]))
+
+    parsed = read_documents_jsonl(spark, str(src))
+    good, dead = split_documents(parsed)
+    got = {r["doc_id"]: (r["text"], r["lang"], r["source"], r["n_chars"]) for r in good.collect()}
+    assert got == {r["doc_id"]: (r["text"], r["lang"], r["source"], r["n_chars"]) for r in good_rows}
+    assert {r["raw_line"] for r in dead.collect()} == {"{not valid json", '["array","not","object"]'}
+
+    # stream == batch
+    q = (
+        stream_documents_jsonl(spark, str(src))
+        .writeStream.format("memory")
+        .queryName("corpus_t")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = spark.sql("SELECT * FROM corpus_t")
+    sg, sd = split_documents(streamed)
+    assert {r["doc_id"] for r in sg.collect()} == set(got)
+    assert sd.count() == 2
+
+    # export twin round-trips the good slice
+    out = os.path.join(str(tmp_path), "export")
+    write_documents_jsonl(good, out)
+    back, back_dead = split_documents(read_documents_jsonl(spark, out))
+    assert back_dead.count() == 0
+    assert {r["doc_id"]: r["text"] for r in back.collect()} == {
+        i: f"doc {i} text" for i in range(20)
+    }
