@@ -200,3 +200,81 @@ def q_e7_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderkey
         """
     )
+
+
+@register(
+    "q_e8_funnel_stages",
+    family="E",
+    doc="Funnel / sequence analytics: per user, first 'view', first "
+    "'click' AFTER that view, first 'purchase' AFTER that click — "
+    "chained conditional min-windows over ONE user partitioning, so "
+    "the whole funnel costs a single shuffle + sort (no self-joins, "
+    "no per-stage passes). Timestamps leave as epoch micros.",
+    oracle="""
+        WITH s1 AS (
+            SELECT user_id, ts, event_type,
+                   MIN(CASE WHEN event_type = 'view' THEN ts END)
+                       OVER (PARTITION BY user_id) AS v_ts
+            FROM events
+        ),
+        s2 AS (
+            SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > v_ts THEN ts END)
+                          OVER (PARTITION BY user_id) AS c_ts
+            FROM s1
+        ),
+        s3 AS (
+            SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > c_ts THEN ts END)
+                          OVER (PARTITION BY user_id) AS p_ts
+            FROM s2
+        )
+        SELECT DISTINCT user_id,
+               epoch_us(v_ts) AS view_us,
+               epoch_us(c_ts) AS click_us,
+               epoch_us(p_ts) AS purchase_us,
+               CAST(CASE WHEN v_ts IS NULL THEN 0
+                         WHEN c_ts IS NULL THEN 1
+                         WHEN p_ts IS NULL THEN 2
+                         ELSE 3 END AS BIGINT) AS funnel_stage
+        FROM s3 ORDER BY user_id
+    """,
+)
+def q_e8_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from cdc_publisher_spark.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    s1 = ev.withColumn(
+        "v_ts", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    s2 = s1.withColumn(
+        "c_ts",
+        F.min(
+            F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("v_ts")), F.col("ts"))
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "p_ts",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("c_ts")), F.col("ts")
+            )
+        ).over(w),
+    )
+    return (
+        s3.select(
+            "user_id",
+            F.unix_micros("v_ts").alias("view_us"),
+            F.unix_micros("c_ts").alias("click_us"),
+            F.unix_micros("p_ts").alias("purchase_us"),
+            F.when(F.col("v_ts").isNull(), 0)
+            .when(F.col("c_ts").isNull(), 1)
+            .when(F.col("p_ts").isNull(), 2)
+            .otherwise(3)
+            .cast("bigint")
+            .alias("funnel_stage"),
+        )
+        .distinct()
+        .orderBy("user_id")
+    )

@@ -181,3 +181,13 @@ def test_unigram_lm_broadcasts_prob_table(spark, sf_oracle):
     """q_k27: the O(vocab) log-probability table must broadcast onto
     the token stream — the token side is the 100 TB side."""
     assert has_broadcast_join(_df(spark, sf_oracle, "q_k27_unigram_lm_score"))
+
+
+def test_funnel_single_shuffle(spark, sf_oracle):
+    """q_e8: the three chained funnel windows share one user_id
+    partitioning — exactly one data shuffle, no self-joins."""
+    df = _df(spark, sf_oracle, "q_e8_funnel_stages")
+    plan = plan_string(df, "simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # window + distinct
+    assert plan.count("Window") == 3
