@@ -274,3 +274,88 @@ def q_d9_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "q_d10_cohort_retention",
+    family="D",
+    doc="Cohort retention: users grouped by first-activity day, distinct "
+    "active users per (cohort, day-offset). Two aggregates and one join "
+    "keyed on user_id — the cohort map joins on the same key the "
+    "activity set is already partitioned by.",
+    oracle="""
+        WITH fd AS (
+            SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+            FROM events GROUP BY user_id
+        ),
+        act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+        SELECT strftime(fd.cohort_day, '%Y-%m-%d') AS cohort_day,
+               CAST(date_diff('day', fd.cohort_day, act.d) AS BIGINT) AS day_offset,
+               CAST(COUNT(DISTINCT act.user_id) AS BIGINT) AS n_active
+        FROM act JOIN fd USING (user_id)
+        GROUP BY fd.cohort_day, day_offset ORDER BY 1, 2
+    """,
+)
+def q_d10_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    fd = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    act = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    return (
+        act.join(fd, "user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff(F.col("d"), F.col("cohort_day")).cast("bigint").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+@register(
+    "q_d11_gapfill_daily",
+    family="D",
+    doc="Time-series gap-fill / resample: per-user daily event counts "
+    "DENSIFIED over each user's active span (zero rows for silent "
+    "days) — sequence+explode builds the grid, a left join attaches "
+    "observed counts. Grid size is O(users x span days), generated, "
+    "never shuffled beyond the final count join.",
+    oracle="""
+        WITH span AS (
+            SELECT user_id, MIN(CAST(ts AS DATE)) d0, MAX(CAST(ts AS DATE)) d1
+            FROM events GROUP BY user_id
+        ),
+        grid AS (
+            SELECT user_id, CAST(d0 + i * INTERVAL 1 DAY AS DATE) AS day
+            FROM span CROSS JOIN generate_series(0, 4096) g(i)
+            WHERE d0 + i * INTERVAL 1 DAY <= CAST(d1 AS TIMESTAMP)
+        ),
+        daily AS (
+            SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS c
+            FROM events GROUP BY 1, 2
+        )
+        SELECT grid.user_id, strftime(grid.day, '%Y-%m-%d') AS day,
+               CAST(COALESCE(daily.c, 0) AS BIGINT) AS n_events
+        FROM grid LEFT JOIN daily USING (user_id, day)
+        ORDER BY grid.user_id, day
+    """,
+)
+def q_d11_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    span = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    grid = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("c")
+    )
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("c", F.lit(0)).cast("bigint").alias("n_events"),
+        )
+        .orderBy("user_id", "day")
+    )

@@ -34,6 +34,7 @@ NEARDUP_COS_THRESHOLD = 0.42
 @register(
     "q_k21_embedding_neardup",
     family="K",
+    bench=True,  # regression-visibility for the Arrow/BLAS mapInPandas path
     doc="K-2 embedding-cosine near-dup: exact (i, j, cosine) pairs with "
     "cosine >= 0.42 via broadcast block join (operators/ann.py "
     "cosine_pairs_exact). Oracle twin of the LSH-bucketed scale path "
