@@ -187,3 +187,47 @@ def q_cdc_apply_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 4).alias("bal"),
     )
     return apply_changes(snapshot, changes, ["pk"], "seq").orderBy("pk")
+
+
+@register(
+    "q_cdc_scd2_history",
+    family="CDC",
+    doc="SCD2 history from the CDC change log (operators/scd2.py): "
+    "every insert/update opens a version, any later change (delete "
+    "included) closes it via one lead() window — single shuffle, no "
+    "change-log self-join. Keys whose last change is a delete have no "
+    "current version.",
+    oracle="""
+        WITH changes AS (
+            SELECT user_id AS pk, event_id AS seq,
+                   CASE event_type WHEN 'signup' THEN 'insert'
+                                   WHEN 'error' THEN 'delete'
+                                   ELSE 'update' END AS op,
+                   event_type AS segment, ROUND(value, 4) AS bal
+            FROM events
+        ),
+        closed AS (
+            SELECT *, lead(seq) OVER (PARTITION BY pk ORDER BY seq) AS valid_to
+            FROM changes
+        )
+        SELECT pk, segment, bal, seq AS valid_from, valid_to,
+               valid_to IS NULL AS is_current
+        FROM closed WHERE op IN ('insert', 'update')
+        ORDER BY pk, valid_from
+    """,
+)
+def q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_publisher_spark.operators.scd2 import scd2_history
+
+    ev = load(spark, sf_dir, "events")
+    changes = ev.select(
+        F.col("user_id").alias("pk"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "signup", "insert")
+        .when(F.col("event_type") == "error", "delete")
+        .otherwise("update")
+        .alias("op"),
+        F.col("event_type").alias("segment"),
+        F.round("value", 4).alias("bal"),
+    )
+    return scd2_history(changes, ["pk"], "seq").orderBy("pk", "valid_from")

@@ -135,3 +135,41 @@ def test_applier_crash_recovery_paths(spark, tmp_path):
     applier(b2, 1)
     assert applier.current_path == before
     assert {r["pk"] for r in applier.read_snapshot().collect()} == {1, 2, 3}
+
+
+def test_scd2_current_equals_type1_apply(spark, sf_oracle):
+    """Cross-operator invariant: SCD2's open versions == the type-1
+    latest-state apply of the same change log onto an empty snapshot;
+    and per key, version intervals are contiguous and non-overlapping."""
+    from cdc_publisher_spark.operators.scd2 import scd2_history
+    from cdc_publisher_spark.tables import load
+
+    ev = load(spark, sf_oracle, "events")
+    changes = ev.select(
+        F.col("user_id").alias("pk"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "signup", "insert")
+        .when(F.col("event_type") == "error", "delete")
+        .otherwise("update")
+        .alias("op"),
+        F.col("event_type").alias("segment"),
+        F.round("value", 4).alias("bal"),
+    )
+    hist = scd2_history(changes, ["pk"], "seq")
+
+    empty = spark.createDataFrame([], "pk BIGINT, segment STRING, bal DOUBLE")
+    final = apply_changes(empty, changes, ["pk"], "seq")
+    current = {
+        r["pk"]: (r["segment"], r["bal"]) for r in hist.filter("is_current").collect()
+    }
+    applied = {r["pk"]: (r["segment"], r["bal"]) for r in final.collect()}
+    assert current == applied and len(current) > 0
+
+    by_key: dict[int, list] = {}
+    for r in hist.collect():
+        by_key.setdefault(r["pk"], []).append((r["valid_from"], r["valid_to"]))
+    for pk, spans in by_key.items():
+        spans.sort()
+        assert sum(1 for _, vt in spans if vt is None) <= 1  # at most one open
+        for (f1, t1), (f2, _) in zip(spans, spans[1:]):
+            assert t1 is not None and f1 < t1 <= f2, (pk, spans)
