@@ -559,3 +559,54 @@ def test_streaming_corpus_prep_matches_batch(spark, sf_smoke, tmp_path):
     }
     expected = {tuple(r) for r in prep(docs).collect()}
     assert got == expected and len(got) > 0
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_smoke, tmp_path):
+    """Stream-stream inner join with event-time watermarks and an
+    interval condition (the production shape — watermarks bound the
+    join state): click events joined to view events of the same user
+    within the following hour must equal the batch join."""
+    from cdc_publisher_spark.tables import load
+
+    ev = load(spark, sf_smoke, "events")
+    views_s = stream_table(spark, sf_smoke, "events", str(tmp_path / "l")).filter(
+        F.col("event_type") == "view"
+    ).select(F.col("user_id").alias("v_user"), F.col("event_id").alias("v_id"), F.col("ts").alias("v_ts"))
+    clicks_s = stream_table(spark, sf_smoke, "events", str(tmp_path / "r")).filter(
+        F.col("event_type") == "click"
+    ).select(F.col("user_id").alias("c_user"), F.col("event_id").alias("c_id"), F.col("ts").alias("c_ts"))
+
+    joined = (
+        views_s.withWatermark("v_ts", "2 hours")
+        .join(
+            clicks_s.withWatermark("c_ts", "2 hours"),
+            F.expr(
+                "v_user = c_user AND c_ts > v_ts AND c_ts <= v_ts + INTERVAL 1 HOUR"
+            ),
+        )
+        .select("v_user", "v_id", "c_id")
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj2_t")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {(r["v_user"], r["v_id"], r["c_id"]) for r in spark.sql("SELECT * FROM ssj2_t").collect()}
+
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("event_id").alias("v_id"), F.col("ts").alias("v_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("c_id"), F.col("ts").alias("c_ts")
+    )
+    expected = {
+        (r["v_user"], r["v_id"], r["c_id"])
+        for r in v.join(
+            c,
+            F.expr("v_user = c_user AND c_ts > v_ts AND c_ts <= v_ts + INTERVAL 1 HOUR"),
+        ).select("v_user", "v_id", "c_id").collect()
+    }
+    assert got == expected and len(got) > 0
