@@ -264,3 +264,164 @@ def q_k29_chunk_dup_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_k30_corpus_curation",
+    family="K",
+    doc="Capstone corpus-curation manifest — the composed pipeline a "
+    "pretraining run executes: near-dup drop (connected components "
+    "over Jaccard pairs, keep min doc per cluster), benchmark "
+    "decontamination (shared 5-gram with the eval slice), repetition "
+    "filter (top unigram > 1/10 of tokens) and stopword-quality "
+    "filter (stopwords < 1/20 of tokens) — every condition in exact "
+    "integer arithmetic so the keep/drop decision hash-matches "
+    "bit-for-bit. One boolean column per reason plus the final keep.",
+    oracle="""
+        WITH RECURSIVE
+        w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+        sh3 AS (
+            SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+            FROM w CROSS JOIN generate_series(1, 4096) g(i)
+            WHERE i + 2 <= len(ws)
+        ),
+        sz AS (SELECT doc_id, COUNT(*) n FROM sh3 GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id d1, b.doc_id d2, COUNT(*) i
+            FROM sh3 a JOIN sh3 b USING (s)
+            WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT d1, d2 FROM inter
+            JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2
+            WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.5
+        ),
+        edges AS (SELECT d1 a, d2 b FROM pairs UNION SELECT d2, d1 FROM pairs),
+        reach(id, lab) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.id
+        ),
+        cc AS (SELECT id, MIN(lab) AS root FROM reach GROUP BY id),
+        sh5 AS (
+            SELECT DISTINCT doc_id,
+                   ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                         || ws[i+3] || ' ' || ws[i+4] AS s
+            FROM w CROSS JOIN generate_series(1, 4096) g(i)
+            WHERE i + 4 <= len(ws)
+        ),
+        contaminated AS (
+            SELECT DISTINCT sh5.doc_id FROM sh5
+            JOIN (SELECT DISTINCT s FROM sh5 WHERE doc_id < 20) ev USING (s)
+            WHERE sh5.doc_id >= 20
+        ),
+        tok AS (SELECT doc_id, unnest(ws) AS wd FROM w),
+        uni AS (
+            SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_tok
+            FROM (SELECT doc_id, wd, COUNT(*) c FROM tok GROUP BY 1, 2)
+            GROUP BY doc_id
+        ),
+        stop AS (
+            SELECT doc_id,
+                   len(list_filter(ws, x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS ns,
+                   len(ws) AS nw
+            FROM w
+        )
+        SELECT d.doc_id,
+               COALESCE(cc.id IS NOT NULL AND cc.root <> d.doc_id, FALSE) AS drop_neardup,
+               COALESCE(d.doc_id IN (SELECT doc_id FROM contaminated), FALSE) AS drop_contaminated,
+               uni.top_c * 10 > uni.n_tok AS drop_repetitive,
+               stop.ns * 20 < stop.nw AS drop_lowquality,
+               NOT (COALESCE(cc.id IS NOT NULL AND cc.root <> d.doc_id, FALSE)
+                    OR d.doc_id IN (SELECT doc_id FROM contaminated)
+                    OR uni.top_c * 10 > uni.n_tok
+                    OR stop.ns * 20 < stop.nw) AS keep
+        FROM documents d
+        LEFT JOIN cc ON cc.id = d.doc_id
+        JOIN uni ON uni.doc_id = d.doc_id
+        JOIN stop ON stop.doc_id = d.doc_id
+        ORDER BY d.doc_id
+    """,
+)
+def q_k30_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_publisher_spark.operators.components import neardup_clusters
+    from cdc_publisher_spark.operators.decontaminate import ngram_contamination
+
+    docs = load(spark, sf_dir, "documents")
+
+    # near-dup drop: non-min members of Jaccard-pair components
+    tok3 = TX.shingle_rows(docs, "doc_id", "text", 3, hashed=True)
+    sizes = tok3.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        tok3.alias("a")
+        .join(tok3.alias("b"), "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("i"))
+    )
+    pairs = (
+        inter.join(F.broadcast(sizes).alias("s1"), F.col("d1") == F.col("s1.doc_id"))
+        .join(F.broadcast(sizes).alias("s2"), F.col("d2") == F.col("s2.doc_id"))
+        .filter(F.col("i") * 1.0 / (F.col("s1.n") + F.col("s2.n") - F.col("i")) >= 0.5)
+        .select("d1", "d2")
+    )
+    neardup = (
+        neardup_clusters(pairs)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+        .withColumn("drop_neardup", F.lit(True))
+    )
+
+    contaminated = (
+        ngram_contamination(
+            corpus=docs.filter(F.col("doc_id") >= 20),
+            eval_docs=docs.filter(F.col("doc_id") < 20),
+            k=5,
+        )
+        .select("doc_id")
+        .withColumn("drop_contaminated", F.lit(True))
+    )
+
+    toks = docs.select("doc_id", F.explode(TX.words(F.col("text"))).alias("wd"))
+    uni = (
+        toks.groupBy("doc_id", "wd")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_tok"))
+    )
+    ws = TX.words(F.col("text"))
+    stop = docs.select(
+        "doc_id",
+        F.size(F.filter(ws, lambda x: x.isin("the", "a", "of", "and", "to"))).alias("ns"),
+        F.size(ws).alias("nw"),
+    )
+
+    flags = (
+        docs.select("doc_id")
+        .join(neardup, "doc_id", "left")
+        .join(contaminated, "doc_id", "left")
+        .join(uni, "doc_id")
+        .join(stop, "doc_id")
+        .select(
+            "doc_id",
+            F.coalesce("drop_neardup", F.lit(False)).alias("drop_neardup"),
+            F.coalesce("drop_contaminated", F.lit(False)).alias("drop_contaminated"),
+            (F.col("top_c") * 10 > F.col("n_tok")).alias("drop_repetitive"),
+            (F.col("ns") * 20 < F.col("nw")).alias("drop_lowquality"),
+        )
+    )
+    return flags.select(
+        "doc_id",
+        "drop_neardup",
+        "drop_contaminated",
+        "drop_repetitive",
+        "drop_lowquality",
+        (
+            ~(
+                F.col("drop_neardup")
+                | F.col("drop_contaminated")
+                | F.col("drop_repetitive")
+                | F.col("drop_lowquality")
+            )
+        ).alias("keep"),
+    ).orderBy("doc_id")
