@@ -276,7 +276,9 @@ def q_k29_chunk_dup_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     "filter (top unigram > 1/10 of tokens) and stopword-quality "
     "filter (stopwords < 1/20 of tokens) — every condition in exact "
     "integer arithmetic so the keep/drop decision hash-matches "
-    "bit-for-bit. One boolean column per reason plus the final keep.",
+    "bit-for-bit. One boolean column per reason plus the final keep. "
+    "At 100 TB the exact Jaccard pair stage swaps for the MinHash+LSH "
+    "miner (operators/minhash.py) — same pair schema, same clusters.",
     oracle="""
         WITH RECURSIVE
         w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
