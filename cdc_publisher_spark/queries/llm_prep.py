@@ -427,3 +427,39 @@ def q_k30_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("keep"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q_k31_stratified_sample",
+    family="K",
+    doc="Deterministic stratified sampling: exactly N=10 docs per "
+    "source, ordered by a content hash (md5 of doc_id) — the eval-set "
+    "construction primitive. Hash order makes the draw partitioning- "
+    "independent and reproducible in DuckDB; ranking is one window "
+    "per group, no global sort.",
+    oracle="""
+        WITH ranked AS (
+            SELECT source, doc_id,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rk
+            FROM documents
+        )
+        SELECT source, doc_id, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= 10
+        ORDER BY source, rk
+    """,
+)
+def q_k31_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("source", "doc_id", F.row_number().over(w).cast("bigint").alias("rk"))
+        .filter(F.col("rk") <= 10)
+        .orderBy("source", "rk")
+    )
