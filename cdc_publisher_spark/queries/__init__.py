@@ -13,6 +13,7 @@ from cdc_publisher_spark.queries import (  # noqa: F401
     llm_cluster,
     llm_prep,
     llm_quality,
+    llm_spans,
     operators_reg,
     retrieval,
     scalars,
