@@ -38,6 +38,7 @@ _MIN_COUNT = 3
 @register(
     "q_k32_ngram_span_mask",
     family="K",
+    bench=True,
     doc="Exact duplicate-substring removal: mask every token covered "
     "by a corpus-wide frequent 4-gram (>= 3 occurrences), emit per-doc "
     "token/masked counts and the md5 of the surviving text. "
