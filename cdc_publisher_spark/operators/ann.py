@@ -309,3 +309,101 @@ def brute_force_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "cand_id", F.round("cos", 4).alias("cosine"), "rk")
     )
+
+
+def block_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+    pad: int = 8,
+) -> DataFrame:
+    """Exact top-k via the SURVEY §4.3-item-4 shape: block-wise numpy
+    matmul per corpus partition (mapInPandas, Arrow-batched), bounded
+    per-batch candidate top-(k+pad), then a global exact re-rank.
+
+    Why this beats :func:`brute_force_topk` as the query block grows:
+    the per-pair fold cosine is interpreted (one O(d) fold per
+    query×candidate pair), while a batch×block matmul is one BLAS call
+    per Arrow batch — the same 37× class of win measured for the
+    embedding near-dup miner (operators/ann.py cosine_pairs_exact).
+
+    Exactness: a global top-k member is, by definition, inside the
+    top-k of every subset containing it, so per-batch top-k candidate
+    sets are complete. ``pad`` extra candidates absorb float-order
+    noise between the matmul score and the fold score near the cutoff.
+    The FINAL ordering recomputes cosine with the same sequential-fold
+    expression the oracle uses (cosine_with_norms), so output values
+    and tie-breaks are bit-identical to the per-pair path — the matmul
+    only nominates, it never ranks.
+
+    Scale: the query block broadcasts (bounded by design — callers
+    shard huge query sets); candidate traffic is
+    O(partitions · |Q| · (k+pad)) rows of two ids, independent of
+    corpus size; the only corpus-wide pass is the scan itself.
+    """
+    q_rows = queries.select(query_id, vec_col).collect()
+    q_ids = [r[0] for r in q_rows]
+    q_mat = [list(map(float, r[1])) for r in q_rows]
+    kk = k + pad
+    v = vec_col
+
+    def nominate(batches):
+        # closure pickles by value: numpy + plain lists only (the
+        # driver may run this from a session that cannot import the
+        # engine package on executors)
+        import numpy as np
+        import pandas as pd
+
+        Q = np.asarray(q_mat, dtype=np.float64)
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        qid = np.asarray(q_ids, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in pdf[v].values]
+            )
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            scores = Cn @ Qn.T  # (batch, nq)
+            take = min(kk, scores.shape[0])
+            # argpartition per query column: top-`take` rows
+            idx = np.argpartition(-scores, take - 1, axis=0)[:take]
+            cand = pdf["_cid"].values
+            out_q = np.repeat(qid, take)
+            out_c = cand[idx].T.reshape(-1)
+            yield pd.DataFrame({"query_id": out_q, "cand_id": out_c})
+
+    cands = (
+        corpus.select(F.col(corpus_id).alias("_cid"), v)
+        .mapInPandas(nominate, "query_id bigint, cand_id bigint")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .distinct()
+    )
+    c_side = corpus.select(
+        F.col(corpus_id).alias("cand_id"),
+        F.col(v).alias("cv"),
+        l2_norm(F.col(v)).alias("cn"),
+    )
+    q_side = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(v).alias("qv"),
+        l2_norm(F.col(v)).alias("qn"),
+    )
+    rescored = (
+        cands.join(c_side, "cand_id")
+        .join(F.broadcast(q_side), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            cosine_with_norms(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        rescored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "cand_id", F.round("cos", 4).alias("cosine"), "rk")
+    )

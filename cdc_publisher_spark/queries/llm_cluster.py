@@ -118,3 +118,41 @@ def q_k22_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d1", "d2")
     )
     return neardup_clusters(pairs).orderBy("doc_id")
+
+
+@register(
+    "q_k34_block_topk",
+    family="K",
+    bench=True,  # the BLAS nominate path is the one most likely to rot
+    doc="K-3 exact top-k via block matmul (operators/ann.py block_topk): "
+    "per-partition numpy matmul nominates top-(k+pad) candidates, a "
+    "global fold-expression re-rank orders them — same answers as "
+    "brute force at a fraction of the pair-scoring cost once the "
+    "query block grows past a handful of vectors.",
+    oracle="""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+        q AS (SELECT * FROM v WHERE vec_id < 20),
+        c AS (SELECT * FROM v WHERE vec_id >= 20),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   list_dot_product(q.e, c.e)
+                     / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))) AS cos,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_dot_product(q.e, c.e)
+                                / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))) DESC,
+                                c.vec_id) AS rk
+            FROM q CROSS JOIN c
+        )
+        SELECT query_id, cand_id, ROUND(cos, 4) AS cosine, rk
+        FROM scored WHERE rk <= 10
+        ORDER BY query_id, rk
+    """,
+)
+def q_k34_block_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_publisher_spark.operators.ann import block_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    c = e.filter(F.col("vec_id") >= 20)
+    return block_topk(c, q, k=10).orderBy("query_id", "rk")

@@ -716,3 +716,23 @@ def test_jsonl_corpus_source_roundtrip_and_dead_letters(spark, tmp_path):
     assert {r["doc_id"]: r["text"] for r in back.collect()} == {
         i: f"doc {i} text" for i in range(20)
     }
+
+
+def test_block_topk_equals_brute_force(spark, sf_oracle):
+    """block_topk's matmul nominate + fold re-rank is EXACT: every row
+    (ids, cosine, rank) matches the per-pair brute-force path."""
+    from cdc_publisher_spark.operators.ann import block_topk
+
+    e = load(spark, sf_oracle, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    c = e.filter(F.col("vec_id") >= 20)
+    got = [
+        tuple(r)
+        for r in block_topk(c, q, k=10).orderBy("query_id", "rk").collect()
+    ]
+    expected = [
+        tuple(r)
+        for r in brute_force_topk(c, q, k=10).orderBy("query_id", "rk").collect()
+    ]
+    assert got == expected
+    assert len(got) == 20 * 10
