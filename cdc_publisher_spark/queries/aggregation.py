@@ -359,3 +359,122 @@ def q_d11_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+@register(
+    "q_d12_grouping_sets",
+    family="D",
+    doc="Explicit GROUPING SETS — (status, priority), (status), "
+    "(order_year) — a mixed set not expressible as one ROLLUP/CUBE. "
+    "Spark expands to a single Expand+HashAggregate (one shuffle for "
+    "all three sets).",
+    oracle="""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COALESCE(CAST(CAST(year(o_orderdate) AS INT) AS VARCHAR), 'ALL') AS order_year,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS (
+            (o_orderstatus, o_orderpriority),
+            (o_orderstatus),
+            (CAST(year(o_orderdate) AS INT))
+        )
+        ORDER BY status, priority, order_year
+    """,
+)
+def q_d12_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").withColumn("order_year_i", F.year("o_orderdate"))
+    return (
+        o.groupingSets(
+            [
+                ["o_orderstatus", "o_orderpriority"],
+                ["o_orderstatus"],
+                ["order_year_i"],
+            ],
+            "o_orderstatus",
+            "o_orderpriority",
+            "order_year_i",
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum(F.col("o_totalprice"), "decimal(18,4)").alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            F.coalesce(F.col("order_year_i").cast("string"), F.lit("ALL")).alias("order_year"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("status", "priority", "order_year")
+    )
+
+
+@register(
+    "q_d13_corr_regression",
+    family="D",
+    doc="Bivariate statistics per group: Pearson corr, sample/population "
+    "covariance, OLS slope+intercept (quantity vs extended price). All "
+    "moment-based single-pass aggregates — partial+final shape, "
+    "O(groups) shuffle.",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(CORR(l_extendedprice, l_quantity), 6) AS corr_price_qty,
+               ROUND(COVAR_SAMP(l_extendedprice, l_quantity), 2) AS covar_s,
+               ROUND(COVAR_POP(l_extendedprice, l_quantity), 2) AS covar_p,
+               ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4) AS slope,
+               ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 2) AS intercept
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+)
+def q_d13_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr(y, x), 6).alias("corr_price_qty"),
+            F.round(F.covar_samp(y, x), 2).alias("covar_s"),
+            F.round(F.covar_pop(y, x), 2).alias("covar_p"),
+            F.round(F.regr_slope(y, x), 4).alias("slope"),
+            F.round(F.regr_intercept(y, x), 2).alias("intercept"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q_d14_price_histogram",
+    family="D",
+    doc="Equi-width histogram of order totals (25k buckets): floor-"
+    "division bucketing is a plain projection, so the histogram is one "
+    "partial+final count agg — the 100 TB shape for distribution "
+    "profiling.",
+    oracle="""
+        SELECT CAST(FLOOR(o_totalprice / 25000.0) AS INT) AS bucket,
+               COUNT(*) AS n,
+               ROUND(MIN(o_totalprice), 2) AS lo,
+               ROUND(MAX(o_totalprice), 2) AS hi,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY 1
+        ORDER BY bucket
+    """,
+)
+def q_d14_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / F.lit(25000.0)).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+            dsum(F.col("o_totalprice"), "decimal(18,4)").alias("total"),
+        )
+        .orderBy("bucket")
+    )

@@ -278,3 +278,72 @@ def q_e8_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("user_id")
     )
+
+
+@register(
+    "q_e9_sessionization",
+    family="E",
+    doc="Batch sessionization (gaps-and-islands): a session breaks on a "
+    ">30 min silence per user. One window pass computes the break flag "
+    "(lag) and the running session ordinal (cumulative sum) under the "
+    "SAME (user_id, ts) partitioning+ordering — a single shuffle+sort "
+    "serves both, then the per-session agg is partial+final. The "
+    "streaming twin is q_i3 (session_window).",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_id, epoch_us(ts) AS us, value
+            FROM events
+        ),
+        flagged AS (
+            SELECT *,
+                   CASE WHEN us - LAG(us) OVER w > 1800000000 OR
+                             LAG(us) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS brk
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ),
+        numbered AS (
+            SELECT *,
+                   CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_num
+            FROM flagged
+        )
+        SELECT user_id, session_num,
+               MIN(us) AS start_us,
+               MAX(us) AS end_us,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS session_value
+        FROM numbered
+        GROUP BY user_id, session_num
+        ORDER BY user_id, session_num
+    """,
+)
+def q_e9_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_publisher_spark.queries.aggregation import dsum
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us"), "value"
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = e.withColumn(
+        "brk",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | ((F.col("us") - F.lag("us").over(w)) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_num",
+        F.sum("brk").over(w.rowsBetween(W.unboundedPreceding, 0)).cast("bigint"),
+    )
+    return (
+        numbered.groupBy("user_id", "session_num")
+        .agg(
+            F.min("us").alias("start_us"),
+            F.max("us").alias("end_us"),
+            F.count("*").alias("n_events"),
+            dsum(F.col("value")).alias("session_value"),
+        )
+        .orderBy("user_id", "session_num")
+    )
