@@ -156,3 +156,21 @@ def q_k34_block_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 20)
     c = e.filter(F.col("vec_id") >= 20)
     return block_topk(c, q, k=10).orderBy("query_id", "rk")
+
+
+@register(
+    "q_k35_semantic_dedup",
+    family="K",
+    doc="K-2 SemDeDup (Abbas et al. 2023): k-means-cluster-scoped "
+    "semantic dedup — pair scoring only within IVF clusters "
+    "(operators/semdedup.py), transitive closure, one keeper per "
+    "component. Rows-only by design (k-means centroids are not "
+    "SQL-reproducible); precision-1-by-construction and recall vs the "
+    "exact q_k21 pair set are pinned in tests/test_operators.py.",
+    oracle=None,
+)
+def q_k35_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_publisher_spark.operators.semdedup import semantic_dedup
+
+    e = load(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, NEARDUP_COS_THRESHOLD).orderBy("vec_id")

@@ -736,3 +736,41 @@ def test_block_topk_equals_brute_force(spark, sf_oracle):
     ]
     assert got == expected
     assert len(got) == 20 * 10
+
+
+def test_semantic_dedup_pairs_are_exact_subset(spark, sf_oracle):
+    """Cluster-scoped pairs are TRUE near-dups: a subset of the exact
+    all-pairs set, with identical (rounded) cosines — precision 1."""
+    from cdc_publisher_spark.operators.ann import cosine_pairs_exact
+    from cdc_publisher_spark.operators.semdedup import semantic_dedup_pairs
+
+    e = load(spark, sf_oracle, "embeddings")
+    thr = 0.42
+    exact = {
+        (r["i"], r["j"]): round(r["cosine"], 4)
+        for r in cosine_pairs_exact(e, thr).collect()
+    }
+    got = {
+        (r["i"], r["j"]): round(r["cosine"], 4)
+        for r in semantic_dedup_pairs(e, thr).collect()
+    }
+    assert got, "no within-cluster pairs found at all"
+    for k, v in got.items():
+        assert k in exact and exact[k] == v
+    recall = len(got) / len(exact)
+    assert recall >= 0.15, f"recall {recall:.2f} over {len(exact)} exact pairs"
+
+
+def test_semantic_dedup_keeper_invariants(spark, sf_oracle):
+    from cdc_publisher_spark.operators.semdedup import semantic_dedup
+
+    e = load(spark, sf_oracle, "embeddings")
+    rows = semantic_dedup(e, 0.42).collect()
+    n = e.count()
+    assert len(rows) == n  # every vector labeled exactly once
+    by_cluster = {}
+    for r in rows:
+        assert r["keep"] == (r["cluster_id"] == r["vec_id"])
+        by_cluster.setdefault(r["cluster_id"], []).append(r["vec_id"])
+    for cid, members in by_cluster.items():
+        assert cid == min(members)  # keeper is the min member, present
