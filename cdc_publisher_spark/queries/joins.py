@@ -266,3 +266,65 @@ def q_c7_asof_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id_r").alias("prior_click_id"),
         (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_r"))).alias("gap_us"),
     ).orderBy("purchase_id")
+
+
+@register(
+    "q_c10_waiting_supplier",
+    family="C",
+    doc="TPC-H Q21 shape: EXISTS + NOT EXISTS, both correlated on the "
+    "same fact table. Spark form: one left-semi and one left-anti "
+    "join, each an equi-join on l_orderkey with an extra non-equi "
+    "residual — so both compile to hash/sort-merge joins on a uniform "
+    "8-byte key, never a nested loop. The supplier dim broadcasts.",
+    oracle="""
+        SELECT s.s_name, s.s_suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM lineitem l1
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+        JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > l1.l_shipdate
+        )
+        GROUP BY s.s_name, s.s_suppkey
+        ORDER BY numwait DESC, s_suppkey
+        LIMIT 20
+    """,
+)
+def q_c10_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    supp = load(spark, sf_dir, "supplier")
+    l1 = li.alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = li.select("l_orderkey", "l_suppkey", "l_shipdate").alias("l3")
+    base = (
+        l1.join(
+            orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("l1.l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            l2,
+            (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+            "leftsemi",
+        )
+        .join(
+            l3,
+            (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey"))
+            & (F.col("l3.l_shipdate") > F.col("l1.l_shipdate")),
+            "leftanti",
+        )
+    )
+    return (
+        base.join(F.broadcast(supp), F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name", "s_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_suppkey")
+        .limit(20)
+    )

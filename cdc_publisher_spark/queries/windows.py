@@ -281,14 +281,16 @@ def q_e8_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_e9_sessionization",
+    "q_e9_session_analytics",
     family="E",
-    doc="Batch sessionization (gaps-and-islands): a session breaks on a "
-    ">30 min silence per user. One window pass computes the break flag "
-    "(lag) and the running session ordinal (cumulative sum) under the "
-    "SAME (user_id, ts) partitioning+ordering — a single shuffle+sort "
-    "serves both, then the per-session agg is partial+final. The "
-    "streaming twin is q_i3 (session_window).",
+    doc="Two-level session analytics over the gaps-and-islands "
+    "sessionization (q_i3 is the sessionize step; this is what a "
+    "product team runs on top): per-session duration, event count, "
+    "value, PLUS a second window over the sessions themselves — "
+    "inter-session idle gap (lag of previous session's end) and "
+    "session ordinal per user. Both window levels partition by "
+    "user_id, so the session-level window reuses the aggregation's "
+    "hash partitioning — Spark inserts no second exchange.",
     oracle="""
         WITH e AS (
             SELECT user_id, event_id, epoch_us(ts) AS us, value
@@ -307,18 +309,26 @@ def q_e8_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_num
             FROM flagged
+        ),
+        sessions AS (
+            SELECT user_id, session_num,
+                   MIN(us) AS start_us,
+                   MAX(us) AS end_us,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS session_value
+            FROM numbered
+            GROUP BY user_id, session_num
         )
-        SELECT user_id, session_num,
-               MIN(us) AS start_us,
-               MAX(us) AS end_us,
-               COUNT(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS session_value
-        FROM numbered
-        GROUP BY user_id, session_num
+        SELECT user_id, session_num, start_us, end_us,
+               end_us - start_us AS duration_us,
+               n_events, session_value,
+               COALESCE(start_us - LAG(end_us) OVER sw, -1) AS idle_us
+        FROM sessions
+        WINDOW sw AS (PARTITION BY user_id ORDER BY session_num)
         ORDER BY user_id, session_num
     """,
 )
-def q_e9_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_e9_session_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_publisher_spark.queries.aggregation import dsum
 
     e = load(spark, sf_dir, "events").select(
@@ -337,13 +347,22 @@ def q_e9_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_num",
         F.sum("brk").over(w.rowsBetween(W.unboundedPreceding, 0)).cast("bigint"),
     )
-    return (
-        numbered.groupBy("user_id", "session_num")
-        .agg(
-            F.min("us").alias("start_us"),
-            F.max("us").alias("end_us"),
-            F.count("*").alias("n_events"),
-            dsum(F.col("value")).alias("session_value"),
-        )
-        .orderBy("user_id", "session_num")
+    sessions = numbered.groupBy("user_id", "session_num").agg(
+        F.min("us").alias("start_us"),
+        F.max("us").alias("end_us"),
+        F.count("*").alias("n_events"),
+        dsum(F.col("value")).alias("session_value"),
     )
+    sw = W.partitionBy("user_id").orderBy("session_num")
+    return sessions.select(
+        "user_id",
+        "session_num",
+        "start_us",
+        "end_us",
+        (F.col("end_us") - F.col("start_us")).alias("duration_us"),
+        "n_events",
+        "session_value",
+        F.coalesce(
+            F.col("start_us") - F.lag("end_us").over(sw), F.lit(-1).cast("bigint")
+        ).alias("idle_us"),
+    ).orderBy("user_id", "session_num")
