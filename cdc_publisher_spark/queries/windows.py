@@ -283,6 +283,7 @@ def q_e8_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_e9_session_analytics",
     family="E",
+    bench=True,  # heaviest multi-level window over the events table
     doc="Two-level session analytics over the gaps-and-islands "
     "sessionization (q_i3 is the sessionize step; this is what a "
     "product team runs on top): per-session duration, event count, "

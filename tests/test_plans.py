@@ -191,3 +191,13 @@ def test_funnel_single_shuffle(spark, sf_oracle):
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2  # window + distinct
     assert plan.count("Window") == 3
+
+
+def test_q_c10_exists_joins_stay_hashed(spark, sf_oracle):
+    """Q21-shaped correlated EXISTS/NOT EXISTS: the semi and anti joins
+    carry non-equi residuals (suppkey<>, shipdate>) but MUST still ride
+    the l_orderkey equi key — a BNLJ here is quadratic per order."""
+    plan = plan_string(_df(spark, sf_oracle, "q_c10_waiting_supplier"), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
