@@ -463,3 +463,50 @@ def q_k31_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .orderBy("source", "rk")
     )
+
+
+@register(
+    "q_k36_shuffle_shard",
+    family="K",
+    doc="Deterministic epoch shuffle + round-robin-free sharding: the "
+    "training-order step between source mixing (q_k20) and sequence "
+    "packing (q_k17). Each doc gets an epoch-seeded md5 shuffle key; "
+    "the shard is derived from the key's own bytes (uniform, "
+    "content-addressed — re-running any subset reproduces identical "
+    "placement), and the within-shard position is a PARTITIONED "
+    "row_number, never a global one — at 100 TB there is no "
+    "single-partition window anywhere.",
+    oracle="""
+        WITH keyed AS (
+            SELECT doc_id,
+                   md5(concat('epoch7|', CAST(doc_id AS VARCHAR))) AS shuffle_key
+            FROM documents
+        )
+        SELECT doc_id, shuffle_key,
+               CAST((ascii(substr(shuffle_key, 1, 1)) * 256 +
+                     ascii(substr(shuffle_key, 2, 1))) % 8 AS BIGINT) AS shard,
+               CAST(row_number() OVER (
+                   PARTITION BY (ascii(substr(shuffle_key, 1, 1)) * 256 +
+                                 ascii(substr(shuffle_key, 2, 1))) % 8
+                   ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos_in_shard
+        FROM keyed
+        ORDER BY shard, pos_in_shard
+    """,
+)
+def q_k36_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("epoch7|"), F.col("doc_id").cast("string")))
+    shard = (
+        (F.ascii(F.substring(F.col("shuffle_key"), 1, 1)) * 256
+         + F.ascii(F.substring(F.col("shuffle_key"), 2, 1)))
+        % 8
+    ).cast("bigint")
+    w = W.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return (
+        docs.select("doc_id", key.alias("shuffle_key"))
+        .withColumn("shard", shard)
+        .withColumn("pos_in_shard", F.row_number().over(w).cast("bigint"))
+        .orderBy("shard", "pos_in_shard")
+    )
