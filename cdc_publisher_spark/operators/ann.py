@@ -407,3 +407,70 @@ def block_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "cand_id", F.round("cos", 4).alias("cosine"), "rk")
     )
+
+
+def bipartite_cosine_pairs(
+    corpus: DataFrame,
+    block: DataFrame,
+    threshold: float,
+    corpus_id: str = "vec_id",
+    block_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact (block_id, corpus_id, cosine) pairs with cosine >=
+    threshold between two DISJOINT vector sets — the benchmark-vs-train
+    contamination shape (the embedding analogue of the n-gram
+    decontamination in operators/decontaminate.py).
+
+    The block side (a benchmark suite: tiny by nature) ships inside a
+    mapInPandas closure; each corpus partition does ONE numpy matmul
+    against it — a single corpus pass, no shuffle, no join. Survivors
+    of the 1e-9 guard band get their cosine recomputed with the same
+    sequential-fold expression the DuckDB oracle uses, so outputs are
+    bit-identical to a per-pair evaluation (the matmul only nominates).
+    """
+    pdf = block.select(F.col(block_id).alias("b"), F.col(vec_col).alias("v")).toPandas()
+    b_ids = np.asarray(pdf["b"].to_numpy(), dtype=np.int64)
+    b_mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+    b_norms = np.linalg.norm(b_mat, axis=1)
+    guard = threshold - 1e-9
+
+    def gen(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for part in batches:
+            ids = _np.asarray(part["i"].to_numpy(), dtype=_np.int64)
+            A = _np.array([_np.asarray(v, dtype=_np.float64) for v in part["v"]])
+            if len(A) == 0:
+                continue
+            cos = (A @ b_mat.T) / _np.outer(_np.linalg.norm(A, axis=1), b_norms)
+            ii, jj = _np.nonzero(cos >= guard)
+            if len(ii):
+                yield _pd.DataFrame({"bench_id": b_ids[jj], "train_id": ids[ii]})
+
+    cand = (
+        corpus.select(F.col(corpus_id).alias("i"), F.col(vec_col).alias("v"))
+        .mapInPandas(gen, "bench_id bigint, train_id bigint")
+    )
+    b_side = block.select(
+        F.col(block_id).alias("bench_id"),
+        F.col(vec_col).alias("bv"),
+        l2_norm(F.col(vec_col)).alias("bn"),
+    )
+    c_side = corpus.select(
+        F.col(corpus_id).alias("train_id"),
+        F.col(vec_col).alias("cv"),
+        l2_norm(F.col(vec_col)).alias("cn"),
+    )
+    return (
+        cand.join(F.broadcast(b_side), "bench_id")
+        .join(c_side, "train_id")
+        .select(
+            "bench_id",
+            "train_id",
+            cosine_with_norms(F.col("bv"), F.col("cv"), F.col("bn"), F.col("cn")).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("bench_id", "train_id", F.round("cos", 4).alias("cosine"))
+    )

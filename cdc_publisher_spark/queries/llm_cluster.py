@@ -174,3 +174,37 @@ def q_k35_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "embeddings")
     return semantic_dedup(e, NEARDUP_COS_THRESHOLD).orderBy("vec_id")
+
+
+@register(
+    "q_k37_embedding_decontamination",
+    family="K",
+    doc="Benchmark-vs-train embedding contamination: exact cosine pairs "
+    ">= 0.40 between the benchmark block (vec_id < 50, broadcast "
+    "inside a mapInPandas closure) and the train corpus — one corpus "
+    "pass, one matmul per partition, no shuffle (operators/ann.py "
+    "bipartite_cosine_pairs). The embedding twin of q_k19's n-gram "
+    "decontamination.",
+    oracle="""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+        q AS (SELECT * FROM v WHERE vec_id < 50),
+        c AS (SELECT * FROM v WHERE vec_id >= 50),
+        p AS (
+            SELECT q.vec_id AS bench_id, c.vec_id AS train_id,
+                   list_dot_product(q.e, c.e)
+                     / (sqrt(list_dot_product(q.e, q.e))
+                        * sqrt(list_dot_product(c.e, c.e))) AS cos
+            FROM q CROSS JOIN c
+        )
+        SELECT bench_id, train_id, ROUND(cos, 4) AS cosine
+        FROM p WHERE cos >= 0.40
+        ORDER BY bench_id, train_id
+    """,
+)
+def q_k37_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_publisher_spark.operators.ann import bipartite_cosine_pairs
+
+    e = load(spark, sf_dir, "embeddings")
+    bench = e.filter(F.col("vec_id") < 50)
+    train = e.filter(F.col("vec_id") >= 50)
+    return bipartite_cosine_pairs(train, bench, 0.40).orderBy("bench_id", "train_id")
