@@ -610,3 +610,63 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_smoke, tmp_path):
         ).select("v_user", "v_id", "c_id").collect()
     }
     assert got == expected and len(got) > 0
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs protobuf for its Python "
+    "state-server channel; not installed in this container (and "
+    "installs are disallowed) — operator is guarded like sources/kafka",
+)
+def test_tws_latest_per_key_matches_apply_in_pandas_variant(spark, tmp_path):
+    """transformWithStateInPandas twin emits the same final state per
+    key as the applyInPandasWithState operator and the batch max_by."""
+    from cdc_publisher_spark.cdc.latest_state import latest_per_key
+    from cdc_publisher_spark.streaming.latest_state_stream import (
+        stream_latest_per_key_tws,
+    )
+
+    src = tmp_path / "ccd"
+    src.mkdir()
+    rows1 = [{"key": k, "offset": o, "status": f"s{o}"} for k in range(4) for o in range(0, 6, 2)]
+    rows2 = [{"key": k, "offset": o, "status": f"s{o}"} for k in range(4) for o in (5, 1)]
+    (src / "a.jsonl").write_text("\n".join(json.dumps(r) for r in rows1))
+
+    schema = "key int, offset long, status string"
+    stream = spark.readStream.schema(schema).json(str(src))
+    latest = stream_latest_per_key_tws(stream, ["key"], "offset", ["status"])
+    q = (
+        latest.writeStream.format("memory")
+        .queryName("latest_state_tws")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_tws"))
+        .start()
+    )
+    q.processAllAvailable()
+    (src / "b.jsonl").write_text("\n".join(json.dumps(r) for r in rows2))
+    q.processAllAvailable()
+    q.stop()
+
+    emitted = spark.sql("SELECT * FROM latest_state_tws").collect()
+    final: dict[int, tuple[int, str]] = {}
+    for r in emitted:
+        cur = final.get(r["key"])
+        if cur is None or r["offset"] >= cur[0]:
+            final[r["key"]] = (r["offset"], r["status"])
+    all_rows = spark.createDataFrame(
+        [(r["key"], r["offset"], r["status"]) for r in rows1 + rows2], schema
+    )
+    batch = {
+        r["key"]: (r["offset"], r["status"])
+        for r in latest_per_key(all_rows, ["key"], "offset", ["status"]).collect()
+    }
+    assert final == batch
