@@ -189,6 +189,8 @@ def _blas_candidate_pairs(
     package on executors).
     """
     pdf = vectors.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v")).toPandas()
+    if len(pdf) == 0:  # np.array([]) is 1-D; axis=1 norms would throw
+        return vectors.sparkSession.createDataFrame([], "i bigint, j bigint")
     block_ids = np.asarray(pdf["i"].to_numpy(), dtype=np.int64)
     block = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
     block_norms = np.linalg.norm(block, axis=1)
@@ -345,6 +347,10 @@ def block_topk(
     corpus size; the only corpus-wide pass is the scan itself.
     """
     q_rows = queries.select(query_id, vec_col).collect()
+    if not q_rows:  # no queries -> empty result, skip the matmul path
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id bigint, cand_id bigint, cosine double, rk bigint"
+        )
     q_ids = [r[0] for r in q_rows]
     q_mat = [list(map(float, r[1])) for r in q_rows]
     kk = k + pad
@@ -430,6 +436,10 @@ def bipartite_cosine_pairs(
     bit-identical to a per-pair evaluation (the matmul only nominates).
     """
     pdf = block.select(F.col(block_id).alias("b"), F.col(vec_col).alias("v")).toPandas()
+    if len(pdf) == 0:  # empty benchmark block -> no pairs, by definition
+        return corpus.sparkSession.createDataFrame(
+            [], "bench_id bigint, train_id bigint, cosine double"
+        )
     b_ids = np.asarray(pdf["b"].to_numpy(), dtype=np.int64)
     b_mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
     b_norms = np.linalg.norm(b_mat, axis=1)

@@ -50,6 +50,10 @@ def semantic_dedup_pairs(
 ) -> DataFrame:
     """(i, j, cosine) near-dup pairs with cosine >= threshold, scored
     within k-means clusters only. i < j; cosines are exact."""
+    if corpus.limit(1).count() == 0:  # k-means cannot fit on zero rows
+        return corpus.sparkSession.createDataFrame(
+            [], "i bigint, j bigint, cosine double"
+        )
     index = build_ivf(corpus, id_col=id_col, vec_col=vec_col, n_lists=n_lists, seed=seed)
     c = index.corpus  # id, vec, norm, list_id
     a = c.select(

@@ -774,3 +774,43 @@ def test_semantic_dedup_keeper_invariants(spark, sf_oracle):
         by_cluster.setdefault(r["cluster_id"], []).append(r["vec_id"])
     for cid, members in by_cluster.items():
         assert cid == min(members)  # keeper is the min member, present
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, tmp_path_factory):
+    """Schema-identical, zero-row twins of all ten tables."""
+    from cdc_publisher_spark.tables import TABLE_NAMES
+
+    d = tmp_path_factory.mktemp("empty_sf")
+    for t in TABLE_NAMES:
+        load(spark, "/root/testdata/sf0.001", t).limit(0).write.mode(
+            "overwrite"
+        ).parquet(str(d / f"{t}.parquet"))
+    return str(d)
+
+
+def test_queries_survive_empty_tables(spark, empty_sf_dir):
+    """Zero-row inputs are the first thing a scheduled 100 TB pipeline
+    hits (an empty ingest hour); every operator family must return an
+    empty result, not throw. Collected-block numpy operators (BLAS
+    miners, block top-k, k-means) are the regression-prone ones."""
+    from cdc_publisher_spark.registry import all_specs
+
+    reps = [
+        "q_d1_pricing_summary",
+        "q_c1_revenue_by_customer",
+        "q_c10_waiting_supplier",
+        "q_e9_session_analytics",
+        "q_k2_jaccard_neardup",
+        "q_k3_minhash_neardup",
+        "q_k6_cosine_topk",
+        "q_k21_embedding_neardup",
+        "q_k34_block_topk",
+        "q_k35_semantic_dedup",
+        "q_k36_shuffle_shard",
+        "q_k37_embedding_decontamination",
+        "q_k30_corpus_curation",
+    ]
+    specs = all_specs()
+    for name in reps:
+        assert specs[name].spark(spark, empty_sf_dir).count() == 0, name
