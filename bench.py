@@ -184,8 +184,68 @@ def write_plans(path: str = "PLANS.md") -> None:
     print(f"wrote {path}")
 
 
+def write_scaling(path: str = "SCALING.md") -> None:
+    """--scaling: time a representative headline subset at every
+    available scale factor and report the sf-to-sf wall-clock ratio.
+    Data grows 10× per step; a ratio well under 10 shows fixed
+    overheads still dominate (headroom), a ratio near 10 is linear
+    scaling, and anything super-linear is a red flag to investigate —
+    this is the local[32] proxy for the 100 TB question."""
+    from cdc_publisher_spark.registry import all_specs
+    from cdc_publisher_spark.session import get_session
+
+    spark = get_session(app_name="cdc_publisher_spark_scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+    reps = [
+        "q_d1_pricing_summary",   # partial+final agg over the fact table
+        "q_c1_revenue_by_customer",  # broadcast-dim join + agg
+        "q_e9_session_analytics",  # multi-level window over events
+        "q_k2_jaccard_neardup",   # explode + hashed-shingle self-join
+        "q_k21_embedding_neardup",  # Arrow/BLAS mapInPandas miner
+    ]
+    specs = all_specs()
+    sfs = [s for s in ("0.001", "0.01", "0.1") if os.path.isdir(f"/root/testdata/sf{s}")]
+    # warm every shape at the smallest sf first (same rationale as main())
+    for name in reps:
+        specs[name].spark(spark, f"/root/testdata/sf{sfs[0]}").write.format(
+            "noop"
+        ).mode("overwrite").save()
+    table: dict[str, dict[str, float]] = {n: {} for n in reps}
+    for s in sfs:
+        for name in reps:
+            t0 = time.perf_counter()
+            specs[name].spark(spark, f"/root/testdata/sf{s}").write.format(
+                "noop"
+            ).mode("overwrite").save()
+            table[name][s] = round(time.perf_counter() - t0, 3)
+    with open(path, "w") as fh:
+        fh.write("# SCALING — wall clock vs scale factor (local[32])\n\n")
+        fh.write(
+            "Generated by `python bench.py --scaling`. Each sf step is 10× "
+            "the data; the `x(a->b)` columns are the wall-clock ratios "
+            "across steps. Sub-10× = fixed overheads still dominate "
+            "(headroom); ~10× = linear; super-linear would be a "
+            "scale-killer and fails review.\n\n"
+        )
+        hdr = " | ".join(f"sf{s}" for s in sfs)
+        ratios_hdr = " | ".join(f"x({a}->{b})" for a, b in zip(sfs, sfs[1:]))
+        fh.write(f"| query | {hdr} | {ratios_hdr} |\n")
+        fh.write("|---|" + "---|" * (len(sfs) + len(sfs) - 1) + "\n")
+        for name in reps:
+            cells = " | ".join(f"{table[name][s]:.3f}s" for s in sfs)
+            ratios = " | ".join(
+                f"{table[name][b] / max(table[name][a], 1e-9):.2f}"
+                for a, b in zip(sfs, sfs[1:])
+            )
+            fh.write(f"| {name} | {cells} | {ratios} |\n")
+    print(f"wrote {path}")
+    print(json.dumps(table))
+
+
 if __name__ == "__main__":
     if "--explain" in sys.argv:
         write_plans()
+    elif "--scaling" in sys.argv:
+        write_scaling()
     else:
         main()
