@@ -330,40 +330,20 @@ def q_e8_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_e9_session_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cdc_publisher_spark.queries.aggregation import dsum
+    from cdc_publisher_spark.operators.sessionize import session_stats
 
     e = load(spark, sf_dir, "events").select(
         "user_id", "event_id", F.unix_micros("ts").alias("us"), "value"
     )
-    w = W.partitionBy("user_id").orderBy("us", "event_id")
-    flagged = e.withColumn(
-        "brk",
-        F.when(
-            F.lag("us").over(w).isNull()
-            | ((F.col("us") - F.lag("us").over(w)) > 1_800_000_000),
-            1,
-        ).otherwise(0),
-    )
-    numbered = flagged.withColumn(
-        "session_num",
-        F.sum("brk").over(w.rowsBetween(W.unboundedPreceding, 0)).cast("bigint"),
-    )
-    sessions = numbered.groupBy("user_id", "session_num").agg(
-        F.min("us").alias("start_us"),
-        F.max("us").alias("end_us"),
-        F.count("*").alias("n_events"),
-        dsum(F.col("value")).alias("session_value"),
-    )
-    sw = W.partitionBy("user_id").orderBy("session_num")
-    return sessions.select(
+    return session_stats(
+        e, key_col="user_id", ts_us_col="us", value_col="value", order_col="event_id"
+    ).select(
         "user_id",
         "session_num",
         "start_us",
         "end_us",
-        (F.col("end_us") - F.col("start_us")).alias("duration_us"),
+        "duration_us",
         "n_events",
         "session_value",
-        F.coalesce(
-            F.col("start_us") - F.lag("end_us").over(sw), F.lit(-1).cast("bigint")
-        ).alias("idle_us"),
+        "idle_us",
     ).orderBy("user_id", "session_num")

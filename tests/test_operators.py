@@ -814,3 +814,46 @@ def test_queries_survive_empty_tables(spark, empty_sf_dir):
     specs = all_specs()
     for name in reps:
         assert specs[name].spark(spark, empty_sf_dir).count() == 0, name
+
+
+def test_sessionize_property_matches_python_twin(spark):
+    """Random event streams (duplicate timestamps, key collisions,
+    boundary-exact gaps): Spark session_stats == pure-Python twin."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cdc_publisher_spark.operators.sessionize import (
+        session_stats,
+        session_stats_py,
+    )
+
+    GAP = 1_000  # small gap so random ts actually split sessions
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=3),       # key
+                st.integers(min_value=0, max_value=10_000),  # ts_us
+            ),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    def run(raw):
+        rows = [(k, ts, i) for i, (k, ts) in enumerate(raw)]
+        df = spark.createDataFrame(rows, "user_id long, us long, event_id long")
+        got = {
+            (r["user_id"], r["session_num"]): (
+                r["start_us"],
+                r["end_us"],
+                r["n_events"],
+                r["idle_us"],
+            )
+            for r in session_stats(
+                df, key_col="user_id", ts_us_col="us", order_col="event_id", gap_us=GAP
+            ).collect()
+        }
+        assert got == session_stats_py(rows, gap_us=GAP)
+
+    run()
