@@ -262,3 +262,79 @@ def q_k27_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_k38_corpus_drift_psi",
+    family="K",
+    doc="Corpus drift monitoring: population-stability index between "
+    "two source cohorts over doc-length buckets — the report a data-ops "
+    "team schedules to catch a crawler/source distribution shift before "
+    "it poisons a training mix. Bucket counts are one partial+final "
+    "agg; the PSI total is a window over <=10 bucket rows (bounded by "
+    "construction, not by data). Laplace-smoothed ratios; per-bucket "
+    "contributions rounded then DECIMAL-summed (the q_k27 pattern) so "
+    "the total is bit-stable cross-engine.",
+    oracle="""
+        WITH b AS (
+            SELECT CASE WHEN CAST(substr(source, 4) AS INT) < 10
+                        THEN 'ref' ELSE 'new' END AS cohort,
+                   LEAST(CAST(FLOOR(n_chars / 64.0) AS INT), 9) AS bucket
+            FROM documents
+        ),
+        cnt AS (
+            SELECT bucket,
+                   COUNT(*) FILTER (WHERE cohort = 'ref') AS n_ref,
+                   COUNT(*) FILTER (WHERE cohort = 'new') AS n_new
+            FROM b GROUP BY bucket
+        ),
+        tot AS (SELECT SUM(n_ref) AS t_ref, SUM(n_new) AS t_new FROM cnt),
+        ratio AS (
+            SELECT bucket,
+                   (n_ref + 1.0) / (t_ref + 10.0) AS p,
+                   (n_new + 1.0) / (t_new + 10.0) AS q
+            FROM cnt, tot
+        )
+        SELECT bucket,
+               ROUND(p, 6) AS p_ref,
+               ROUND(q, 6) AS p_new,
+               ROUND((p - q) * ln(p / q), 8) AS contrib,
+               CAST(SUM(CAST(ROUND((p - q) * ln(p / q), 8) AS DECIMAL(18,8)))
+                    OVER () AS DOUBLE) AS psi_total
+        FROM ratio
+        ORDER BY bucket
+    """,
+)
+def q_k38_corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    b = docs.select(
+        F.when(F.substring("source", 4, 10).cast("int") < 10, "ref")
+        .otherwise("new")
+        .alias("cohort"),
+        F.least(F.floor(F.col("n_chars") / 64.0).cast("int"), F.lit(9)).alias("bucket"),
+    )
+    cnt = b.groupBy("bucket").agg(
+        F.count(F.when(F.col("cohort") == "ref", 1)).alias("n_ref"),
+        F.count(F.when(F.col("cohort") == "new", 1)).alias("n_new"),
+    )
+    tot = cnt.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_new").alias("t_new")
+    )
+    ratio = cnt.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        ((F.col("n_ref") + 1.0) / (F.col("t_ref") + 10.0)).alias("p"),
+        ((F.col("n_new") + 1.0) / (F.col("t_new") + 10.0)).alias("q"),
+    )
+    contrib = F.round((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")), 8)
+    return ratio.select(
+        "bucket",
+        F.round("p", 6).alias("p_ref"),
+        F.round("q", 6).alias("p_new"),
+        contrib.alias("contrib"),
+        F.sum(contrib.cast("decimal(18,8)"))
+        .over(W.partitionBy())
+        .cast("double")
+        .alias("psi_total"),
+    ).orderBy("bucket")
