@@ -510,3 +510,66 @@ def q_k36_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos_in_shard", F.row_number().over(w).cast("bigint"))
         .orderBy("shard", "pos_in_shard")
     )
+
+
+#: Messy-input constructor shared by the normalization query: the
+#: synthetic corpus is already clean lowercase ASCII, so (exactly like
+#: q_k23's PII strings) both engines deterministically build a dirty
+#: string — mixed case, accents, em-dash, tabs, runs of spaces — from
+#: doc fields, then the engine-under-test cleans it.
+_SPARK_MESSY = (
+    "concat('  ', upper(substr(text, 1, 20)), ' Héllo—Wörld ', source, "
+    "'\\t', '   ', substr(text, 21, 40), '  ')"
+)
+_DUCK_MESSY = (
+    "concat('  ', upper(substr(text, 1, 20)), ' Héllo—Wörld ', source, "
+    "chr(9), '   ', substr(text, 21, 40), '  ')"
+)
+_ACCENTS = "ÀÁÂÄàáâäÈÉÊËèéêëÌÍÎÏìíîïÒÓÔÖòóôöÙÚÛÜùúûü—"
+_FOLDED = "AAAAaaaaEEEEeeeeIIIIiiiiOOOOooooUUUUuuuu "
+
+
+@register(
+    "q_k39_text_normalize",
+    family="K",
+    doc="C4-style text normalization entirely in built-in expressions "
+    "(accent folding via translate, case folding, whitespace collapse, "
+    "trim) — runs at scan speed inside whole-stage codegen, no UDF. "
+    "Output is the md5 of the cleaned text so the whole pipeline is "
+    "hash-checked byte-for-byte against DuckDB.",
+    oracle=f"""
+        WITH messy AS (
+            SELECT doc_id, {_DUCK_MESSY} AS raw FROM documents
+        ),
+        cleaned AS (
+            SELECT doc_id, raw,
+                   trim(regexp_replace(
+                       lower(translate(raw, '{_ACCENTS}', '{_FOLDED}')),
+                       '[ \t]+', ' ', 'g')) AS clean
+            FROM messy
+        )
+        SELECT doc_id,
+               CAST(length(raw) AS BIGINT) AS raw_len,
+               CAST(length(clean) AS BIGINT) AS clean_len,
+               md5(clean) AS clean_md5
+        FROM cleaned
+        ORDER BY doc_id
+    """,
+)
+def q_k39_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    raw = F.expr(_SPARK_MESSY)
+    clean = F.trim(
+        F.regexp_replace(
+            F.lower(F.translate(raw, _ACCENTS, _FOLDED)), "[ \t]+", " "
+        )
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.length(raw).cast("bigint").alias("raw_len"),
+            F.length(clean).cast("bigint").alias("clean_len"),
+            F.md5(clean).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
