@@ -166,3 +166,61 @@ def q_i4_malformed_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "malformed_count",
         "example_payload",
     ).orderBy("window_start_us")
+
+
+def _psi_oracle_sql() -> str:
+    """Build the 10-bucket smoothed-PSI oracle with the SAME left-fold
+    term order the Spark expression uses (bit-identical doubles)."""
+    n_ref = ", ".join(
+        f"SUM(CASE WHEN event_type = 'click' AND bucket = {b} THEN 1 ELSE 0 END) AS n_ref_{b}"
+        for b in range(10)
+    )
+    n_new = ", ".join(
+        f"SUM(CASE WHEN event_type = 'purchase' AND bucket = {b} THEN 1 ELSE 0 END) AS n_new_{b}"
+        for b in range(10)
+    )
+    t_ref = " + ".join(f"n_ref_{b}" for b in range(10))
+    t_new = " + ".join(f"n_new_{b}" for b in range(10))
+    terms = " + ".join(
+        f"ROUND(((n_ref_{b} + 1.0) / (({t_ref}) + 10.0) - (n_new_{b} + 1.0) / (({t_new}) + 10.0))"
+        f" * ln(((n_ref_{b} + 1.0) / (({t_ref}) + 10.0)) / ((n_new_{b} + 1.0) / (({t_new}) + 10.0))), 8)"
+        for b in range(10)
+    )
+    return f"""
+        WITH e AS (
+            SELECT event_type,
+                   LEAST(CAST(FLOOR(value / 50.0) AS INT), 9) AS bucket,
+                   (epoch_us(ts) // 604800000000) * 604800 AS win_start_s
+            FROM events
+            WHERE event_type IN ('click', 'purchase')
+        ),
+        counted AS (
+            SELECT win_start_s, {n_ref}, {n_new}
+            FROM e GROUP BY win_start_s
+        )
+        SELECT win_start_s,
+               CAST({t_ref} AS BIGINT) AS n_ref,
+               CAST({t_new} AS BIGINT) AS n_new,
+               ROUND({terms}, 6) AS psi
+        FROM counted
+        ORDER BY win_start_s
+    """
+
+
+@register(
+    "q_i5_drift_monitor",
+    family="I",
+    doc="Streaming drift monitor in its batch form: per-7-day-window "
+    "PSI between click and purchase value distributions "
+    "(streaming/monitor.drift_monitor — ONE windowed aggregate of 20 "
+    "conditional counts, PSI as a fixed-order closed-form expression; "
+    "streaming aggregations cannot nest, so this shape is what runs "
+    "with a watermark in production; stream==batch pinned in "
+    "tests/test_streaming.py).",
+    oracle=_psi_oracle_sql(),
+)
+def q_i5_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_publisher_spark.streaming.monitor import drift_monitor
+
+    ev = load(spark, sf_dir, "events")
+    return drift_monitor(ev).orderBy("win_start_s")

@@ -52,3 +52,62 @@ def malformed_rate_monitor(
             "example_payload",
         )
     )
+
+
+def drift_monitor(
+    df: DataFrame,
+    cohort_col: str = "event_type",
+    ref_cohort: str = "click",
+    new_cohort: str = "purchase",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    bucket_width: float = 50.0,
+    n_buckets: int = 10,
+    interval: str = "7 days",
+    watermark: str | None = "1 day",
+) -> DataFrame:
+    """Per-event-time-window population-stability index between two
+    cohorts' value distributions — the streaming twin of q_k38's batch
+    drift report.
+
+    Streaming aggregations cannot nest, so the whole computation is ONE
+    windowed aggregate: 2×``n_buckets`` conditional counts, then the
+    Laplace-smoothed PSI as a closed-form expression over those counts
+    (a fixed-order sum of ``n_buckets`` terms, so batch and stream — and
+    the DuckDB oracle — produce bit-identical doubles). State is
+    O(windows), nothing per-event.
+    """
+    d = df.filter(F.col(cohort_col).isin(ref_cohort, new_cohort))
+    if watermark is not None and d.isStreaming:
+        d = d.withWatermark(ts_col, watermark)
+    bucket = F.least(
+        F.floor(F.col(value_col) / bucket_width).cast("int"), F.lit(n_buckets - 1)
+    )
+    aggs = []
+    for b in range(n_buckets):
+        for label, cohort in (("ref", ref_cohort), ("new", new_cohort)):
+            aggs.append(
+                F.sum(
+                    F.when(
+                        (F.col(cohort_col) == cohort) & (bucket == b), 1
+                    ).otherwise(0)
+                ).alias(f"n_{label}_{b}")
+            )
+    win = F.window(F.col(ts_col), interval)
+    counted = d.groupBy(win.alias("w")).agg(*aggs)
+    t_ref = sum(F.col(f"n_ref_{b}") for b in range(n_buckets))
+    t_new = sum(F.col(f"n_new_{b}") for b in range(n_buckets))
+    terms = []
+    for b in range(n_buckets):
+        p = (F.col(f"n_ref_{b}") + 1.0) / (t_ref + float(n_buckets))
+        q = (F.col(f"n_new_{b}") + 1.0) / (t_new + float(n_buckets))
+        terms.append(F.round((p - q) * F.log(p / q), 8))
+    psi = terms[0]
+    for t in terms[1:]:  # explicit left-fold: fixed evaluation order
+        psi = psi + t
+    return counted.select(
+        F.unix_timestamp(F.col("w.start")).alias("win_start_s"),
+        t_ref.cast("bigint").alias("n_ref"),
+        t_new.cast("bigint").alias("n_new"),
+        F.round(psi, 6).alias("psi"),
+    )

@@ -670,3 +670,52 @@ def test_tws_latest_per_key_matches_apply_in_pandas_variant(spark, tmp_path):
         for r in latest_per_key(all_rows, ["key"], "offset", ["status"]).collect()
     }
     assert final == batch
+
+
+def test_drift_monitor_stream_matches_batch(spark, tmp_path):
+    """Windowed-PSI drift monitor: streaming (two micro-batches,
+    complete mode) converges to exactly the batch result — counts AND
+    the fixed-order PSI double."""
+    from cdc_publisher_spark.streaming.monitor import drift_monitor
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        {
+            "ts": f"2024-01-{1 + rng.randrange(28):02d}T{rng.randrange(24):02d}:00:00Z",
+            "event_type": rng.choice(["click", "purchase", "view"]),
+            "value": round(rng.uniform(0, 500), 2),
+        }
+        for _ in range(400)
+    ]
+    (src / "a.jsonl").write_text("\n".join(json.dumps(r) for r in rows[:250]))
+
+    schema = "ts timestamp, event_type string, value double"
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = (
+        drift_monitor(stream)
+        .writeStream.format("memory")
+        .queryName("drift_t")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    (src / "b.jsonl").write_text("\n".join(json.dumps(r) for r in rows[250:]))
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        r["win_start_s"]: (r["n_ref"], r["n_new"], r["psi"])
+        for r in spark.sql("SELECT * FROM drift_t").collect()
+    }
+    batch_df = spark.read.schema(schema).json(str(src))
+    expected = {
+        r["win_start_s"]: (r["n_ref"], r["n_new"], r["psi"])
+        for r in drift_monitor(batch_df).collect()
+    }
+    assert got == expected
+    assert len(expected) >= 2  # the month spans multiple 7-day windows
