@@ -138,3 +138,136 @@ class ParquetSnapshotApplier:
         self._publish(f"snap-{epoch_id}")
         if old_path is not None and os.path.abspath(old_path) != os.path.abspath(staging):
             shutil.rmtree(old_path, ignore_errors=True)
+
+
+class MultiTableSnapshotApplier:
+    """foreachBatch body applying a MIXED change stream (envelopes
+    carrying a ``table`` column, the reference's dynamic fan-out D1
+    shape) into one parquet snapshot per table, with CROSS-TABLE
+    crash consistency.
+
+    Why the single-table applier isn't enough: a micro-batch holding
+    changes for both ``orders`` and ``lineitem`` applied through two
+    independent appliers has a crash window where table A shows the
+    batch and table B doesn't — a torn cross-table state no reader can
+    detect. Here every epoch publishes ONE immutable manifest
+    (``manifest-<epoch>.json`` naming each table's snapshot dir,
+    fsynced before use) and a single atomic ``os.replace`` of the
+    ``CURRENT`` pointer flips all tables at once:
+
+    - crash while writing snapshot dirs: CURRENT still names the old
+      manifest; old dirs are only deleted after the flip — readers see
+      the previous consistent state;
+    - crash after manifest write, before the flip: same — the new
+      manifest is unreferenced and the epoch replays idempotently;
+    - CURRENT lost entirely: recovery scans for the NEWEST manifest
+      whose directories all exist — never a mixed-epoch view.
+
+    Tables absent from a batch keep their previous snapshot dir (the
+    manifest carries the old name forward), so untouched tables cost
+    nothing per epoch.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base: str,
+        tables: dict[str, dict],
+        table_col: str = "table",
+    ) -> None:
+        """``tables`` maps table name -> {key_cols, seq_col, schema_ddl,
+        type_col (optional)}."""
+        self.spark = spark
+        self.base = base
+        self.tables = tables
+        self.table_col = table_col
+        os.makedirs(base, exist_ok=True)
+
+    @property
+    def current_pointer(self) -> str:
+        return os.path.join(self.base, "CURRENT")
+
+    def _manifest(self) -> dict | None:
+        import json as _json
+
+        name = None
+        if os.path.isfile(self.current_pointer):
+            with open(self.current_pointer) as fh:
+                name = fh.read().strip() or None
+        if name and os.path.isfile(os.path.join(self.base, name)):
+            with open(os.path.join(self.base, name)) as fh:
+                return _json.load(fh)
+        # pointer lost: newest manifest whose snapshot dirs ALL exist
+        cands = sorted(
+            (f for f in os.listdir(self.base) if f.startswith("manifest-")),
+            key=lambda f: int(f.split("-", 1)[1].split(".")[0]),
+            reverse=True,
+        )
+        for f in cands:
+            with open(os.path.join(self.base, f)) as fh:
+                m = _json.load(fh)
+            if all(
+                os.path.isdir(os.path.join(self.base, d)) for d in m["tables"].values()
+            ):
+                return m
+        return None
+
+    def read_snapshot(self, table: str) -> DataFrame:
+        m = self._manifest()
+        if m is not None and table in m["tables"]:
+            return self.spark.read.parquet(os.path.join(self.base, m["tables"][table]))
+        return self.spark.createDataFrame([], self.tables[table]["schema_ddl"])
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        import json as _json
+
+        prev = self._manifest()
+        if prev is not None and prev["epoch"] == epoch_id:
+            return  # completed-epoch replay: already fully applied
+        if batch_df.isEmpty():
+            return
+        new_tables: dict[str, str] = dict(prev["tables"]) if prev else {}
+        touched: list[str] = []
+        for name, spec in self.tables.items():
+            subset = batch_df.filter(F.col(self.table_col) == name).drop(self.table_col)
+            if subset.isEmpty():
+                continue
+            new_snap = apply_changes(
+                self.read_snapshot(name),
+                subset,
+                spec["key_cols"],
+                spec["seq_col"],
+                spec.get("type_col", "op"),
+            )
+            dirname = f"{name}-snap-{epoch_id}"
+            new_snap.write.mode("overwrite").parquet(os.path.join(self.base, dirname))
+            new_tables[name] = dirname
+            touched.append(name)
+        if not touched:
+            return
+        mname = f"manifest-{epoch_id}.json"
+        tmp = os.path.join(self.base, mname + ".tmp")
+        with open(tmp, "w") as fh:
+            _json.dump({"epoch": epoch_id, "tables": new_tables}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, os.path.join(self.base, mname))
+        ptr_tmp = self.current_pointer + ".tmp"
+        with open(ptr_tmp, "w") as fh:
+            fh.write(mname)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(ptr_tmp, self.current_pointer)  # all tables flip together
+        # cleanup: snapshot dirs superseded this epoch + manifests two behind
+        if prev is not None:
+            for name in touched:
+                old = prev["tables"].get(name)
+                if old and old != new_tables[name]:
+                    shutil.rmtree(os.path.join(self.base, old), ignore_errors=True)
+            for f in os.listdir(self.base):
+                if (
+                    f.startswith("manifest-")
+                    and not f.endswith(".tmp")
+                    and f not in (mname, f"manifest-{prev['epoch']}.json")
+                ):
+                    os.remove(os.path.join(self.base, f))

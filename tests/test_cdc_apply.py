@@ -173,3 +173,99 @@ def test_scd2_current_equals_type1_apply(spark, sf_oracle):
         assert sum(1 for _, vt in spans if vt is None) <= 1  # at most one open
         for (f1, t1), (f2, _) in zip(spans, spans[1:]):
             assert t1 is not None and f1 < t1 <= f2, (pk, spans)
+
+
+MT_CHG_DDL = "table string, pk long, seq long, op string, name string, qty long"
+
+
+def _mt_applier(spark, tmp_path):
+    from cdc_publisher_spark.operators.cdc_apply import MultiTableSnapshotApplier
+
+    spec = {"key_cols": ["pk"], "seq_col": "seq", "schema_ddl": SNAP_DDL}
+    return MultiTableSnapshotApplier(
+        spark, str(tmp_path / "mt"), {"orders": dict(spec), "items": dict(spec)}
+    )
+
+
+def test_multi_table_applier_end_to_end(spark, tmp_path):
+    """Mixed two-table change stream: both tables converge to their
+    batch-apply expectation, untouched tables carry forward, replaying
+    a completed epoch is a no-op."""
+    src = tmp_path / "chg"
+    src.mkdir()
+    applier = _mt_applier(spark, tmp_path)
+    (src / "b1.jsonl").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"table": "orders", "pk": 1, "seq": 1, "op": "insert", "name": "a", "qty": 1},
+                {"table": "items", "pk": 7, "seq": 2, "op": "insert", "name": "x", "qty": 70},
+                {"table": "orders", "pk": 2, "seq": 3, "op": "insert", "name": "b", "qty": 2},
+            ]
+        )
+    )
+    stream = spark.readStream.schema(MT_CHG_DDL).json(str(src))
+    q = (
+        stream.writeStream.foreachBatch(applier)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    # epoch 2 touches ONLY orders; items must carry forward
+    (src / "b2.jsonl").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"table": "orders", "pk": 1, "seq": 4, "op": "delete", "name": None, "qty": None},
+                {"table": "orders", "pk": 3, "seq": 5, "op": "insert", "name": "c", "qty": 3},
+            ]
+        )
+    )
+    q.processAllAvailable()
+    q.stop()
+    orders = {r["pk"]: r["qty"] for r in applier.read_snapshot("orders").collect()}
+    items = {r["pk"]: r["qty"] for r in applier.read_snapshot("items").collect()}
+    assert orders == {2: 2, 3: 3}
+    assert items == {7: 70}
+
+    # completed-epoch replay: snapshots bit-stable
+    m_before = applier._manifest()
+    batch = spark.read.schema(MT_CHG_DDL).json(str(src / "b2.jsonl"))
+    applier(batch, m_before["epoch"])
+    assert applier._manifest() == m_before
+
+
+def test_multi_table_applier_crash_consistency(spark, tmp_path):
+    """Torn-state scenarios: a lost CURRENT pointer and a half-written
+    next epoch must both recover to the newest COMPLETE manifest —
+    never a mixed-epoch cross-table view."""
+    import os
+
+    applier = _mt_applier(spark, tmp_path)
+    base = applier.base
+    rows1 = [
+        ("orders", 1, 1, "insert", "a", 1),
+        ("items", 7, 2, "insert", "x", 70),
+    ]
+    rows2 = [
+        ("orders", 1, 3, "update", "a2", 11),
+        ("items", 7, 4, "update", "x2", 77),
+    ]
+    mk = lambda rows: spark.createDataFrame(rows, MT_CHG_DDL)
+    applier(mk(rows1), 0)
+    applier(mk(rows2), 1)
+    expect = lambda: (
+        {r["pk"]: r["qty"] for r in applier.read_snapshot("orders").collect()},
+        {r["pk"]: r["qty"] for r in applier.read_snapshot("items").collect()},
+    )
+    assert expect() == ({1: 11}, {7: 77})
+
+    # crash case 1: CURRENT pointer lost
+    os.remove(applier.current_pointer)
+    assert expect() == ({1: 11}, {7: 77})
+
+    # crash case 2: epoch 2 died after writing ONE table's snapshot dir
+    # and no manifest — recovery must still show epoch 1 for BOTH
+    os.makedirs(os.path.join(base, "orders-snap-2"), exist_ok=True)
+    assert expect() == ({1: 11}, {7: 77})
+    assert applier._manifest()["epoch"] == 1
