@@ -34,10 +34,17 @@ def asof_join(
     strict: bool = True,
     right_tiebreak: str | None = None,
     suffix: str = "_r",
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join: for each left row, attach the right row with the
     greatest ``right_ts`` <= (``<`` when ``strict``) the left row's
     ``left_ts``, matching on ``on``. Unmatched left rows keep NULLs.
+
+    ``direction="forward"`` attaches instead the right row with the
+    SMALLEST ``right_ts`` >= (``>`` when strict) the left timestamp —
+    pandas ``merge_asof`` parity. Same machinery: the union is walked
+    in descending time order, so "carry the last non-null right row
+    forward" means "nearest future row". Identical cost profile.
 
     ``right_cols`` defaults to every right column except keys+ts.
     ``right_tiebreak`` names a right column that breaks ties among
@@ -78,9 +85,23 @@ def asof_join(
         *[F.col(c).alias(a) for c, a in zip(right_cols, carried)],
     )
 
-    order: list[Column] = [F.col("_asof_ts").asc(), F.col("_side").asc()]
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    ts_order = (
+        F.col("_asof_ts").asc() if direction == "backward" else F.col("_asof_ts").desc()
+    )
+    # _side ordering is direction-independent: at equal (key, ts) the
+    # right row sorts after the left iff the match is strict (invisible).
+    order: list[Column] = [ts_order, F.col("_side").asc()]
     if right_tiebreak is not None:
-        order.append(F.col(f"{right_tiebreak}{suffix}").asc_nulls_first())
+        # forward keeps the EARLIEST future row; walking time descending
+        # means later duplicates are seen first, so the nearest-in-ts
+        # tie still resolves by taking the last-seen (minimal) one.
+        order.append(
+            F.col(f"{right_tiebreak}{suffix}").asc_nulls_first()
+            if direction == "backward"
+            else F.col(f"{right_tiebreak}{suffix}").desc_nulls_first()
+        )
     w = (
         W.partitionBy(*keys)
         .orderBy(*order)

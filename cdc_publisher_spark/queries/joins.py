@@ -328,3 +328,66 @@ def q_c10_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_suppkey")
         .limit(20)
     )
+
+
+@register(
+    "q_c11_asof_next_purchase",
+    family="C",
+    doc="FORWARD as-of join (pandas merge_asof direction='forward' "
+    "parity): each click attaches the same user's next purchase. Same "
+    "union+carry rewrite as q_c7 walked in descending time — zero join "
+    "nodes in the physical plan, no range cross-product on hot users. "
+    "Oracle materializes the pair set and takes rank 1 (fine at sf0.01, "
+    "exactly the shape the operator is designed to avoid at scale).",
+    oracle="""
+        WITH c AS (
+            SELECT event_id, user_id, epoch_us(ts) AS us
+            FROM events WHERE event_type = 'click'
+        ),
+        p AS (
+            SELECT event_id AS peid, user_id, epoch_us(ts) AS pus
+            FROM events WHERE event_type = 'purchase'
+        ),
+        j AS (
+            SELECT c.event_id, c.user_id, c.us, p.pus, p.peid,
+                   row_number() OVER (
+                       PARTITION BY c.event_id
+                       ORDER BY p.pus ASC NULLS LAST, p.peid ASC) AS rn
+            FROM c LEFT JOIN p
+              ON p.user_id = c.user_id AND p.pus > c.us
+        )
+        SELECT event_id, user_id, us,
+               COALESCE(pus, -1) AS next_us,
+               COALESCE(peid, -1) AS next_eid
+        FROM j WHERE rn = 1
+        ORDER BY event_id
+    """,
+)
+def q_c11_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_publisher_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("us")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("peid"), "user_id", F.unix_micros("ts").alias("pus")
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="us",
+        right_ts="pus",
+        right_cols=["peid"],
+        strict=True,
+        right_tiebreak="peid",
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "us",
+        F.coalesce(F.col("pus_r"), F.lit(-1)).cast("bigint").alias("next_us"),
+        F.coalesce(F.col("peid_r"), F.lit(-1)).cast("bigint").alias("next_eid"),
+    ).orderBy("event_id")

@@ -857,3 +857,44 @@ def test_sessionize_property_matches_python_twin(spark):
         assert got == session_stats_py(rows, gap_us=GAP)
 
     run()
+
+
+def test_asof_join_forward_matches_pandas_merge_asof(spark):
+    """direction='forward' (nearest future right row) equals pandas
+    merge_asof(direction='forward'), strict and inclusive."""
+    import random
+
+    import pandas as pd
+
+    from cdc_publisher_spark.operators.asof import asof_join
+
+    rng = random.Random(11)
+    left_rows = [(rng.randrange(5), rng.randrange(1000), i) for i in range(200)]
+    right_rows = [(rng.randrange(5), rng.randrange(1000), 1000 + i) for i in range(150)]
+    left = spark.createDataFrame(left_rows, "k int, ts long, lid int")
+    right = spark.createDataFrame(right_rows, "k int, ts long, rid int")
+
+    for strict in (True, False):
+        got = {
+            r["lid"]: r["rid_r"]
+            for r in asof_join(
+                left, right, on="k", left_ts="ts", right_ts="ts",
+                right_cols=["rid"], strict=strict, right_tiebreak="rid",
+                direction="forward",
+            ).collect()
+        }
+        lp = pd.DataFrame(left_rows, columns=["k", "ts", "lid"]).sort_values("ts", kind="stable")
+        # forward keeps the FIRST among equal (k, ts) right rows -> the
+        # operator's desc-carry makes the SMALLEST rid win; same here
+        rp = (
+            pd.DataFrame(right_rows, columns=["k", "ts", "rid"])
+            .sort_values(["ts", "rid"], kind="stable")
+        )
+        merged = pd.merge_asof(
+            lp, rp, on="ts", by="k", allow_exact_matches=not strict, direction="forward"
+        )
+        expected = {
+            int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+            for r in merged.itertuples()
+        }
+        assert got == expected, f"strict={strict}"
