@@ -391,3 +391,38 @@ def q_c11_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("pus_r"), F.lit(-1)).cast("bigint").alias("next_us"),
         F.coalesce(F.col("peid_r"), F.lit(-1)).cast("bigint").alias("next_eid"),
     ).orderBy("event_id")
+
+
+@register(
+    "q_c12_salted_skew_join",
+    family="C",
+    doc="Salt-scattered equi-join (operators/skew.py): the hot-key "
+    "defense for broadcast-infeasible dims — big side gets a "
+    "deterministic 16-way subkey, small side explodes across all 16, "
+    "shuffle key becomes (key, salt). Salting is result-invariant, so "
+    "the oracle is the PLAIN join: the driver hash-checks that the "
+    "scatter changes the shuffle, never the answer.",
+    oracle="""
+        SELECT c.c_mktsegment AS segment,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_mktsegment
+        ORDER BY segment
+    """,
+)
+def q_c12_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_publisher_spark.operators.skew import salted_join
+    from cdc_publisher_spark.queries.aggregation import dsum
+
+    orders = load(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        salted_join(orders, cust, "c_custkey")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum(F.col("o_totalprice"), "decimal(18,4)").alias("total_price"),
+        )
+        .orderBy("segment")
+    )
