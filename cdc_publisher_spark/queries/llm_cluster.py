@@ -208,3 +208,50 @@ def q_k37_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFra
     bench = e.filter(F.col("vec_id") < 50)
     train = e.filter(F.col("vec_id") >= 50)
     return bipartite_cosine_pairs(train, bench, 0.40).orderBy("bench_id", "train_id")
+
+
+@register(
+    "q_k40_ivf_ann",
+    family="K",
+    doc="K-3 IVF-Flat ANN (operators/ivf.py): MLlib k-means centroids "
+    "quantize the corpus into lists; queries probe the nprobe nearest "
+    "lists only — the data-adaptive alternative to the LSH path "
+    "(q_k12). Rows-only by design (k-means centroids are not "
+    "SQL-reproducible); recall vs exact brute force is pinned by "
+    "tests/test_operators.py::test_ivf_topk_recall, and every emitted "
+    "cosine is a true cosine (exact scoring inside probed lists).",
+    oracle=None,
+)
+def q_k40_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_publisher_spark.operators.ivf import build_ivf, ivf_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") >= 5)
+    queries = e.filter(F.col("vec_id") < 5)
+    index = build_ivf(corpus, n_lists=16)
+    return ivf_topk(index, queries, k=10, nprobe=6).orderBy("query_id", "rk")
+
+
+@register(
+    "q_k41_language_id",
+    family="K",
+    doc="n-gram language identification (operators/langid.py): "
+    "trigram-frequency profiles fitted per lang label (bounded "
+    "driver-side collect, <= PROFILE_SIZE x langs rows), then a pure-"
+    "expression cosine-vs-profile classifier over the corpus — no UDF "
+    "in the scoring path. Rows-only (profile fit is not SQL-"
+    "reproducible); signal + determinism pinned in "
+    "tests/test_operators.py::test_langid_*.",
+    oracle=None,
+)
+def q_k41_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_publisher_spark.operators.langid import classify, fit_profiles
+
+    docs = load(spark, sf_dir, "documents")
+    profiles = fit_profiles(docs)
+    return (
+        classify(docs, profiles)
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "lang_pred")
+    )
