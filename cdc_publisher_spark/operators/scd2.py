@@ -45,3 +45,15 @@ def scd2_history(
         "valid_to",
         F.col("valid_to").isNull().alias("is_current"),
     )
+
+
+def snapshot_asof(history: DataFrame, asof_seq) -> DataFrame:
+    """Time travel over an SCD2 history: the table state as of
+    ``asof_seq`` — versions open at that point (valid_from <= T and
+    valid_to absent-or-later). A pure filter over the history, so it
+    rides partition pruning if the history is written partitioned on
+    is_current / valid_from ranges."""
+    return history.filter(
+        (F.col("valid_from") <= asof_seq)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > asof_seq))
+    )

@@ -231,3 +231,60 @@ def q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 4).alias("bal"),
     )
     return scd2_history(changes, ["pk"], "seq").orderBy("pk", "valid_from")
+
+
+@register(
+    "q_cdc_time_travel",
+    family="CDC",
+    doc="Time travel via the SCD2 history (operators/scd2.py "
+    "snapshot_asof): table state as of seq 2500 — one filter over the "
+    "versioned history, the lakehouse-format-free answer to 'what did "
+    "this table look like at T'. Deletes are correct by construction: "
+    "a version closed by a delete simply fails the validity predicate.",
+    oracle="""
+        WITH changes AS (
+            SELECT user_id AS pk, event_id AS seq,
+                   CASE event_type WHEN 'signup' THEN 'insert'
+                                   WHEN 'error' THEN 'delete'
+                                   ELSE 'update' END AS op,
+                   event_type AS segment, ROUND(value, 4) AS bal
+            FROM events
+        ),
+        closed AS (
+            SELECT *, lead(seq) OVER (PARTITION BY pk ORDER BY seq) AS valid_to
+            FROM changes
+        )
+        SELECT pk, segment, bal, seq AS valid_from,
+               COALESCE(valid_to, -1) AS valid_to
+        FROM closed
+        WHERE op IN ('insert', 'update')
+          AND seq <= 2500 AND (valid_to IS NULL OR valid_to > 2500)
+        ORDER BY pk
+    """,
+)
+def q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_publisher_spark.operators.scd2 import scd2_history, snapshot_asof
+
+    ev = load(spark, sf_dir, "events")
+    changes = ev.select(
+        F.col("user_id").alias("pk"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "signup", "insert")
+        .when(F.col("event_type") == "error", "delete")
+        .otherwise("update")
+        .alias("op"),
+        F.col("event_type").alias("segment"),
+        F.round("value", 4).alias("bal"),
+    )
+    hist = scd2_history(changes, ["pk"], "seq")
+    return (
+        snapshot_asof(hist, F.lit(2500))
+        .select(
+            "pk",
+            "segment",
+            "bal",
+            "valid_from",
+            F.coalesce("valid_to", F.lit(-1)).cast("bigint").alias("valid_to"),
+        )
+        .orderBy("pk")
+    )

@@ -426,3 +426,54 @@ def q_c12_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "q_c13_nullsafe_join",
+    family="C",
+    doc="Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys "
+    "match each other — the semantic a plain equi-join silently drops. "
+    "Keys are NULLified via nullif (the synthetic tables have no NULL "
+    "keys), then joined null-safely; the NULL group must survive with "
+    "its full count. Still a hash join: Spark plans EqualNullSafe as a "
+    "normal shuffle-hash key, no nested loop.",
+    oracle="""
+        WITH o AS (
+            SELECT nullif(o_orderpriority, '1-URGENT') AS pri, o_totalprice
+            FROM orders
+        ),
+        d AS (
+            SELECT DISTINCT nullif(o_orderpriority, '1-URGENT') AS pri,
+                   COALESCE(nullif(o_orderpriority, '1-URGENT'), 'was-urgent') AS label
+            FROM orders
+        )
+        SELECT d.label,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM o JOIN d ON o.pri IS NOT DISTINCT FROM d.pri
+        GROUP BY d.label
+        ORDER BY d.label
+    """,
+)
+def q_c13_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_publisher_spark.queries.aggregation import dsum
+
+    orders = load(spark, sf_dir, "orders")
+    pri = F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))
+    o = orders.select(pri.alias("pri"), "o_totalprice")
+    d = (
+        orders.select(
+            pri.alias("dpri"),
+            F.coalesce(pri, F.lit("was-urgent")).alias("label"),
+        )
+        .distinct()
+    )
+    return (
+        o.join(F.broadcast(d), F.col("pri").eqNullSafe(F.col("dpri")))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            dsum(F.col("o_totalprice"), "decimal(18,4)").alias("total"),
+        )
+        .orderBy("label")
+    )
