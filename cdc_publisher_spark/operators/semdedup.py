@@ -110,3 +110,36 @@ def semantic_dedup(
             ).alias("keep"),
         )
     )
+
+
+def diversity_sample(
+    corpus: DataFrame,
+    per_cluster: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Cluster-balanced subsampling: k-means-quantize the corpus, keep
+    at most ``per_cluster`` vectors per cluster, chosen by a
+    deterministic content hash (not input order). Where uniform random
+    sampling over-represents dense regions, this caps every mode's
+    contribution — the diversity-preserving counterpart to q_k31's
+    by-source stratification. One k-means fit + one partitioned
+    row_number; no global ordering anywhere."""
+    from pyspark.sql import Window as W
+
+    if corpus.limit(1).count() == 0:
+        return corpus.sparkSession.createDataFrame(
+            [], f"{id_col} bigint, list_id int, keep boolean"
+        )
+    index = build_ivf(corpus, id_col=id_col, vec_col=vec_col, n_lists=n_lists, seed=seed)
+    w = W.partitionBy("list_id").orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+    return (
+        index.corpus.withColumn("_rk", F.row_number().over(w))
+        .select(
+            F.col(id_col),
+            F.col("list_id").cast("int").alias("list_id"),
+            (F.col("_rk") <= per_cluster).alias("keep"),
+        )
+    )

@@ -73,3 +73,36 @@ def q_b2_string_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_name", "p_brand", "p_type")
         .orderBy("p_partkey")
     )
+
+
+@register(
+    "q_b3_pushdown_mix",
+    family="B",
+    doc="Every pushable predicate class at once — IN-list, BETWEEN "
+    "(range pair), LIKE prefix, IS NOT NULL — plus a 2-column "
+    "projection. The plan test pins that ALL of them reach the parquet "
+    "scan as PushedFilters and the ReadSchema is exactly the projected "
+    "columns: at 100 TB this is the difference between reading two "
+    "columns of matching row groups and reading the table.",
+    oracle="""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+          AND o_totalprice BETWEEN 1000 AND 200000
+          AND o_orderstatus LIKE 'F%'
+          AND o_custkey IS NOT NULL
+        ORDER BY o_orderkey
+    """,
+)
+def q_b3_pushdown_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            & F.col("o_totalprice").between(1000, 200000)
+            & F.col("o_orderstatus").startswith("F")
+            & F.col("o_custkey").isNotNull()
+        )
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )

@@ -255,3 +255,20 @@ def q_k41_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("lang", "lang_pred")
     )
+
+
+@register(
+    "q_k42_diversity_sample",
+    family="K",
+    doc="Cluster-balanced diversity sampling (operators/semdedup.py "
+    "diversity_sample): cap each k-means cluster's contribution at 32 "
+    "vectors, chosen by content hash — dense modes stop dominating the "
+    "subsample. Rows-only (k-means); quota + determinism + coverage "
+    "invariants pinned in tests/test_operators.py.",
+    oracle=None,
+)
+def q_k42_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_publisher_spark.operators.semdedup import diversity_sample
+
+    e = load(spark, sf_dir, "embeddings")
+    return diversity_sample(e, per_cluster=32).orderBy("vec_id")

@@ -898,3 +898,23 @@ def test_asof_join_forward_matches_pandas_merge_asof(spark):
             for r in merged.itertuples()
         }
         assert got == expected, f"strict={strict}"
+
+
+def test_diversity_sample_invariants(spark, sf_oracle):
+    from cdc_publisher_spark.operators.semdedup import diversity_sample
+
+    e = load(spark, sf_oracle, "embeddings")
+    rows = diversity_sample(e, per_cluster=32).collect()
+    assert len(rows) == e.count()  # every vector labeled
+    kept = {}
+    for r in rows:
+        if r["keep"]:
+            kept.setdefault(r["list_id"], 0)
+            kept[r["list_id"]] += 1
+    assert kept and all(n <= 32 for n in kept.values())  # quota respected
+    # every non-empty cluster contributes (no mode silently dropped)
+    clusters = {r["list_id"] for r in rows}
+    assert set(kept) == clusters
+    # deterministic under re-evaluation
+    again = diversity_sample(e, per_cluster=32).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

@@ -201,3 +201,20 @@ def test_q_c10_exists_joins_stay_hashed(spark, sf_oracle):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_q_b3_all_predicates_reach_the_scan(spark, sf_oracle):
+    """IN, range pair, LIKE-prefix, IS NOT NULL all pushed; scan reads
+    only the projected+filtered columns."""
+    plan = plan_string(_df(spark, sf_oracle, "q_b3_pushdown_mix"), "formatted")
+    assert "In(o_orderpriority" in plan
+    assert "GreaterThanOrEqual(o_totalprice,1000" in plan
+    assert "LessThanOrEqual(o_totalprice,200000" in plan
+    assert "StringStartsWith(o_orderstatus,F)" in plan
+    assert "IsNotNull(o_custkey)" in plan
+    import re
+
+    schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    read_cols = {c.split(":")[0] for c in schema.split(",")}
+    assert read_cols == {"o_orderkey", "o_totalprice", "o_orderpriority",
+                         "o_orderstatus", "o_custkey"}
