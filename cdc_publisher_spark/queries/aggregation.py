@@ -478,3 +478,39 @@ def q_d14_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "q_d15_unpivot_measures",
+    family="D",
+    doc="UNPIVOT / melt: wide per-returnflag aggregates into long "
+    "(measure, value) form — the inverse of q_d8's pivot. Spark's "
+    "native unpivot keeps the melt inside codegen (an Expand node, "
+    "no shuffle beyond the aggregation's own); DECIMAL-cast sums "
+    "keep the melted doubles bit-equal across engines.",
+    oracle="""
+        WITH a AS (
+            SELECT l_returnflag,
+                   CAST(SUM(CAST(l_quantity      AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+                   CAST(SUM(CAST(l_discount      AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, 'sum_qty'   AS measure, sum_qty   AS value FROM a
+        UNION ALL
+        SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM a
+        UNION ALL
+        SELECT l_returnflag, 'sum_disc'  AS measure, sum_disc  AS value FROM a
+        ORDER BY l_returnflag, measure
+    """,
+)
+def q_d15_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        dsum(F.col("l_quantity"), "decimal(18,4)").alias("sum_qty"),
+        dsum(F.col("l_extendedprice"), "decimal(18,4)").alias("sum_price"),
+        dsum(F.col("l_discount"), "decimal(18,4)").alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "measure", "value"
+    ).orderBy("l_returnflag", "measure")

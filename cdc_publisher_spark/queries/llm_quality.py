@@ -338,3 +338,106 @@ def q_k38_corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("psi_total"),
     ).orderBy("bucket")
+
+
+@register(
+    "q_k43_zipf_slope",
+    family="K",
+    doc="Zipf heavy-tail diagnostic: fit ln(tf) ~ ln(rank) over the "
+    "top-1000 vocabulary head via regr_slope/regr_intercept. Natural "
+    "corpora sit near slope -1; a flat slope flags synthetic/templated "
+    "text. Scale shape: the vocab agg is partial+final, the head is a "
+    "TakeOrdered (never a global sort), and the rank window runs over "
+    "1000 rows only — fitting on the head is the standard Zipf "
+    "procedure and keeps the op O(vocab) with O(1) window work.",
+    oracle="""
+        WITH tok AS (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        ),
+        v AS (SELECT w, COUNT(*) AS tf FROM tok GROUP BY w),
+        top AS (SELECT w, tf FROM v ORDER BY tf DESC, w LIMIT 1000),
+        r AS (
+            SELECT tf, row_number() OVER (ORDER BY tf DESC, w) AS rnk FROM top
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_ranks,
+               ROUND(regr_slope(ln(tf), ln(rnk)), 4) AS zipf_slope,
+               ROUND(regr_intercept(ln(tf), ln(rnk)), 4) AS zipf_intercept
+        FROM r
+    """,
+)
+def q_k43_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(words(F.col("text"))).alias("w"))
+    v = tok.groupBy("w").agg(F.count("*").alias("tf"))
+    top = v.orderBy(F.col("tf").desc(), "w").limit(1000)
+    r = top.select(
+        "tf",
+        F.row_number().over(W.orderBy(F.col("tf").desc(), "w")).alias("rnk"),
+    )
+    return r.agg(
+        F.count("*").alias("n_ranks"),
+        F.round(F.regr_slope(F.log("tf"), F.log("rnk")), 4).alias("zipf_slope"),
+        F.round(F.regr_intercept(F.log("tf"), F.log("rnk")), 4).alias("zipf_intercept"),
+    )
+
+
+@register(
+    "q_k44_source_vocab_overlap",
+    family="K",
+    doc="Pairwise vocabulary Jaccard between sources — the redundancy/ "
+    "contamination map a mix designer reads before weighting sources. "
+    "Per-source vocab is a map-side partial distinct; the pair "
+    "intersection is one equi-join on the word (hash the word to 8 "
+    "bytes first at 100 TB); per-source sizes broadcast. Output is "
+    "O(sources^2) rows.",
+    oracle="""
+        WITH v AS (
+            SELECT DISTINCT source, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        ),
+        sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY source),
+        inter AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(COUNT(*) AS BIGINT) AS common_words
+            FROM v a JOIN v b ON a.w = b.w AND a.source < b.source
+            GROUP BY a.source, b.source
+        )
+        SELECT source_a, source_b, common_words,
+               ROUND(common_words * 1.0 / (sa.n + sb.n - common_words), 4)
+                   AS vocab_jaccard
+        FROM inter
+        JOIN sz sa ON sa.source = source_a
+        JOIN sz sb ON sb.source = source_b
+        ORDER BY source_a, source_b
+    """,
+)
+def q_k44_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    v = docs.select("source", F.explode(words(F.col("text"))).alias("w")).distinct()
+    sz = v.groupBy("source").agg(F.count("*").alias("n"))
+    a = v.alias("a")
+    b = v.alias("b")
+    inter = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
+        .agg(F.count("*").alias("common_words"))
+    )
+    sa = F.broadcast(sz.select(F.col("source").alias("source_a"), F.col("n").alias("na")))
+    sb = F.broadcast(sz.select(F.col("source").alias("source_b"), F.col("n").alias("nb")))
+    return (
+        inter.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "common_words",
+            F.round(
+                F.col("common_words") * 1.0
+                / (F.col("na") + F.col("nb") - F.col("common_words")),
+                4,
+            ).alias("vocab_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )

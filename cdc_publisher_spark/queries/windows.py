@@ -347,3 +347,38 @@ def q_e9_session_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_value",
         "idle_us",
     ).orderBy("user_id", "session_num")
+
+
+@register(
+    "q_e10_distribution_functions",
+    family="E",
+    doc="percent_rank / cume_dist / nth_value per nation over supplier "
+    "account balances. Unique tiebreak (s_suppkey) makes every rank "
+    "deterministic; nth_value gets an explicit full-partition frame so "
+    "both engines evaluate it over the whole partition rather than the "
+    "default running frame. Missing 2nd element coalesces to -1 "
+    "(nullable-int pandas round-trip differs between engines).",
+    oracle="""
+        SELECT s_suppkey, s_nationkey,
+               ROUND(percent_rank() OVER w, 4) AS pr,
+               ROUND(cume_dist()    OVER w, 4) AS cd,
+               COALESCE(nth_value(s_suppkey, 2) OVER (
+                   PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), -1)
+                   AS second_suppkey
+        FROM supplier
+        WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+        ORDER BY s_suppkey
+    """,
+)
+def q_e10_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    w = W.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc(), "s_suppkey")
+    full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.round(F.percent_rank().over(w), 4).alias("pr"),
+        F.round(F.cume_dist().over(w), 4).alias("cd"),
+        F.coalesce(F.nth_value("s_suppkey", 2).over(full), F.lit(-1)).alias("second_suppkey"),
+    ).orderBy("s_suppkey")
