@@ -272,3 +272,27 @@ def q_k42_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "embeddings")
     return diversity_sample(e, per_cluster=32).orderBy("vec_id")
+
+
+@register(
+    "q_k45_pq_ann",
+    family="K",
+    doc="K-3 product-quantization ANN (operators/pq.py): seeded "
+    "per-subspace codebooks compress each 64-dim vector to 8 codes "
+    "(32x fewer scan bytes); queries score the compressed corpus via "
+    "ADC lookup-table gathers in one mapInPandas pass, then the "
+    "nominated candidates are exactly re-ranked on the raw vectors. "
+    "Rows-only by design (k-means codebooks are not SQL-reproducible); "
+    "recall vs brute force and true-cosine outputs are pinned by "
+    "tests/test_operators.py::test_pq_topk_recall.",
+    oracle=None,
+)
+def q_k45_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_publisher_spark.operators.pq import encode_pq, pq_topk, train_pq
+
+    e = load(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") >= 5)
+    queries = e.filter(F.col("vec_id") < 5)
+    cb = train_pq(corpus, m=8, n_codes=16)
+    encoded = encode_pq(corpus, cb)
+    return pq_topk(corpus, encoded, cb, queries, k=10).orderBy("query_id", "rk")

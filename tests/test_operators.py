@@ -918,3 +918,55 @@ def test_diversity_sample_invariants(spark, sf_oracle):
     # deterministic under re-evaluation
     again = diversity_sample(e, per_cluster=32).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_pq_codebook_deterministic_and_compact(spark, sf_oracle):
+    from cdc_publisher_spark.operators.pq import encode_pq, train_pq
+
+    e = load(spark, sf_oracle, "embeddings")
+    cb1 = train_pq(e, m=8, n_codes=16)
+    cb2 = train_pq(e, m=8, n_codes=16)
+    assert cb1.codebooks == cb2.codebooks  # seeded train is reproducible
+    assert cb1.m == 8 and cb1.n_codes == 16 and cb1.dim == 64
+
+    enc = encode_pq(e, cb1)
+    rows = enc.collect()
+    assert len(rows) == e.count()
+    for r in rows[:50]:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < 16 for c in r["codes"])
+
+
+def test_pq_topk_recall(spark, sf_oracle):
+    from cdc_publisher_spark.operators.ann import brute_force_topk
+    from cdc_publisher_spark.operators.pq import encode_pq, pq_topk, train_pq
+
+    e = load(spark, sf_oracle, "embeddings")
+    queries = e.filter(F.col("vec_id") < 20)
+    corpus = e.filter(F.col("vec_id") >= 20)
+    cb = train_pq(corpus, m=8, n_codes=16)
+    encoded = encode_pq(corpus, cb)
+
+    exact_sets: dict[int, set[int]] = {}
+    for r in brute_force_topk(corpus, queries, k=10).collect():
+        exact_sets.setdefault(r["query_id"], set()).add(r["cand_id"])
+    full = {
+        (r["query_id"], r["cand_id"]): r["cosine"]
+        for r in brute_force_topk(corpus, queries, k=10**6).collect()
+    }
+    approx = pq_topk(corpus, encoded, cb, queries, k=10)
+    approx_sets: dict[int, set[int]] = {}
+    cosines_ok = True
+    for r in approx.collect():
+        approx_sets.setdefault(r["query_id"], set()).add(r["cand_id"])
+        cosines_ok &= full[(r["query_id"], r["cand_id"])] == r["cosine"]
+    assert cosines_ok  # ADC only nominates; emitted cosines are exact
+    assert all(len(s) == 10 for s in approx_sets.values())
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q]) for q in exact_sets
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    # isotropic random 64-d vectors are PQ's worst case (no cluster
+    # structure); the top-(k+pad) nominate still has to beat random
+    # candidate picking by a wide margin
+    assert mean_recall >= 0.3, f"mean recall {mean_recall:.2f} (per-query {recalls})"
