@@ -612,6 +612,69 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_smoke, tmp_path):
     assert got == expected and len(got) > 0
 
 
+def test_stream_stream_left_outer_interval_join_equals_batch(spark, sf_smoke, tmp_path):
+    """Stream-stream LEFT OUTER join with watermarks + interval bound.
+    Outer semantics are the subtle half of the stream-stream join
+    contract: an unmatched left row may only emit once the watermark
+    proves no matching right row can still arrive. A bounded replay
+    never advances the watermark past its own tail, so the test
+    appends a far-future flush row to both sides to force the final
+    unmatched emissions, then checks set-equality against the batch
+    left join."""
+    from cdc_publisher_spark.tables import load
+
+    ev = load(spark, sf_smoke, "events")
+    v_schema = "v_user bigint, v_id bigint, v_ts timestamp"
+    c_schema = "c_user bigint, c_id bigint, c_ts timestamp"
+    v_batch = ev.filter(F.col("event_type") == "view").selectExpr(
+        "user_id AS v_user", "event_id AS v_id", "ts AS v_ts"
+    )
+    c_batch = ev.filter(F.col("event_type") == "click").selectExpr(
+        "user_id AS c_user", "event_id AS c_id", "ts AS c_ts"
+    )
+    v_dir, c_dir = str(tmp_path / "v"), str(tmp_path / "c")
+    v_batch.write.parquet(v_dir)
+    c_batch.write.parquet(c_dir)
+
+    cond = F.expr("v_user = c_user AND c_ts > v_ts AND c_ts <= v_ts + INTERVAL 1 HOUR")
+    views_s = spark.readStream.schema(v_schema).parquet(v_dir).withWatermark("v_ts", "2 hours")
+    clicks_s = spark.readStream.schema(c_schema).parquet(c_dir).withWatermark("c_ts", "2 hours")
+    joined = views_s.join(clicks_s, cond, "leftOuter").select(
+        "v_user", "v_id", F.coalesce("c_id", F.lit(-1)).alias("c_id")
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_outer_t")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    # watermark flush: one far-future row per side unsticks every
+    # pending unmatched left row (global watermark = min over sides)
+    far = ev.agg(F.max("ts")).collect()[0][0]
+    import datetime
+
+    flush_ts = far + datetime.timedelta(hours=12)
+    spark.createDataFrame([(-1, -1, flush_ts)], v_schema).write.mode("append").parquet(v_dir)
+    spark.createDataFrame([(-1, -1, flush_ts)], c_schema).write.mode("append").parquet(c_dir)
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["v_user"], r["v_id"], r["c_id"])
+        for r in spark.sql("SELECT * FROM ssj_outer_t WHERE v_user >= 0").collect()
+    }
+
+    expected = {
+        (r["v_user"], r["v_id"], r["c_id"])
+        for r in v_batch.join(c_batch, cond, "leftOuter")
+        .select("v_user", "v_id", F.coalesce("c_id", F.lit(-1)).alias("c_id"))
+        .collect()
+    }
+    unmatched = {t for t in expected if t[2] == -1}
+    assert got == expected
+    assert unmatched and unmatched <= got  # outer rows actually emitted
+
+
 def _has_protobuf() -> bool:
     try:
         from google.protobuf import descriptor  # noqa: F401
