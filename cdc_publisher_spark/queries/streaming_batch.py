@@ -224,3 +224,53 @@ def q_i5_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return drift_monitor(ev).orderBy("win_start_s")
+
+
+@register(
+    "q_i6_interval_join",
+    family="I",
+    doc="Batch twin of the stream-stream left-outer interval join "
+    "(tests/test_streaming.py::test_stream_stream_left_outer_interval_"
+    "join_equals_batch asserts the streamed result equals this shape): "
+    "each view joined to the same user's clicks in the following hour, "
+    "unmatched views kept. At scale the watermark bounds streaming "
+    "state to 2 h per side; the batch form is one shuffle on user_id.",
+    oracle="""
+        SELECT v.user_id,
+               v.event_id AS view_id,
+               COALESCE(c.event_id, -1) AS click_id,
+               COALESCE(epoch_us(c.ts) - epoch_us(v.ts), -1) AS lag_us
+        FROM (SELECT * FROM events WHERE event_type = 'view') v
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON v.user_id = c.user_id
+         AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+        ORDER BY v.user_id, view_id, click_id
+    """,
+)
+def q_i6_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("c_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    return (
+        v.join(c, cond, "left")
+        .select(
+            "user_id",
+            "view_id",
+            F.coalesce("c_id", F.lit(-1)).alias("click_id"),
+            F.coalesce(
+                F.unix_micros("c_ts") - F.unix_micros("v_ts"), F.lit(-1)
+            ).alias("lag_us"),
+        )
+        .orderBy("user_id", "view_id", "click_id")
+    )
