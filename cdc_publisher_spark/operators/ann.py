@@ -20,6 +20,9 @@ literal plane array) — no UDF anywhere.
 
 from __future__ import annotations
 
+import math
+from functools import reduce
+
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
@@ -120,6 +123,7 @@ def cosine_pairs_exact(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     accel: str = "blas",
+    tile_rows: int = 65536,
 ) -> DataFrame:
     """Exact (i, j, cosine) pairs with cosine >= threshold, i < j.
 
@@ -129,12 +133,20 @@ def cosine_pairs_exact(
 
     ``accel='blas'`` (default) mines candidates with an Arrow-batched
     numpy block matmul over ``mapInPandas`` — each corpus partition ×
-    a closure-shipped block matrix, the textbook BLAS tiling — with a
-    1e-9 guard band, then recomputes the cosine of the surviving
-    handful of pairs with the same sequential-fold expression the
-    DuckDB oracle uses, so the output stays bit-identical to
-    ``accel='hof'`` (the pure-Catalyst broadcast-NL form, kept as the
-    equality twin; ~20× slower at sf0.1 — 2M interpreted HOF folds).
+    a closure-shipped tile of at most ``tile_rows`` vectors, the
+    textbook BLAS tiling — with a 1e-9 guard band, then recomputes the
+    cosine of the surviving handful of pairs with the same
+    sequential-fold expression the DuckDB oracle uses, so the output
+    stays bit-identical to ``accel='hof'`` (the pure-Catalyst
+    broadcast-NL form, kept as the equality twin; ~20× slower at
+    sf0.1 — 2M interpreted HOF folds).
+
+    Driver memory is bounded by O(tile_rows · d) regardless of corpus
+    size: the candidate miner collects one hash-assigned tile at a
+    time, never the whole corpus (see :func:`_blas_candidate_pairs`).
+    All-pairs work is inherently quadratic — n/tile_rows corpus passes
+    — which is the declared cost of the EXACT path; the sub-quadratic
+    scale paths are :func:`cosine_pairs_lsh` and SemDeDup.
     """
     a = vectors.select(
         F.col(id_col).alias("i"),
@@ -147,7 +159,7 @@ def cosine_pairs_exact(
         l2_norm(F.col(vec_col)).alias("nb"),
     )
     if accel == "blas":
-        cand = _blas_candidate_pairs(vectors, threshold, id_col, vec_col)
+        cand = _blas_candidate_pairs(vectors, threshold, id_col, vec_col, tile_rows)
         scored = (
             cand.join(a, "i")
             .join(b, "j")
@@ -177,24 +189,14 @@ def cosine_pairs_exact(
     )
 
 
-def _blas_candidate_pairs(
-    vectors: DataFrame, threshold: float, id_col: str, vec_col: str
-) -> DataFrame:
-    """(i, j) id pairs with numpy-matmul cosine >= threshold - 1e-9.
+def _tile_miner(tile_ids: np.ndarray, tile_mat: np.ndarray, guard: float):
+    """mapInPandas generator: corpus batches × one closure-shipped tile.
 
-    The block side is collected driver-side (bounded by assumption —
-    this is the exact/diagnostic path; LSH handles unbounded corpora)
-    and shipped inside the UDF closure so the generator pickles by
-    value (the driver contract runs sessions that cannot import this
-    package on executors).
+    Built by a factory so each tile's arrays bind by value and the
+    closure pickles standalone (the driver contract runs sessions that
+    cannot import this package on executors).
     """
-    pdf = vectors.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v")).toPandas()
-    if len(pdf) == 0:  # np.array([]) is 1-D; axis=1 norms would throw
-        return vectors.sparkSession.createDataFrame([], "i bigint, j bigint")
-    block_ids = np.asarray(pdf["i"].to_numpy(), dtype=np.int64)
-    block = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
-    block_norms = np.linalg.norm(block, axis=1)
-    guard = threshold - 1e-9
+    tile_norms = np.linalg.norm(tile_mat, axis=1)
 
     def gen(batches):
         import numpy as _np
@@ -205,15 +207,60 @@ def _blas_candidate_pairs(
             A = _np.array([_np.asarray(v, dtype=_np.float64) for v in part["v"]])
             if len(A) == 0:
                 continue
-            cos = (A @ block.T) / _np.outer(_np.linalg.norm(A, axis=1), block_norms)
-            ii, jj = _np.nonzero((cos >= guard) & (ids[:, None] < block_ids[None, :]))
+            cos = (A @ tile_mat.T) / _np.outer(_np.linalg.norm(A, axis=1), tile_norms)
+            ii, jj = _np.nonzero((cos >= guard) & (ids[:, None] < tile_ids[None, :]))
             if len(ii):
-                yield _pd.DataFrame({"i": ids[ii], "j": block_ids[jj]})
+                yield _pd.DataFrame({"i": ids[ii], "j": tile_ids[jj]})
 
-    return (
-        vectors.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
-        .mapInPandas(gen, "i bigint, j bigint")
-    )
+    return gen
+
+
+def _blas_candidate_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    tile_rows: int = 65536,
+) -> DataFrame:
+    """(i, j) id pairs with numpy-matmul cosine >= threshold - 1e-9.
+
+    Driver memory is BOUNDED: the corpus is tiled into
+    ceil(n / tile_rows) hash-assigned tiles (pmod(xxhash64(id))), and
+    only ONE tile at a time is collected and shipped in the closure —
+    O(tile_rows · d) driver bytes, never the whole corpus. Each tile
+    pass matmuls every corpus partition against that tile; the
+    ``i < j`` mask means an unordered pair {x, y} (x < y) is emitted
+    exactly once, by the pass whose tile contains y — so the union over
+    tiles covers all-pairs with no duplicates. The per-tile corpus
+    rescans are the declared quadratic cost of the exact path (the
+    projection is persisted across tiles); the sub-quadratic paths are
+    cosine_pairs_lsh / SemDeDup.
+    """
+    v = vectors.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+    n = v.count()
+    if n == 0:
+        return vectors.sparkSession.createDataFrame([], "i bigint, j bigint")
+    n_tiles = max(1, math.ceil(n / tile_rows))
+    if n_tiles > 1:
+        # one materialization feeds n_tiles collects + n_tiles scans
+        v = v.persist()
+    guard = threshold - 1e-9
+    parts: list[DataFrame] = []
+    for t in range(n_tiles):
+        tile = (
+            v
+            if n_tiles == 1
+            else v.filter(F.pmod(F.xxhash64(F.col("i")), F.lit(n_tiles)) == t)
+        )
+        pdf = tile.toPandas()
+        if len(pdf) == 0:  # np.array([]) is 1-D; axis=1 norms would throw
+            continue
+        tile_ids = np.asarray(pdf["i"].to_numpy(), dtype=np.int64)
+        tile_mat = np.array([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+        parts.append(v.mapInPandas(_tile_miner(tile_ids, tile_mat, guard), "i bigint, j bigint"))
+    if not parts:
+        return vectors.sparkSession.createDataFrame([], "i bigint, j bigint")
+    return reduce(lambda x, y: x.unionByName(y), parts)
 
 
 def cosine_pairs_lsh(

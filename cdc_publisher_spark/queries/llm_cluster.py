@@ -36,8 +36,9 @@ NEARDUP_COS_THRESHOLD = 0.42
     family="K",
     bench=True,  # regression-visibility for the Arrow/BLAS mapInPandas path
     doc="K-2 embedding-cosine near-dup: exact (i, j, cosine) pairs with "
-    "cosine >= 0.42 via broadcast block join (operators/ann.py "
-    "cosine_pairs_exact). Oracle twin of the LSH-bucketed scale path "
+    "cosine >= 0.42 via bounded-tile block matmul (operators/ann.py "
+    "cosine_pairs_exact — driver memory O(tile_rows·d), never a full-"
+    "corpus collect). Oracle twin of the LSH-bucketed scale path "
     "(cosine_pairs_lsh, recall-tested).",
     oracle="""
         WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),

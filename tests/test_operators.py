@@ -662,6 +662,25 @@ def test_cosine_pairs_blas_equals_hof(spark, sf_oracle):
     assert cosine_pairs_exact(vecs, 0.95).count() == 0
 
 
+def test_cosine_pairs_tiled_equals_single_tile(spark, sf_oracle):
+    """The bounded-driver-memory tiling (q_k21's scale fix): forcing
+    many tiles (tile_rows << corpus) must produce exactly the same pair
+    set as one tile — every unordered pair covered once, none twice —
+    and tile sizes must be bounded so the driver never holds the whole
+    corpus."""
+    from cdc_publisher_spark.operators.ann import cosine_pairs_exact
+
+    vecs = load(spark, sf_oracle, "embeddings")  # 500 vectors at sf0.01
+    single = sorted(map(tuple, cosine_pairs_exact(vecs, 0.42).collect()))
+    tiled = sorted(map(tuple, cosine_pairs_exact(vecs, 0.42, tile_rows=64).collect()))
+    assert tiled == single and len(tiled) > 0
+    # pathological tile_rows=1 still correct on a small slice
+    small = vecs.filter("vec_id < 40")
+    one_by_one = sorted(map(tuple, cosine_pairs_exact(small, 0.30, tile_rows=1).collect()))
+    ref = sorted(map(tuple, cosine_pairs_exact(small, 0.30).collect()))
+    assert one_by_one == ref
+
+
 def test_jsonl_corpus_source_roundtrip_and_dead_letters(spark, tmp_path):
     """sources/corpus.py: explicit-schema JSONL ingest — good lines
     parse to the documents schema, malformed lines dead-letter instead
