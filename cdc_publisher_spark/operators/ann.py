@@ -371,7 +371,8 @@ def block_topk(
 ) -> DataFrame:
     """Exact top-k via the SURVEY §4.3-item-4 shape: block-wise numpy
     matmul per corpus partition (mapInPandas, Arrow-batched), bounded
-    per-batch candidate top-(k+pad), then a global exact re-rank.
+    per-partition candidate top-(k+pad) (per-batch results merge into
+    one running heap before emission), then a global exact re-rank.
 
     Why this beats :func:`brute_force_topk` as the query block grows:
     the per-pair fold cosine is interpreted (one O(d) fold per
@@ -406,28 +407,46 @@ def block_topk(
     def nominate(batches):
         # closure pickles by value: numpy + plain lists only (the
         # driver may run this from a session that cannot import the
-        # engine package on executors)
+        # engine package on executors). Per-batch candidates merge into
+        # a running per-PARTITION top-(k+pad) heap, emitted once at
+        # partition end, so candidate traffic really is
+        # O(partitions * |Q| * (k+pad)) however many Arrow batches a
+        # partition splits into.
         import numpy as np
         import pandas as pd
 
         Q = np.asarray(q_mat, dtype=np.float64)
-        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        Qd = np.linalg.norm(Q, axis=1, keepdims=True)
+        Qn = Q / np.where(Qd > 0, Qd, 1.0)
         qid = np.asarray(q_ids, dtype=np.int64)
+        best_s = None  # (nq, <=kk) running scores
+        best_c = None  # (nq, <=kk) matching candidate ids
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             C = np.asarray(
                 [np.asarray(x, dtype=np.float64) for x in pdf[v].values]
             )
-            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-            scores = Cn @ Qn.T  # (batch, nq)
-            take = min(kk, scores.shape[0])
-            # argpartition per query column: top-`take` rows
-            idx = np.argpartition(-scores, take - 1, axis=0)[:take]
-            cand = pdf["_cid"].values
-            out_q = np.repeat(qid, take)
-            out_c = cand[idx].T.reshape(-1)
-            yield pd.DataFrame({"query_id": out_q, "cand_id": out_c})
+            Cd = np.linalg.norm(C, axis=1, keepdims=True)
+            Cn = C / np.where(Cd > 0, Cd, 1.0)
+            S = Qn @ Cn.T  # (nq, batch)
+            cand = np.broadcast_to(
+                np.asarray(pdf["_cid"].values, dtype=np.int64), S.shape
+            )
+            if best_s is not None:
+                S = np.concatenate([best_s, S], axis=1)
+                cand = np.concatenate([best_c, cand], axis=1)
+            take = min(kk, S.shape[1])
+            idx = np.argpartition(-S, take - 1, axis=1)[:, :take]
+            rows = np.arange(S.shape[0])[:, None]
+            best_s, best_c = S[rows, idx], cand[rows, idx]
+        if best_s is not None:
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qid, best_c.shape[1]),
+                    "cand_id": best_c.reshape(-1),
+                }
+            )
 
     cands = (
         corpus.select(F.col(corpus_id).alias("_cid"), v)

@@ -44,6 +44,15 @@ from pyspark.sql import functions as F
 from cdc_publisher_spark.functions.vectors import cosine_with_norms, l2_norm
 
 
+def _safe_unit_rows(X):
+    """Row-normalize, mapping zero vectors to zero rows instead of NaN —
+    the numpy twin of functions/vectors.py normalize()'s null-safety."""
+    import numpy as np
+
+    n = np.linalg.norm(X, axis=1, keepdims=True)
+    return X / np.where(n > 0, n, 1.0)
+
+
 @dataclass(frozen=True)
 class PqCodebook:
     """m subspace codebooks, each n_codes x (dim/m), plain lists so the
@@ -100,7 +109,7 @@ def train_pq(
         corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).collect()
     )  # TakeOrdered: bounded and layout-independent
     X = np.asarray([list(map(float, r[1])) for r in rows], dtype=np.float64)
-    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    X = _safe_unit_rows(X)
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -135,7 +144,8 @@ def encode_pq(
             if len(pdf) == 0:
                 continue
             V = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf[v].values])
-            V /= np.linalg.norm(V, axis=1, keepdims=True)
+            Vn = np.linalg.norm(V, axis=1, keepdims=True)
+            V /= np.where(Vn > 0, Vn, 1.0)  # zero vector -> zero row, not NaN codes
             codes = np.empty((len(V), m), dtype=np.int16)
             for j in range(m):
                 sub = V[:, j * dsub : (j + 1) * dsub]
@@ -177,17 +187,24 @@ def pq_topk(
     kk = k + pad
 
     def nominate(batches):
+        # Per-PARTITION top-(k+pad): per-batch candidates are merged in
+        # a running (nq, <=k+pad) heap and emitted once at partition
+        # end, so candidate traffic is O(partitions * |Q| * (k+pad)) —
+        # independent of how many Arrow batches a partition splits into.
         import numpy as np
         import pandas as pd
 
         Q = np.asarray(q_mat, dtype=np.float64)
-        Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+        Qn = np.linalg.norm(Q, axis=1, keepdims=True)
+        Q /= np.where(Qn > 0, Qn, 1.0)  # zero query -> zero scores, not NaN
         qid = np.asarray(q_ids, dtype=np.int64)
         # LUT[j]: (nq, n_codes) exact subspace dot products
         lut = [
             Q[:, j * dsub : (j + 1) * dsub] @ np.asarray(books[j], dtype=np.float64).T
             for j in range(m)
         ]
+        best_s = None  # (nq, <=kk) running scores
+        best_c = None  # (nq, <=kk) matching candidate ids
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -195,11 +212,22 @@ def pq_topk(
             S = lut[0][:, codes[:, 0]]
             for j in range(1, m):
                 S = S + lut[j][:, codes[:, j]]  # (nq, batch)
+            cand = np.broadcast_to(
+                np.asarray(pdf["_cid"].values, dtype=np.int64), S.shape
+            )
+            if best_s is not None:
+                S = np.concatenate([best_s, S], axis=1)
+                cand = np.concatenate([best_c, cand], axis=1)
             take = min(kk, S.shape[1])
             idx = np.argpartition(-S, take - 1, axis=1)[:, :take]
-            cand = pdf["_cid"].values
+            rows = np.arange(S.shape[0])[:, None]
+            best_s, best_c = S[rows, idx], cand[rows, idx]
+        if best_s is not None:
             yield pd.DataFrame(
-                {"query_id": np.repeat(qid, take), "cand_id": cand[idx].reshape(-1)}
+                {
+                    "query_id": np.repeat(qid, best_c.shape[1]),
+                    "cand_id": best_c.reshape(-1),
+                }
             )
 
     cands = (

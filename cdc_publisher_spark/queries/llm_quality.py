@@ -344,12 +344,16 @@ def q_k38_corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_k43_zipf_slope",
     family="K",
     doc="Zipf heavy-tail diagnostic: fit ln(tf) ~ ln(rank) over the "
-    "top-1000 vocabulary head via regr_slope/regr_intercept. Natural "
-    "corpora sit near slope -1; a flat slope flags synthetic/templated "
-    "text. Scale shape: the vocab agg is partial+final, the head is a "
-    "TakeOrdered (never a global sort), and the rank window runs over "
-    "1000 rows only — fitting on the head is the standard Zipf "
-    "procedure and keeps the op O(vocab) with O(1) window work.",
+    "top-1000 vocabulary head. Natural corpora sit near slope -1; a "
+    "flat slope flags synthetic/templated text. The regression moments "
+    "(sums of x, y, xy, x^2) are DECIMAL(18,8)-cast per term before "
+    "summing — the q_k27/q_k38 bit-stability convention — so the "
+    "slope/intercept are independent of cross-engine summation order "
+    "(regr_slope over 1000 raw doubles can flip a borderline 4dp "
+    "rounding). Tokenization assumes single-space-joined text (repo-"
+    "wide words()/string_split(' ') convention). Scale shape: the "
+    "vocab agg is partial+final, the head is a TakeOrdered (never a "
+    "global sort), and the rank window runs over 1000 rows only.",
     oracle="""
         WITH tok AS (
             SELECT unnest(string_split(text, ' ')) AS w FROM documents
@@ -358,11 +362,26 @@ def q_k38_corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         top AS (SELECT w, tf FROM v ORDER BY tf DESC, w LIMIT 1000),
         r AS (
             SELECT tf, row_number() OVER (ORDER BY tf DESC, w) AS rnk FROM top
+        ),
+        d AS (
+            SELECT CAST(ln(rnk) AS DECIMAL(18,8)) AS x,
+                   CAST(ln(tf) AS DECIMAL(18,8)) AS y
+            FROM r
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_ranks,
+                   CAST(SUM(x) AS DOUBLE) AS sx,
+                   CAST(SUM(y) AS DOUBLE) AS sy,
+                   CAST(SUM(x * y) AS DOUBLE) AS sxy,
+                   CAST(SUM(x * x) AS DOUBLE) AS sxx
+            FROM d
         )
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_ranks,
-               ROUND(regr_slope(ln(tf), ln(rnk)), 4) AS zipf_slope,
-               ROUND(regr_intercept(ln(tf), ln(rnk)), 4) AS zipf_intercept
-        FROM r
+        SELECT n_ranks,
+               ROUND((n_ranks * sxy - sx * sy) / (n_ranks * sxx - sx * sx), 4)
+                   AS zipf_slope,
+               ROUND((sy - ((n_ranks * sxy - sx * sy) / (n_ranks * sxx - sx * sx)) * sx)
+                     / n_ranks, 4) AS zipf_intercept
+        FROM s
     """,
 )
 def q_k43_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -376,10 +395,24 @@ def q_k43_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tf",
         F.row_number().over(W.orderBy(F.col("tf").desc(), "w")).alias("rnk"),
     )
-    return r.agg(
+    d = r.select(
+        F.log("rnk").cast("decimal(18,8)").alias("x"),
+        F.log("tf").cast("decimal(18,8)").alias("y"),
+    )
+    s = d.agg(
         F.count("*").alias("n_ranks"),
-        F.round(F.regr_slope(F.log("tf"), F.log("rnk")), 4).alias("zipf_slope"),
-        F.round(F.regr_intercept(F.log("tf"), F.log("rnk")), 4).alias("zipf_intercept"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    n = F.col("n_ranks").cast("double")
+    sx, sy, sxy, sxx = F.col("sx"), F.col("sy"), F.col("sxy"), F.col("sxx")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "n_ranks",
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 4).alias("zipf_intercept"),
     )
 
 
@@ -391,7 +424,10 @@ def q_k43_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Per-source vocab is a map-side partial distinct; the pair "
     "intersection is one equi-join on the word (hash the word to 8 "
     "bytes first at 100 TB); per-source sizes broadcast. Output is "
-    "O(sources^2) rows.",
+    "O(sources^2) rows. Tokenization parity note: Spark words() splits "
+    "on \\s+ while the oracle splits on a literal space — identical "
+    "only because the generated documents are single-space joined (the "
+    "repo-wide convention; multi-space/tab text would diverge).",
     oracle="""
         WITH v AS (
             SELECT DISTINCT source, unnest(string_split(text, ' ')) AS w
