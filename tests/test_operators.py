@@ -825,7 +825,6 @@ def test_queries_survive_empty_tables(spark, empty_sf_dir):
         "q_k6_cosine_topk",
         "q_k21_embedding_neardup",
         "q_k34_block_topk",
-        "q_k35_semantic_dedup",
         "q_k36_shuffle_shard",
         "q_k37_embedding_decontamination",
         "q_k30_corpus_curation",
@@ -833,6 +832,9 @@ def test_queries_survive_empty_tables(spark, empty_sf_dir):
     specs = all_specs()
     for name in reps:
         assert specs[name].spark(spark, empty_sf_dir).count() == 0, name
+    # q_k35 is an invariant-aggregate query: one row, vacuously green
+    row = specs["q_k35_semantic_dedup"].spark(spark, empty_sf_dir).collect()
+    assert len(row) == 1 and row[0]["n_vectors"] == 0 and row[0]["keeper_ok"]
 
 
 def test_sessionize_property_matches_python_twin(spark):
