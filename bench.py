@@ -196,14 +196,12 @@ def write_scaling(path: str = "SCALING.md") -> None:
 
     spark = get_session(app_name="cdc_publisher_spark_scaling")
     spark.sparkContext.setLogLevel("ERROR")
-    reps = [
-        "q_d1_pricing_summary",   # partial+final agg over the fact table
-        "q_c1_revenue_by_customer",  # broadcast-dim join + agg
-        "q_e9_session_analytics",  # multi-level window over events
-        "q_k2_jaccard_neardup",   # explode + hashed-shingle self-join
-        "q_k21_embedding_neardup",  # Arrow/BLAS mapInPandas miner
-    ]
     specs = all_specs()
+    # the FULL headline set (bench=True), so every benched shape —
+    # aggs, joins, windows, shingle self-joins, BLAS miners, k-means
+    # ANN — shows its wall-clock-vs-sf curve, not just a hand-picked
+    # subset
+    reps = sorted(n for n, s in specs.items() if s.bench)
     sfs = [s for s in ("0.001", "0.01", "0.1") if os.path.isdir(f"/root/testdata/sf{s}")]
     # warm every shape at the smallest sf first (same rationale as main())
     for name in reps:
