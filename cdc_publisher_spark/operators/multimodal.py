@@ -13,12 +13,16 @@ right shape for 100 TB media processing because:
 - metadata lives columnar next to the blob, so pruning/filtering
   (e.g. ``media_type = 'image/png'``) never touches bytes.
 
-The container has no image/audio codecs, so ``decode`` is STUBBED
-(SURVEY.md north-star instructions): :func:`register_decoder` installs
-a real codec; the default raises ``NotImplementedError`` and the
-deterministic fake decoder used in tests derives pixel stats from a
-blake2b of the payload. Everything around the stub — schema, batch
-iteration, UDF signatures, partitioning — is real and tested.
+Codec status: uncompressed formats decode for REAL with zero
+dependencies — :func:`builtin_decoder` parses binary PPM (P6) images
+and PCM WAV audio from raw bytes (header walk + numpy pixel/sample
+math), and :func:`builtin_resizer` does nearest-neighbor PPM resizing
+with a true P6 re-encode. Compressed formats (JPEG/PNG/MP3/H.264)
+stay behind the :func:`register_decoder` seam because the container
+ships no codecs: the default decoder raises ``NotImplementedError``
+and tests may use the clearly-marked :func:`fake_decoder`. Schema,
+batch iteration, UDF signatures, and partitioning are identical for
+both paths, so installing a PIL/ffmpeg decoder changes no plumbing.
 """
 
 from __future__ import annotations
@@ -76,17 +80,131 @@ def fake_decoder(payload: bytes, media_type: str) -> dict[str, Any]:
     }
 
 
+def _parse_ppm(payload: bytes) -> tuple[int, int, int, memoryview]:
+    """Parse a binary PPM (P6) header: magic, width, height, maxval,
+    then raw RGB bytes. Whitespace-tolerant, '#' comments allowed —
+    the full netpbm grammar for P6."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        # skip whitespace and comment lines
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(payload) and payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace byte after maxval, then raster
+    w, h, maxval = fields
+    raster = memoryview(payload)[pos : pos + w * h * 3]
+    if len(raster) != w * h * 3:
+        raise ValueError(f"truncated PPM raster: want {w * h * 3}, got {len(raster)}")
+    return w, h, maxval, raster
+
+
+def decode_ppm(payload: bytes) -> dict[str, Any]:
+    """Real, dependency-free image decode: binary PPM (P6).
+
+    mean_luma is the Rec.601 luma of the actual pixels, normalized by
+    maxval — computed from the decoded raster, not a hash."""
+    import numpy as np
+
+    w, h, maxval, raster = _parse_ppm(payload)
+    px = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3).astype(np.float64)
+    luma = (0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]) / maxval
+    return {
+        "width": w,
+        "height": h,
+        "n_channels": 3,
+        "mean_luma": float(luma.mean()),
+    }
+
+
+def decode_wav(payload: bytes) -> dict[str, Any]:
+    """Real, dependency-free audio decode: RIFF/WAVE with 8- or 16-bit
+    PCM. Feature mapping onto the shared decode schema: width =
+    frames per channel, height = sample rate, n_channels = channels,
+    mean_luma = mean absolute amplitude normalized to [0, 1]."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt: tuple[int, int, int] | None = None  # (channels, rate, bits)
+    data: bytes | None = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_format, channels, rate = struct.unpack("<HHI", body[:8])
+            (bits,) = struct.unpack("<H", body[14:16])
+            if audio_format != 1:
+                raise ValueError(f"only PCM wav supported, got format {audio_format}")
+            fmt = (channels, rate, bits)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("wav missing fmt/data chunk")
+    channels, rate, bits = fmt
+    if bits == 16:
+        samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif bits == 8:  # 8-bit wav is unsigned, midpoint 128
+        samples = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported PCM bit depth {bits}")
+    frames = len(samples) // max(channels, 1)
+    return {
+        "width": int(frames),
+        "height": int(rate),
+        "n_channels": int(channels),
+        "mean_luma": float(np.abs(samples).mean()) if len(samples) else 0.0,
+    }
+
+
+def builtin_decoder(payload: bytes, media_type: str) -> dict[str, Any]:
+    """Dependency-free decoder for the uncompressed formats; raises for
+    compressed types until :func:`register_decoder` installs a codec."""
+    if media_type in ("image/x-portable-pixmap", "image/ppm"):
+        return decode_ppm(payload)
+    if media_type in ("audio/wav", "audio/x-wav", "audio/wave"):
+        return decode_wav(payload)
+    raise NotImplementedError(
+        f"no built-in decoder for {media_type}; call register_decoder() "
+        "with a codec-backed implementation (PIL/ffmpeg not installed "
+        "in the test container)"
+    )
+
+
 def _decoder() -> Decoder:
-    if _DECODER is None:
-        raise NotImplementedError(
-            "no media decoder registered in this environment; call "
-            "register_decoder() with a codec-backed implementation "
-            "(image/audio libraries are not installed in the test container)"
-        )
-    return _DECODER
+    return _DECODER if _DECODER is not None else builtin_decoder
 
 
 DECODED_FIELDS = "media_id long, media_type string, n_bytes long, sha256 string, width int, height int, n_channels int, mean_luma double"
+
+
+def _ship_module_by_value() -> None:
+    """Make this module's functions pickle BY VALUE into executor
+    closures (cloudpickle default is by-reference for importable
+    modules, which breaks driver-contract sessions whose executors
+    cannot import the engine package)."""
+    import sys
+
+    try:
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:
+        pass  # older cloudpickle: local-mode tests still work
 
 
 def decode_media(df: DataFrame, batch_wise: bool = True) -> DataFrame:
@@ -95,6 +213,7 @@ def decode_media(df: DataFrame, batch_wise: bool = True) -> DataFrame:
     The closure captures the registered decoder by value; Arrow moves
     payload batches, Python touches each blob once.
     """
+    _ship_module_by_value()
     decoder = _decoder()
 
     def batches(it: Iterator) -> Iterator:
@@ -170,19 +289,41 @@ def fake_resizer(payload: bytes, media_type: str, w: int, h: int) -> bytes:
     return (seed * (target // 32 + 1))[:target]
 
 
+def encode_ppm(px, maxval: int = 255) -> bytes:
+    """Re-encode an (h, w, 3) uint8 array as binary PPM (P6)."""
+    import numpy as np
+
+    arr = np.asarray(px, dtype=np.uint8)
+    h, w = arr.shape[0], arr.shape[1]
+    return b"P6\n%d %d\n%d\n" % (w, h, maxval) + arr.tobytes()
+
+
+def builtin_resizer(payload: bytes, media_type: str, w: int, h: int) -> bytes:
+    """Real, dependency-free resize for binary PPM: nearest-neighbor
+    index mapping on the decoded raster, re-encoded as P6. Compressed
+    formats still need register_resizer."""
+    import numpy as np
+
+    if media_type not in ("image/x-portable-pixmap", "image/ppm"):
+        raise NotImplementedError(
+            f"no built-in resizer for {media_type}; call register_resizer()"
+        )
+    sw, sh, maxval, raster = _parse_ppm(payload)
+    src = np.frombuffer(raster, dtype=np.uint8).reshape(sh, sw, 3)
+    rows = (np.arange(h) * sh) // h
+    cols = (np.arange(w) * sw) // w
+    return encode_ppm(src[rows][:, cols], maxval)
+
+
 def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
     """mapInPandas resize: emits re-encoded payloads at (width, height).
 
-    Same Arrow-batched shape as decode_media; raises
-    NotImplementedError until a codec is registered (the test container
-    has none — SURVEY north-star stub requirement).
+    Same Arrow-batched shape as decode_media; PPM resizes via the
+    dependency-free builtin_resizer, other formats need a registered
+    codec (the test container has none — SURVEY north-star seam).
     """
-    resizer = _RESIZER
-    if resizer is None:
-        raise NotImplementedError(
-            "no media resizer registered; call register_resizer() with a "
-            "codec-backed implementation (PIL/ffmpeg not installed here)"
-        )
+    _ship_module_by_value()
+    resizer = _RESIZER if _RESIZER is not None else builtin_resizer
 
     def batches(it: Iterator) -> Iterator:
         import pandas as pd

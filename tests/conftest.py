@@ -11,6 +11,23 @@ SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
 
 
+def pytest_collection_modifyitems(config, items):
+    """Promote the transformWithStateInPandas twin to REQUIRED the
+    moment its protobuf dependency appears in the environment: strip
+    every skip marker from the tws tests so they cannot silently rot
+    behind a stale guard. While protobuf is absent the skipif in
+    test_streaming.py keeps them skipped as before."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        return
+    for item in items:
+        if "_tws_" in item.name or item.name.endswith("_tws"):
+            item.own_markers = [
+                m for m in item.own_markers if m.name not in ("skip", "skipif")
+            ]
+
+
 @pytest.fixture(scope="session")
 def spark():
     from cdc_publisher_spark.session import get_session

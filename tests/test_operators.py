@@ -193,10 +193,75 @@ def test_multimodal_decode_with_fake_codec(spark):
         multimodal._DECODER = None
 
 
-def test_multimodal_unregistered_decoder_raises(spark):
+def test_multimodal_compressed_types_still_raise():
+    """The codec seam is honest: without a registered decoder the
+    builtin handles ONLY the uncompressed formats; JPEG/PNG/MP3 raise
+    until register_decoder installs a real codec."""
     multimodal._DECODER = None
+    for mt in ("image/jpeg", "image/png", "audio/mpeg", "video/mp4"):
+        with pytest.raises(NotImplementedError):
+            multimodal.builtin_decoder(b"\x00\x01", mt)
     with pytest.raises(NotImplementedError):
-        multimodal.decode_media(_media_df(spark))
+        multimodal.builtin_resizer(b"\x00\x01", "image/png", 8, 8)
+
+
+def _ppm_bytes(px_rows):
+    """Binary P6 bytes from [[(r,g,b), ...], ...]."""
+    h = len(px_rows)
+    w = len(px_rows[0])
+    raster = bytes(c for row in px_rows for px in row for c in px)
+    return b"P6\n# test fixture\n%d %d\n255\n" % (w, h) + raster
+
+
+def _wav_bytes(samples, rate=8000, channels=1):
+    """RIFF/WAVE 16-bit PCM bytes from int sample values."""
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_multimodal_real_ppm_wav_decode(spark):
+    """The decode path executes REAL bytes end-to-end with no codec
+    registered: a 2x2 P6 image and a 4-sample PCM WAV, mapInPandas
+    decode, exact expected features."""
+    multimodal._DECODER = None
+    # white, black / red, blue -> Rec.601 lumas 1.0, 0.0, 0.299, 0.114
+    ppm = _ppm_bytes([[(255, 255, 255), (0, 0, 0)], [(255, 0, 0), (0, 0, 255)]])
+    wav = _wav_bytes([0, 16384, -16384, 32767], rate=8000)
+    rows = [
+        (1, "image/x-portable-pixmap", ppm, ("src", "2024-01-01", 2, 2)),
+        (2, "audio/wav", wav, ("src", "2024-01-01", None, None)),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in multimodal.decode_media(df).collect()}
+    img = out[1]
+    assert (img["width"], img["height"], img["n_channels"]) == (2, 2, 3)
+    assert img["mean_luma"] == pytest.approx((1.0 + 0.0 + 0.299 + 0.114) / 4)
+    snd = out[2]
+    assert (snd["width"], snd["height"], snd["n_channels"]) == (4, 8000, 1)
+    assert snd["mean_luma"] == pytest.approx((0 + 16384 + 16384 + 32767) / 4 / 32768.0)
+
+
+def test_multimodal_real_ppm_resize(spark):
+    """Nearest-neighbor PPM resize with a true P6 re-encode: 4x4 ->
+    2x2 picks pixels (0,0),(0,2),(2,0),(2,2); the output payload is
+    itself decodable."""
+    multimodal._RESIZER = None
+    px = [[(16 * (4 * r + c), 0, 0) for c in range(4)] for r in range(4)]
+    df = spark.createDataFrame(
+        [(1, "image/x-portable-pixmap", _ppm_bytes(px), ("s", "2024-01-01", 4, 4))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    out = multimodal.resize_media(df, 2, 2).collect()[0]
+    assert (out["target_w"], out["target_h"]) == (2, 2)
+    w, h, maxval, raster = multimodal._parse_ppm(bytes(out["payload"]))
+    assert (w, h, maxval) == (2, 2, 255)
+    reds = [raster[i * 3] for i in range(4)]
+    assert reds == [16 * (4 * r + c) for r in (0, 2) for c in (0, 2)]
 
 
 def test_multimodal_metadata_paths(spark):
@@ -300,8 +365,6 @@ def test_asof_join_matches_pandas_merge_asof(spark):
 
 def test_multimodal_resize_stub(spark):
     df = _media_df(spark, n=6)
-    with pytest.raises(NotImplementedError):
-        multimodal.resize_media(df, 32, 32)
     multimodal.register_resizer(multimodal.fake_resizer)
     try:
         out = multimodal.resize_media(df, 32, 32).collect()
