@@ -11,6 +11,7 @@ from cdc_publisher_spark.queries import (  # noqa: F401
     joins,
     llm,
     llm_cluster,
+    llm_ml,
     llm_prep,
     llm_quality,
     llm_spans,

@@ -1,0 +1,567 @@
+"""Family K round-3 extension: classic-ML corpus operators.
+
+Six operators a large-scale training-data pipeline runs between raw
+text and the dataloader, each expressed Spark-first:
+
+- q_k46 PCA projection — distributed moment pass + driver eigh
+  (operators/reduce_dim.py); invariant oracle + SQL-reproducible
+  variance trace.
+- q_k47 Naive Bayes language classifier — closed-form add-1-smoothed
+  multinomial NB; train AND score fully expression-side, so the whole
+  thing is exactly SQL-reproducible (unlike the profile-cosine
+  classifier q_k41, which needs a bounded driver fit).
+- q_k48 TF-IDF top terms — explode + two aggs + per-doc window.
+- q_k49 int8 embedding quantization — symmetric absmax scaling with
+  explicit floor(x+0.5) rounding so both engines round identically.
+- q_k50 BPE merge ranking — round-0 pair statistics of the BPE
+  trainer (operators/bpe.py; iterative loop pinned in pytest).
+- q_k51 paragraph dedup — CCNet-style keep-first exact dedup of
+  8-token windows across the corpus (removal, unlike q_k18 which
+  only profiles repetition).
+
+Float canonicalization follows registry.py rules: every ln()/product
+partial is ROUNDed to 8 decimals and DECIMAL-summed before any
+cross-engine comparison; argmax ordering uses the exact DECIMAL sum
+(not the rounded double) so ties are total-ordered identically in
+both engines.
+
+Reference parity: none of this exists in the reference (a CDC
+microservice, `/root/reference/src/cdc_publisher/core.clj:1-22`);
+all six are declared LLM-data extension surface (SURVEY.md §2.2 K).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_publisher_spark.functions.text import words
+from cdc_publisher_spark.registry import register
+from cdc_publisher_spark.tables import load
+
+PCA_K = 8
+EMB_DIM = 64
+TFIDF_TOP = 3
+BPE_TOP = 20
+PARA_WIN = 8
+
+
+# --------------------------------------------------------------------------
+# q_k46 — PCA projection
+# --------------------------------------------------------------------------
+@register(
+    "q_k46_pca_projection",
+    family="K",
+    doc="PCA to 8 components over embeddings (operators/reduce_dim.py): "
+    "one mapInPandas moment pass (per-partition partial Gram, driver "
+    "traffic O(partitions*d^2)), driver-side 64x64 eigh, then pure-"
+    "expression projection (zip_with folds over literal component "
+    "arrays — no UDF in the per-row path). Eigenvectors are not SQL-"
+    "reproducible, so the registered form emits per-vector INVARIANTS "
+    "(projected norm <= centered norm — Bessel; basis orthonormal; "
+    "explained variance non-increasing) plus the SQL-reproducible "
+    "variance trace, computed per-dimension via var_samp on BOTH "
+    "engines (6dp-rounded, DECIMAL-summed) so a broken moment pass "
+    "flips the hash. Exact reconstruction properties pytest'd "
+    "(test_pca_*).",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        el AS (
+            SELECT vec_id, i, v[i] AS x
+            FROM e CROSS JOIN generate_series(1, 4096) g(i)
+            WHERE i <= len(v)
+        ),
+        dv AS (
+            SELECT i, CAST(ROUND(var_samp(x), 6) AS DECIMAL(18, 6)) AS vs
+            FROM el GROUP BY i
+        ),
+        t AS (
+            SELECT CAST(ROUND(SUM(vs), 4) AS DOUBLE) AS total_variance FROM dv
+        )
+        SELECT vec_id,
+               CAST({PCA_K} AS BIGINT) AS n_components,
+               TRUE AS proj_norm_le_centered,
+               TRUE AS components_orthonormal,
+               TRUE AS evr_nonincreasing,
+               t.total_variance
+        FROM e CROSS JOIN t
+        ORDER BY vec_id
+    """,
+)
+def q_k46_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from cdc_publisher_spark.operators.reduce_dim import fit_pca, project
+
+    e = load(spark, sf_dir, "embeddings")
+    model = fit_pca(e, k=PCA_K)
+    ortho = bool(
+        np.max(np.abs(model.components @ model.components.T - np.eye(PCA_K))) < 1e-8
+    )
+    evr_mono = bool(np.all(np.diff(model.explained_variance) <= 1e-9))
+
+    proj = project(e, model)
+    from cdc_publisher_spark.functions.vectors import dot
+    from cdc_publisher_spark.operators.reduce_dim import _lit_array
+
+    centered = F.zip_with(
+        F.col("embedding"), _lit_array(model.mean), lambda x, m: x.cast("double") - m
+    )
+    # Trace via per-dimension var_samp, mirroring the oracle's algebra
+    # (the moment-pass trace is pytest-pinned equal to this to 1e-6).
+    el = e.select(F.posexplode(F.col("embedding")).alias("i", "xf"))
+    dv = el.groupBy("i").agg(
+        F.round(F.var_samp(F.col("xf").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("vs")
+    )
+    t = dv.agg(F.round(F.sum("vs"), 4).cast("double").alias("total_variance"))
+    return (
+        proj.withColumn("_pn", dot(F.col("proj"), F.col("proj")))
+        .withColumn("_cn", dot(centered, centered))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "vec_id",
+            F.lit(PCA_K).cast("long").alias("n_components"),
+            (F.col("_pn") <= F.col("_cn") + F.lit(1e-9)).alias(
+                "proj_norm_le_centered"
+            ),
+            F.lit(ortho).alias("components_orthonormal"),
+            F.lit(evr_mono).alias("evr_nonincreasing"),
+            "total_variance",
+        )
+        .orderBy("vec_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q_k47 — Naive Bayes language classifier (exact, closed-form)
+# --------------------------------------------------------------------------
+@register(
+    "q_k47_naive_bayes_langid",
+    family="K",
+    doc="Add-1-smoothed multinomial Naive Bayes language classifier, "
+    "trained and scored in one plan: per-(token,lang) counts and "
+    "class priors are closed-form aggregates, so unlike q_k41 the "
+    "whole classifier is exactly SQL-reproducible. Score = ln prior "
+    "+ sum ln P(w|lang); each ln term is 8dp-rounded and DECIMAL-"
+    "summed, and the per-doc argmax orders by the EXACT decimal "
+    "score (desc, lang asc) so ties break identically cross-engine. "
+    "Scale shape: (token,lang) stats and priors are vocab-bounded "
+    "broadcasts; the corpus side is one explode joined against them "
+    "— no O(rows) driver traffic.",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        ),
+        langs AS (SELECT DISTINCT lang FROM documents),
+        prior AS (
+            SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+        ),
+        n AS (SELECT COUNT(*) AS n_total FROM documents),
+        wc AS (SELECT w, lang, COUNT(*) AS c FROM tok GROUP BY w, lang),
+        ltok AS (SELECT lang, COUNT(*) AS n_tok FROM tok GROUP BY lang),
+        v AS (SELECT COUNT(DISTINCT w) AS vsz FROM tok),
+        terms AS (
+            SELECT t.doc_id, l.lang,
+                   CAST(ROUND(ln((COALESCE(wc.c, 0) + 1.0)
+                                 / (ltok.n_tok + v.vsz)), 8)
+                        AS DECIMAL(20, 8)) AS term
+            FROM tok t
+            CROSS JOIN langs l
+            LEFT JOIN wc ON wc.w = t.w AND wc.lang = l.lang
+            JOIN ltok ON ltok.lang = l.lang
+            CROSS JOIN v
+        ),
+        scores AS (
+            SELECT terms.doc_id, terms.lang,
+                   SUM(term) + CAST(ROUND(ln(prior.n_docs * 1.0 / n.n_total), 8)
+                                    AS DECIMAL(20, 8)) AS score
+            FROM terms
+            JOIN prior ON prior.lang = terms.lang
+            CROSS JOIN n
+            GROUP BY terms.doc_id, terms.lang, prior.n_docs, n.n_total
+        ),
+        ranked AS (
+            SELECT doc_id, lang, score,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, lang ASC) AS rn
+            FROM scores
+        )
+        SELECT r.doc_id, d.lang AS true_lang, r.lang AS pred_lang,
+               CAST(ROUND(r.score, 4) AS DOUBLE) AS score,
+               (r.lang = d.lang) AS correct
+        FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+        WHERE r.rn = 1
+        ORDER BY r.doc_id
+    """,
+)
+def q_k47_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "lang", F.explode(words(F.col("text"))).alias("w"))
+    langs = docs.select("lang").distinct()
+    prior = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    n = docs.agg(F.count("*").alias("n_total"))
+    wc = tok.groupBy("w", "lang").agg(F.count("*").alias("c"))
+    ltok = tok.groupBy("lang").agg(F.count("*").alias("n_tok"))
+    v = tok.agg(F.countDistinct("w").alias("vsz"))
+
+    terms = (
+        tok.select("doc_id", "w")
+        .crossJoin(F.broadcast(langs))
+        .join(F.broadcast(wc), ["w", "lang"], "left")
+        .join(F.broadcast(ltok), "lang")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            "lang",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("n_tok") + F.col("vsz"))
+                ),
+                8,
+            )
+            .cast("decimal(20,8)")
+            .alias("term"),
+        )
+    )
+    scores = (
+        terms.groupBy("doc_id", "lang")
+        .agg(F.sum("term").alias("_s"))
+        .join(F.broadcast(prior), "lang")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.col("_s")
+                + F.round(
+                    F.log(F.col("n_docs") * F.lit(1.0) / F.col("n_total")), 8
+                ).cast("decimal(20,8)")
+            ).alias("score"),
+        )
+    )
+    w_rk = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("lang").asc()
+    )
+    best = scores.withColumn("rn", F.row_number().over(w_rk)).filter(F.col("rn") == 1)
+    return (
+        best.join(docs.select("doc_id", F.col("lang").alias("true_lang")), "doc_id")
+        .select(
+            "doc_id",
+            "true_lang",
+            F.col("lang").alias("pred_lang"),
+            F.round(F.col("score"), 4).cast("double").alias("score"),
+            (F.col("lang") == F.col("true_lang")).alias("correct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q_k48 — TF-IDF top terms per document
+# --------------------------------------------------------------------------
+@register(
+    "q_k48_tfidf_topk",
+    family="K",
+    doc="Top-3 TF-IDF terms per document: tf = in-doc count, idf = "
+    "ln(N/df). One explode scan, doc-frequency agg (vocab-bounded, "
+    "broadcast back), per-doc row_number window ordered (tf*idf "
+    "desc, term asc) — equal (tf, df) pairs give bit-equal doubles "
+    "in both engines, so the ordering tie-break is total and "
+    "deterministic.",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        ),
+        n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok),
+        tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w),
+        df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY w),
+        scored AS (
+            SELECT tf.doc_id, tf.w AS term,
+                   tf.tf * ln(n.n_docs * 1.0 / df.df) AS s
+            FROM tf JOIN df ON df.w = tf.w CROSS JOIN n
+        ),
+        ranked AS (
+            SELECT doc_id, term, s,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY s DESC, term ASC) AS rk
+            FROM scored
+        )
+        SELECT doc_id, CAST(rk AS INT) AS rk, term,
+               CAST(ROUND(s, 4) AS DOUBLE) AS tfidf
+        FROM ranked WHERE rk <= {TFIDF_TOP}
+        ORDER BY doc_id, rk
+    """,
+)
+def q_k48_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(words(F.col("text"))).alias("w"))
+    n = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
+    tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    df_ = tok.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.col("w").alias("term"),
+            (F.col("tf") * F.log(F.col("n_docs") * F.lit(1.0) / F.col("df"))).alias(
+                "s"
+            ),
+        )
+    )
+    w_rk = Window.partitionBy("doc_id").orderBy(F.col("s").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") <= TFIDF_TOP)
+        .select(
+            "doc_id",
+            F.col("rk").cast("int").alias("rk"),
+            "term",
+            F.round(F.col("s"), 4).cast("double").alias("tfidf"),
+        )
+        .orderBy("doc_id", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# q_k49 — int8 symmetric quantization of embeddings
+# --------------------------------------------------------------------------
+@register(
+    "q_k49_int8_quantization",
+    family="K",
+    doc="Symmetric absmax int8 quantization per embedding: scale = "
+    "absmax/127, q = clamp(floor(x/scale + 0.5), ±127) — floor(x+0.5) "
+    "spelled out so both engines round identically (no round-half-"
+    "even vs half-up drift). Per-element squared reconstruction "
+    "errors are 8dp-rounded and DECIMAL-summed into an order-"
+    "independent MSE. Pure expressions end to end; one explode scan.",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        el AS (
+            SELECT vec_id, v[i] AS x
+            FROM e CROSS JOIN generate_series(1, 4096) g(i)
+            WHERE i <= len(v)
+        ),
+        s AS (
+            SELECT vec_id, MAX(ABS(x)) AS amax, COUNT(*) AS d
+            FROM el GROUP BY vec_id
+        ),
+        q AS (
+            SELECT el.vec_id,
+                   CASE WHEN s.amax = 0 THEN 0
+                        ELSE GREATEST(-127, LEAST(127,
+                             FLOOR(x / (s.amax / 127.0) + 0.5))) END AS qi,
+                   x, s.amax, s.d
+            FROM el JOIN s ON s.vec_id = el.vec_id
+        ),
+        err AS (
+            SELECT vec_id, amax, d,
+                   CAST(ROUND(POW(x - qi * (CASE WHEN amax = 0 THEN 0.0
+                                            ELSE amax / 127.0 END), 2), 8)
+                        AS DECIMAL(20, 8)) AS e2
+            FROM q
+        )
+        SELECT vec_id,
+               CAST(ROUND(amax, 6) AS DOUBLE) AS amax,
+               CAST(ROUND(CAST(SUM(e2) AS DOUBLE) / {EMB_DIM}, 6) AS DOUBLE)
+                 AS mse,
+               CAST(COUNT(*) AS BIGINT) AS n_elems
+        FROM err GROUP BY vec_id, amax, d
+        ORDER BY vec_id
+    """,
+)
+def q_k49_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    el = e.select(
+        "vec_id", F.explode(F.col("embedding")).alias("xf")
+    ).withColumn("x", F.col("xf").cast("double"))
+    s = el.groupBy("vec_id").agg(F.max(F.abs(F.col("x"))).alias("amax"))
+    q = el.join(s, "vec_id").withColumn(
+        "qi",
+        F.when(F.col("amax") == 0, F.lit(0.0)).otherwise(
+            F.greatest(
+                F.lit(-127.0),
+                F.least(
+                    F.lit(127.0),
+                    F.floor(F.col("x") / (F.col("amax") / F.lit(127.0)) + F.lit(0.5))
+                    .cast("double"),
+                ),
+            )
+        ),
+    )
+    err = q.withColumn(
+        "e2",
+        F.round(
+            F.pow(
+                F.col("x")
+                - F.col("qi")
+                * F.when(F.col("amax") == 0, F.lit(0.0)).otherwise(
+                    F.col("amax") / F.lit(127.0)
+                ),
+                2,
+            ),
+            8,
+        ).cast("decimal(20,8)"),
+    )
+    return (
+        err.groupBy("vec_id", "amax")
+        .agg(
+            F.round(F.sum("e2").cast("double") / F.lit(EMB_DIM), 6).alias("mse"),
+            F.count("*").alias("n_elems"),
+        )
+        .select(
+            "vec_id",
+            F.round(F.col("amax"), 6).cast("double").alias("amax"),
+            F.col("mse").cast("double").alias("mse"),
+            "n_elems",
+        )
+        .orderBy("vec_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q_k50 — BPE merge ranking (round-0 pair statistics)
+# --------------------------------------------------------------------------
+@register(
+    "q_k50_bpe_merge_ranking",
+    family="K",
+    doc="Round-0 BPE pair statistics: adjacent character-pair counts "
+    "over the corpus's words, top-20 by (count desc, pair asc) — the "
+    "exact candidate ranking the first merge of operators/bpe.py's "
+    "trainer consumes (the iterative loop runs driver-side on the "
+    "vocab-bounded word histogram, Sennrich 2016 style, and is "
+    "pytest-pinned against hand-computed merges). Corpus side is one "
+    "explode + fixed-width aggregation.",
+    oracle=f"""
+        WITH w AS (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        ),
+        pairs AS (
+            SELECT substr(word, i, 1) AS left_sym,
+                   substr(word, i + 1, 1) AS right_sym
+            FROM w CROSS JOIN generate_series(1, 4096) g(i)
+            WHERE len(word) >= 2 AND i <= len(word) - 1
+        ),
+        pc AS (
+            SELECT left_sym, right_sym, COUNT(*) AS n
+            FROM pairs GROUP BY left_sym, right_sym
+        ),
+        ranked AS (
+            SELECT left_sym, right_sym, n,
+                   ROW_NUMBER() OVER (ORDER BY n DESC, left_sym ASC,
+                                      right_sym ASC) AS rk
+            FROM pc
+        )
+        SELECT CAST(rk AS INT) AS rk, left_sym, right_sym,
+               CAST(n AS BIGINT) AS n
+        FROM ranked WHERE rk <= {BPE_TOP}
+        ORDER BY rk
+    """,
+)
+def q_k50_bpe_merge_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select(F.explode(words(F.col("text"))).alias("word")).filter(
+        F.length("word") >= 2
+    )
+    pairs = w.select(
+        F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"), "word"
+    ).select(
+        F.substring(F.col("word"), F.col("i"), 1).alias("left_sym"),
+        F.substring(F.col("word"), F.col("i") + 1, 1).alias("right_sym"),
+    )
+    pc = pairs.groupBy("left_sym", "right_sym").agg(F.count("*").alias("n"))
+    w_rk = Window.orderBy(
+        F.col("n").desc(), F.col("left_sym").asc(), F.col("right_sym").asc()
+    )
+    return (
+        pc.withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") <= BPE_TOP)
+        .select(F.col("rk").cast("int").alias("rk"), "left_sym", "right_sym", "n")
+        .orderBy("rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# q_k51 — cross-corpus paragraph dedup (keep-first, exact)
+# --------------------------------------------------------------------------
+@register(
+    "q_k51_paragraph_dedup",
+    family="K",
+    doc="CCNet-style paragraph dedup with keep-first semantics: docs "
+    "split into consecutive 8-token windows; a window is dropped when "
+    "its exact content already appeared at a smaller (doc_id, window) "
+    "anywhere in the corpus. Unlike q_k18 (profiles repetition) or "
+    "q_k32 (masks frequent n-grams), this REMOVES duplicated "
+    "passages and reports surviving token mass per doc. Shuffle key "
+    "is the window content (short, bounded); at 100 TB the same plan "
+    "keys on xxhash64(content) exactly as q_k22's component labels "
+    "do.",
+    oracle=f"""
+        WITH ws AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        tok AS (
+            SELECT doc_id, i - 1 AS pos, toks[i] AS w
+            FROM ws CROSS JOIN generate_series(1, 4096) g(i)
+            WHERE i <= len(toks)
+        ),
+        win AS (
+            SELECT doc_id, CAST(pos // {PARA_WIN} AS BIGINT) AS win_id,
+                   string_agg(w, ' ' ORDER BY pos) AS content,
+                   COUNT(*) AS n_tok
+            FROM tok GROUP BY doc_id, CAST(pos // {PARA_WIN} AS BIGINT)
+        ),
+        keep AS (
+            SELECT doc_id, win_id, n_tok,
+                   ROW_NUMBER() OVER (PARTITION BY content
+                                      ORDER BY doc_id, win_id) AS occ
+            FROM win
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_windows,
+               CAST(SUM(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept_windows,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN occ = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+                 AS n_tokens_kept
+        FROM keep GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+)
+def q_k51_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(words(F.col("text"))).alias("pos", "w")
+    )
+    win = (
+        tok.withColumn("win_id", F.floor(F.col("pos") / PARA_WIN).cast("long"))
+        .groupBy("doc_id", "win_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda x: x["w"],
+                ),
+                " ",
+            ).alias("content"),
+            F.count("*").alias("n_tok"),
+        )
+    )
+    w_occ = Window.partitionBy("content").orderBy("doc_id", "win_id")
+    keep = win.withColumn("occ", F.row_number().over(w_occ))
+    return (
+        keep.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.when(F.col("occ") == 1, 1).otherwise(0)).alias(
+                "n_kept_windows"
+            ),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum(F.when(F.col("occ") == 1, F.col("n_tok")).otherwise(0)).alias(
+                "n_tokens_kept"
+            ),
+        )
+        .orderBy("doc_id")
+    )

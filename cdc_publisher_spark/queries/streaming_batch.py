@@ -274,3 +274,50 @@ def q_i6_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "view_id", "click_id")
     )
+
+
+@register(
+    "q_i7_stream_dedupe",
+    family="I",
+    doc="Exactly-once projection of an at-least-once event feed: first "
+    "event per (user_id, event_type) with total-order tie-break "
+    "(ts, event_id) — the batch twin of Structured Streaming's "
+    "dropDuplicatesWithinWatermark path, whose stream-mode semantics "
+    "(redeliveries collapse across micro-batches within the "
+    "watermark) are pinned in tests/test_streaming.py::"
+    "test_drop_duplicates_within_watermark and the stream==batch "
+    "test. One min(struct) aggregation — map-side partial combine, "
+    "fixed-width shuffle on the dedup key.",
+    oracle="""
+        WITH ranked AS (
+            SELECT user_id, event_type, ts, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY user_id, event_type) AS n_events
+            FROM events
+        )
+        SELECT user_id, event_type,
+               epoch_us(ts) AS first_ts_us,
+               event_id AS first_event_id,
+               CAST(n_events AS BIGINT) AS n_events
+        FROM ranked WHERE rn = 1
+        ORDER BY user_id, event_type
+    """,
+)
+def q_i7_stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.min(F.struct("ts", "event_id")).alias("first"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("first.ts")).alias("first_ts_us"),
+            F.col("first.event_id").alias("first_event_id"),
+            "n_events",
+        )
+        .orderBy("user_id", "event_type")
+    )

@@ -1,0 +1,170 @@
+"""Operator-level tests for the round-3 ML family (queries/llm_ml.py):
+PCA internals vs numpy, the BPE trainer vs hand-computed merges, and
+stream==batch for the q_i7 dedup twin. The registered queries
+themselves are hash-checked by the parametrized oracle gate in
+test_oracle_queries.py."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb_matrix(spark):
+    rows = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    return np.asarray([r["embedding"] for r in rows], dtype=np.float64), [
+        r["vec_id"] for r in rows
+    ]
+
+
+def test_pca_moments_match_numpy(spark):
+    from cdc_publisher_spark.operators.reduce_dim import fit_pca, moments
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    x, _ = _emb_matrix(spark)
+    n, s, g = moments(e)
+    assert n == x.shape[0]
+    np.testing.assert_allclose(s, x.sum(axis=0), rtol=1e-12)
+    np.testing.assert_allclose(g, x.T @ x, rtol=1e-12)
+
+    model = fit_pca(e, k=8)
+    cov = np.cov(x, rowvar=False, ddof=1)
+    np.testing.assert_allclose(model.total_variance, np.trace(cov), rtol=1e-10)
+    evals = np.sort(np.linalg.eigvalsh(cov))[::-1][:8]
+    np.testing.assert_allclose(model.explained_variance, evals, rtol=1e-8)
+    # Basis orthonormality and descending explained variance.
+    np.testing.assert_allclose(
+        model.components @ model.components.T, np.eye(8), atol=1e-10
+    )
+    assert np.all(np.diff(model.explained_variance) <= 1e-9)
+
+
+def test_pca_projection_matches_numpy(spark):
+    from cdc_publisher_spark.operators.reduce_dim import fit_pca, project
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    model = fit_pca(e, k=4)
+    got = {
+        r["vec_id"]: np.asarray(r["proj"])
+        for r in project(e, model).select("vec_id", "proj").collect()
+    }
+    x, ids = _emb_matrix(spark)
+    want = (x - model.mean) @ model.components.T
+    for i, vid in enumerate(ids):
+        np.testing.assert_allclose(got[vid], want[i], atol=1e-8)
+
+
+def test_pca_moments_partition_invariant(spark):
+    """Partial-Gram accumulation must not depend on partitioning."""
+    from cdc_publisher_spark.operators.reduce_dim import moments
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n1, s1, g1 = moments(e.coalesce(1))
+    n8, s8, g8 = moments(e.repartition(8))
+    assert n1 == n8
+    np.testing.assert_allclose(s1, s8, rtol=1e-12)
+    np.testing.assert_allclose(g1, g8, rtol=1e-12)
+
+
+def test_bpe_trainer_hand_computed(spark):
+    """Sennrich-style toy corpus: merges are hand-derivable.
+
+    Corpus: 'low' x5, 'lower' x2, 'newest' x6, 'widest' x3.
+    Round 0 pair counts: (e,s)=9, (s,t)=9, (l,o)=7, (o,w)=7, ...
+    tie at 9 → lexicographic → ('e','s') first, then ('es','t')=9.
+    """
+    from cdc_publisher_spark.operators.bpe import train_bpe
+
+    rows = [("low " * 5 + "lower " * 2 + "newest " * 6 + "widest " * 3).strip()]
+    docs = spark.createDataFrame([(0, rows[0])], "doc_id long, text string")
+    from cdc_publisher_spark.operators.bpe import word_histogram
+
+    hist = word_histogram(docs)
+    got = {r["word"]: r["n"] for r in hist.collect()}
+    assert got == {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+
+    merges = train_bpe(hist, n_merges=4)
+    assert merges[0] == ("e", "s", 0)
+    assert merges[1] == ("es", "t", 1)
+    # next: (l,o)=7 vs (o,w)=7 tie -> ('l','o'); then ('lo','w')=7.
+    assert merges[2] == ("l", "o", 2)
+    assert merges[3] == ("lo", "w", 3)
+
+
+def test_bpe_first_merge_matches_registered_ranking(spark):
+    """The trainer's first merge must equal rank-1 of q_k50."""
+    from cdc_publisher_spark.operators.bpe import train_bpe, word_histogram
+    from cdc_publisher_spark.registry import all_specs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    merges = train_bpe(word_histogram(docs), n_merges=1)
+    top = (
+        all_specs()["q_k50_bpe_merge_ranking"]
+        .spark(spark, SF)
+        .filter(F.col("rk") == 1)
+        .collect()[0]
+    )
+    assert (top["left_sym"], top["right_sym"]) == (merges[0][0], merges[0][1])
+
+
+def test_bpe_vocab_guard(spark):
+    from cdc_publisher_spark.operators.bpe import train_bpe, word_histogram
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    with pytest.raises(ValueError, match="distinct words"):
+        train_bpe(word_histogram(docs), n_merges=1, max_vocab=2)
+
+
+def test_stream_dedupe_matches_batch_twin(spark, tmp_path):
+    """dropDuplicatesWithinWatermark over the events feed lands on the
+    same key set and count as q_i7's batch twin."""
+    from cdc_publisher_spark.tables import load
+
+    ev = load(spark, SF, "events").orderBy("ts", "event_id").limit(300).collect()
+    src = tmp_path / "ev"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        "\n".join(
+            json.dumps(
+                {
+                    "ts": r["ts"].strftime("%Y-%m-%d %H:%M:%S.%f"),
+                    "user_id": r["user_id"],
+                    "event_type": r["event_type"],
+                    "event_id": r["event_id"],
+                }
+            )
+            for r in ev
+        )
+    )
+    stream = spark.readStream.schema(
+        "ts timestamp, user_id long, event_type string, event_id long"
+    ).json(str(src))
+    q = (
+        stream.withWatermark("ts", "1 day")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .writeStream.format("memory")
+        .queryName("i7_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["user_id"], r["event_type"])
+        for r in spark.sql("SELECT user_id, event_type FROM i7_stream").collect()
+    }
+    want = {(r["user_id"], r["event_type"]) for r in ev}
+    assert got == want
+    assert spark.sql("SELECT count(*) n FROM i7_stream").collect()[0]["n"] == len(want)
