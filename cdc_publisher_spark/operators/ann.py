@@ -368,6 +368,7 @@ def block_topk(
     query_id: str = "vec_id",
     vec_col: str = "embedding",
     pad: int = 8,
+    exclude_same_label: str | None = None,
 ) -> DataFrame:
     """Exact top-k via the SURVEY §4.3-item-4 shape: block-wise numpy
     matmul per corpus partition (mapInPandas, Arrow-batched), bounded
@@ -393,14 +394,25 @@ def block_topk(
     shard huge query sets); candidate traffic is
     O(partitions · |Q| · (k+pad)) rows of two ids, independent of
     corpus size; the only corpus-wide pass is the scan itself.
+
+    ``exclude_same_label``: name of a label column present on BOTH
+    sides; candidates sharing the query's label are masked to -inf in
+    the nominate matmul and filtered in the re-rank — hard-negative
+    mining for retrieval/contrastive training (top-k most-similar
+    *differing-label* rows). Per-partition top-k among differing-label
+    candidates is complete for the global differing-label top-k by the
+    same subset argument, so exactness is preserved.
     """
-    q_rows = queries.select(query_id, vec_col).collect()
+    lbl = exclude_same_label
+    q_cols = [query_id, vec_col] + ([lbl] if lbl else [])
+    q_rows = queries.select(*q_cols).collect()
     if not q_rows:  # no queries -> empty result, skip the matmul path
         return corpus.sparkSession.createDataFrame(
             [], "query_id bigint, cand_id bigint, cosine double, rk bigint"
         )
     q_ids = [r[0] for r in q_rows]
     q_mat = [list(map(float, r[1])) for r in q_rows]
+    q_lbls = [r[2] for r in q_rows] if lbl else None
     kk = k + pad
     v = vec_col
 
@@ -430,6 +442,12 @@ def block_topk(
             Cd = np.linalg.norm(C, axis=1, keepdims=True)
             Cn = C / np.where(Cd > 0, Cd, 1.0)
             S = Qn @ Cn.T  # (nq, batch)
+            if q_lbls is not None:
+                same = (
+                    np.asarray(q_lbls, dtype=object)[:, None]
+                    == np.asarray(pdf["_lbl"].values, dtype=object)[None, :]
+                )
+                S = np.where(same, -np.inf, S)
             cand = np.broadcast_to(
                 np.asarray(pdf["_cid"].values, dtype=np.int64), S.shape
             )
@@ -448,22 +466,27 @@ def block_topk(
                 }
             )
 
+    c_scan = [F.col(corpus_id).alias("_cid"), F.col(v)] + (
+        [F.col(lbl).alias("_lbl")] if lbl else []
+    )
     cands = (
-        corpus.select(F.col(corpus_id).alias("_cid"), v)
+        corpus.select(*c_scan)
         .mapInPandas(nominate, "query_id bigint, cand_id bigint")
         .filter(F.col("query_id") != F.col("cand_id"))
         .distinct()
     )
-    c_side = corpus.select(
+    c_cols = [
         F.col(corpus_id).alias("cand_id"),
         F.col(v).alias("cv"),
         l2_norm(F.col(v)).alias("cn"),
-    )
-    q_side = queries.select(
+    ] + ([F.col(lbl).alias("_clbl")] if lbl else [])
+    c_side = corpus.select(*c_cols)
+    q_cols2 = [
         F.col(query_id).alias("query_id"),
         F.col(v).alias("qv"),
         l2_norm(F.col(v)).alias("qn"),
-    )
+    ] + ([F.col(lbl).alias("_qlbl")] if lbl else [])
+    q_side = queries.select(*q_cols2)
     rescored = (
         cands.join(c_side, "cand_id")
         .join(F.broadcast(q_side), "query_id")
@@ -471,8 +494,11 @@ def block_topk(
             "query_id",
             "cand_id",
             cosine_with_norms(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")).alias("cos"),
+            *([(F.col("_clbl") != F.col("_qlbl")).alias("_diff")] if lbl else []),
         )
     )
+    if lbl:
+        rescored = rescored.filter(F.col("_diff")).drop("_diff")
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
     return (
         rescored.withColumn("rk", F.row_number().over(w).cast("bigint"))

@@ -546,3 +546,95 @@ def q_d15_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "measure", "value"
     ).orderBy("l_returnflag", "measure")
+
+
+@register(
+    "q_d17_data_profile",
+    family="D",
+    doc="Deequ-style column-profile audit over orders, the pre-"
+    "ingestion sanity gate a pipeline runs before accepting a batch: "
+    "per column, row/null/distinct counts plus numeric min/max "
+    "(dates as epoch days). ONE scan computes every metric in a "
+    "single aggregate row (partial+final hash agg, no per-column "
+    "passes), then a codegen-only unpivot melts it long.",
+    oracle="""
+        WITH a AS (
+            SELECT COUNT(*) AS n_rows,
+                   SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nk_null,
+                   COUNT(DISTINCT o_orderkey) AS nk_dist,
+                   CAST(MIN(o_orderkey) AS DOUBLE) AS nk_min,
+                   CAST(MAX(o_orderkey) AS DOUBLE) AS nk_max,
+                   SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nc_null,
+                   COUNT(DISTINCT o_custkey) AS nc_dist,
+                   CAST(MIN(o_custkey) AS DOUBLE) AS nc_min,
+                   CAST(MAX(o_custkey) AS DOUBLE) AS nc_max,
+                   SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS tp_null,
+                   COUNT(DISTINCT o_totalprice) AS tp_dist,
+                   CAST(ROUND(MIN(o_totalprice), 2) AS DOUBLE) AS tp_min,
+                   CAST(ROUND(MAX(o_totalprice), 2) AS DOUBLE) AS tp_max,
+                   SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS od_null,
+                   COUNT(DISTINCT o_orderdate) AS od_dist,
+                   CAST(MIN(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS DOUBLE) AS od_min,
+                   CAST(MAX(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS DOUBLE) AS od_max
+            FROM orders
+        )
+        SELECT col, n_rows, n_nulls, n_distinct, min_val, max_val
+        FROM (
+            SELECT 'o_orderkey' AS col, n_rows, CAST(nk_null AS BIGINT) AS n_nulls,
+                   CAST(nk_dist AS BIGINT) AS n_distinct, nk_min AS min_val, nk_max AS max_val FROM a
+            UNION ALL
+            SELECT 'o_custkey', n_rows, CAST(nc_null AS BIGINT),
+                   CAST(nc_dist AS BIGINT), nc_min, nc_max FROM a
+            UNION ALL
+            SELECT 'o_totalprice', n_rows, CAST(tp_null AS BIGINT),
+                   CAST(tp_dist AS BIGINT), tp_min, tp_max FROM a
+            UNION ALL
+            SELECT 'o_orderdate', n_rows, CAST(od_null AS BIGINT),
+                   CAST(od_dist AS BIGINT), od_min, od_max FROM a
+        )
+        ORDER BY col
+    """,
+)
+def q_d17_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    epoch = F.lit("1970-01-01").cast("date")
+    a = o.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias("nk_null"),
+        F.countDistinct("o_orderkey").alias("nk_dist"),
+        F.min("o_orderkey").cast("double").alias("nk_min"),
+        F.max("o_orderkey").cast("double").alias("nk_max"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("nc_null"),
+        F.countDistinct("o_custkey").alias("nc_dist"),
+        F.min("o_custkey").cast("double").alias("nc_min"),
+        F.max("o_custkey").cast("double").alias("nc_max"),
+        F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)).alias("tp_null"),
+        F.countDistinct("o_totalprice").alias("tp_dist"),
+        F.round(F.min("o_totalprice"), 2).cast("double").alias("tp_min"),
+        F.round(F.max("o_totalprice"), 2).cast("double").alias("tp_max"),
+        F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)).alias("od_null"),
+        F.countDistinct("o_orderdate").alias("od_dist"),
+        F.min(F.datediff(F.col("o_orderdate").cast("date"), epoch)).cast("double").alias("od_min"),
+        F.max(F.datediff(F.col("o_orderdate").cast("date"), epoch)).cast("double").alias("od_max"),
+    )
+    rows = []
+    for col, pre in [
+        ("o_orderkey", "nk"),
+        ("o_custkey", "nc"),
+        ("o_totalprice", "tp"),
+        ("o_orderdate", "od"),
+    ]:
+        rows.append(
+            a.select(
+                F.lit(col).alias("col"),
+                "n_rows",
+                F.col(f"{pre}_null").cast("long").alias("n_nulls"),
+                F.col(f"{pre}_dist").cast("long").alias("n_distinct"),
+                F.col(f"{pre}_min").alias("min_val"),
+                F.col(f"{pre}_max").alias("max_val"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("col")

@@ -565,3 +565,138 @@ def q_k51_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q_k52 — hard-negative mining for retrieval training
+# --------------------------------------------------------------------------
+@register(
+    "q_k52_hard_negatives",
+    family="K",
+    doc="Hard-negative mining for contrastive/retrieval training: for "
+    "each query vector, the 3 most-similar corpus vectors with a "
+    "DIFFERENT label (operators/ann.py block_topk with "
+    "exclude_same_label — same-label candidates are masked to -inf "
+    "inside the nominate matmul, so the per-partition heap bound and "
+    "the one-corpus-pass shape are unchanged). Final values re-rank "
+    "through the same sequential-fold cosine the oracle computes, so "
+    "output is bit-identical to the brute-force cross join the "
+    "DuckDB side runs (only viable at oracle scale; the Spark plan "
+    "never materializes the product).",
+    oracle="""
+        WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+        q AS (SELECT * FROM v WHERE vec_id < 50),
+        p AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   list_dot_product(q.e, c.e)
+                     / (sqrt(list_dot_product(q.e, q.e))
+                        * sqrt(list_dot_product(c.e, c.e))) AS cos
+            FROM q JOIN v c ON c.label != q.label
+        ),
+        ranked AS (
+            SELECT query_id, cand_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, cand_id) AS rk
+            FROM p
+        )
+        SELECT query_id, cand_id, ROUND(cos, 4) AS cosine,
+               CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= 3
+        ORDER BY query_id, rk
+    """,
+)
+def q_k52_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_publisher_spark.operators.ann import block_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 50)
+    return block_topk(
+        e, queries, k=3, exclude_same_label="label"
+    ).orderBy("query_id", "rk")
+
+
+# --------------------------------------------------------------------------
+# q_k53 — corpus keyness (log-odds-ratio between sources)
+# --------------------------------------------------------------------------
+@register(
+    "q_k53_source_keyness",
+    family="K",
+    doc="Keyness of source src0 vs the rest of the corpus: Haldane-"
+    "smoothed (+0.5) log-odds-ratio per term (Monroe 2008's "
+    "fixed-prior form), the standard 'what words typify this source' "
+    "diagnostic before mixing corpora. Emits the 10 most src0-"
+    "leaning and 10 most rest-leaning terms. Vocab-bounded "
+    "aggregates only; corpus side is one explode scan.",
+    oracle="""
+        WITH tok AS (
+            SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+        ),
+        cnt AS (
+            SELECT w,
+                   SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS a,
+                   SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS b
+            FROM tok GROUP BY w
+        ),
+        tot AS (
+            SELECT SUM(a) AS ta, SUM(b) AS tb FROM cnt
+        ),
+        lo AS (
+            SELECT w,
+                   ln((a + 0.5) / (tot.ta - a + 0.5))
+                   - ln((b + 0.5) / (tot.tb - b + 0.5)) AS log_odds
+            FROM cnt CROSS JOIN tot
+        ),
+        up AS (
+            SELECT 'src0' AS leaning, w, log_odds,
+                   ROW_NUMBER() OVER (ORDER BY log_odds DESC, w ASC) AS rk
+            FROM lo
+        ),
+        dn AS (
+            SELECT 'rest' AS leaning, w, log_odds,
+                   ROW_NUMBER() OVER (ORDER BY log_odds ASC, w ASC) AS rk
+            FROM lo
+        )
+        SELECT leaning, CAST(rk AS INT) AS rk, w AS term,
+               CAST(ROUND(log_odds, 4) AS DOUBLE) AS log_odds
+        FROM (SELECT * FROM up WHERE rk <= 10
+              UNION ALL SELECT * FROM dn WHERE rk <= 10)
+        ORDER BY leaning DESC, rk
+    """,
+)
+def q_k53_source_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(words(F.col("text"))).alias("w"))
+    cnt = tok.groupBy("w").agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("source") != "src0", 1).otherwise(0)).alias("b"),
+    )
+    tot = cnt.agg(F.sum("a").alias("ta"), F.sum("b").alias("tb"))
+    lo = cnt.crossJoin(F.broadcast(tot)).select(
+        "w",
+        (
+            F.log((F.col("a") + 0.5) / (F.col("ta") - F.col("a") + 0.5))
+            - F.log((F.col("b") + 0.5) / (F.col("tb") - F.col("b") + 0.5))
+        ).alias("log_odds"),
+    )
+    w_up = Window.orderBy(F.col("log_odds").desc(), F.col("w").asc())
+    w_dn = Window.orderBy(F.col("log_odds").asc(), F.col("w").asc())
+    up = (
+        lo.withColumn("rk", F.row_number().over(w_up))
+        .filter(F.col("rk") <= 10)
+        .select(F.lit("src0").alias("leaning"), "rk", "w", "log_odds")
+    )
+    dn = (
+        lo.withColumn("rk", F.row_number().over(w_dn))
+        .filter(F.col("rk") <= 10)
+        .select(F.lit("rest").alias("leaning"), "rk", "w", "log_odds")
+    )
+    return (
+        up.unionAll(dn)
+        .select(
+            "leaning",
+            F.col("rk").cast("int").alias("rk"),
+            F.col("w").alias("term"),
+            F.round(F.col("log_odds"), 4).cast("double").alias("log_odds"),
+        )
+        .orderBy(F.col("leaning").desc(), "rk")
+    )

@@ -321,3 +321,57 @@ def q_i7_stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type")
     )
+
+
+@register(
+    "q_i8_session_window",
+    family="I",
+    doc="Sessionization through Spark's BUILT-IN session_window() "
+    "operator (30-minute gap) — the same semantics q_i3 derives from "
+    "raw window algebra, but exercising the dedicated "
+    "SessionWindowing physical node (also the streaming-native path: "
+    "session_window works under readStream where q_i3's unbounded "
+    "lag() cannot). Oracle reproduces gap-based sessions with SQL "
+    "window functions; session_end in Spark's definition is "
+    "last_event + gap, mirrored in the oracle.",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessions AS (
+            SELECT *, SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+            FROM flagged
+        )
+        SELECT user_id,
+               epoch_us(MIN(ts)) AS session_start_us,
+               epoch_us(MAX(ts)) + 1800000000 AS session_end_us,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+        FROM sessions
+        GROUP BY user_id, session_seq
+        ORDER BY user_id, session_start_us
+    """,
+)
+def q_i8_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum(F.col("value"), "decimal(18,6)").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+            "session_value",
+        )
+        .orderBy("user_id", "session_start_us")
+    )

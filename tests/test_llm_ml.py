@@ -168,3 +168,23 @@ def test_stream_dedupe_matches_batch_twin(spark, tmp_path):
     want = {(r["user_id"], r["event_type"]) for r in ev}
     assert got == want
     assert spark.sql("SELECT count(*) n FROM i7_stream").collect()[0]["n"] == len(want)
+
+
+def test_hard_negatives_partition_invariant(spark):
+    """Label-masked block_topk must be exact regardless of how the
+    corpus is partitioned (per-partition differing-label top-k is
+    complete for the global answer)."""
+    from cdc_publisher_spark.operators.ann import block_topk
+    from cdc_publisher_spark.tables import load
+
+    e = load(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    a = block_topk(e.coalesce(1), q, k=3, exclude_same_label="label")
+    b = block_topk(e.repartition(7), q, k=3, exclude_same_label="label")
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb and len(ra) == 30
+    # every returned pair truly crosses labels
+    lbl = {r["vec_id"]: r["label"] for r in e.select("vec_id", "label").collect()}
+    for qid, cid, _, _ in ra:
+        assert lbl[qid] != lbl[cid]
