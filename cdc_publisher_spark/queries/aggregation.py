@@ -32,7 +32,15 @@ def dsum(col, scale_spec: str = "decimal(22,6)"):
     family="D",
     bench=True,
     doc="TPC-H Q1 shape: 8 aggregates + count-distinct over lineitem "
-    "grouped by returnflag/linestatus. The engine's flagship batch agg.",
+    "grouped by returnflag/linestatus. The engine's flagship batch agg. "
+    "The count-distinct runs as a SEPARATE narrow aggregation "
+    "(3-column pruned scan) broadcast-joined back on the group keys: "
+    "keeping it inline makes Catalyst plan an Expand that duplicates "
+    "every row — with all 7 DECIMAL/double agg columns — through the "
+    "exchange, ~1.5x the single-node wall clock and ~2x the shuffle "
+    "volume at cluster scale. Long-cent sums were measured faster "
+    "still but overflow int64 at ~1e12 price rows, so DECIMAL sums "
+    "stay (exact, order-independent, overflow-free at 100 TB).",
     oracle="""
         SELECT
           l_returnflag,
@@ -56,8 +64,9 @@ def q_d1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+    flt = F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    sums = (
+        li.filter(flt)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum(F.col("l_quantity"), "decimal(18,4)").alias("sum_qty"),
@@ -68,8 +77,19 @@ def q_d1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
-            F.countDistinct("l_orderkey").alias("n_orders"),
         )
+    )
+    # Narrow distinct side: the scan prunes to 3 columns, the exchange
+    # carries (flag, status, orderkey) only — no Expand over the wide
+    # aggregate row.
+    n_orders = (
+        li.filter(flt)
+        .select("l_returnflag", "l_linestatus", "l_orderkey")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    )
+    return (
+        sums.join(F.broadcast(n_orders), ["l_returnflag", "l_linestatus"])
         .orderBy("l_returnflag", "l_linestatus")
     )
 

@@ -1,6 +1,6 @@
 """Family K round-3 extension: classic-ML corpus operators.
 
-Six operators a large-scale training-data pipeline runs between raw
+Operators a large-scale training-data pipeline runs between raw
 text and the dataloader, each expressed Spark-first:
 
 - q_k46 PCA projection — distributed moment pass + driver eigh
@@ -18,6 +18,10 @@ text and the dataloader, each expressed Spark-first:
 - q_k51 paragraph dedup — CCNet-style keep-first exact dedup of
   8-token windows across the corpus (removal, unlike q_k18 which
   only profiles repetition).
+- q_k52 hard-negative mining — label-masked block_topk
+  (operators/ann.py): top-k most-similar differing-label vectors.
+- q_k53 source keyness — Haldane-smoothed log-odds-ratio (Monroe
+  2008) of src0 vs the rest of the corpus.
 
 Float canonicalization follows registry.py rules: every ln()/product
 partial is ROUNDed to 8 decimals and DECIMAL-summed before any
@@ -140,6 +144,7 @@ def q_k46_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_k47_naive_bayes_langid",
     family="K",
+    bench=True,  # heaviest new shape: corpus-explode x langs join
     doc="Add-1-smoothed multinomial Naive Bayes language classifier, "
     "trained and scored in one plan: per-(token,lang) counts and "
     "class priors are closed-form aggregates, so unlike q_k41 the "
@@ -491,6 +496,7 @@ def q_k50_bpe_merge_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_k51_paragraph_dedup",
     family="K",
+    bench=True,  # window-content shuffle + global keep-first window
     doc="CCNet-style paragraph dedup with keep-first semantics: docs "
     "split into consecutive 8-token windows; a window is dropped when "
     "its exact content already appeared at a smaller (doc_id, window) "
