@@ -14,6 +14,7 @@ from cdc_publisher_spark.queries import (  # noqa: F401
     llm_ml,
     llm_prep,
     llm_quality,
+    llm_select,
     llm_spans,
     operators_reg,
     retrieval,

@@ -153,8 +153,14 @@ def q_k46_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     "summed, and the per-doc argmax orders by the EXACT decimal "
     "score (desc, lang asc) so ties break identically cross-engine. "
     "Scale shape: (token,lang) stats and priors are vocab-bounded "
-    "broadcasts; the corpus side is one explode joined against them "
-    "— no O(rows) driver traffic.",
+    "broadcasts; the corpus side is aggregated to per-(doc, term) "
+    "counts BEFORE fanning out by language (sum of c equal decimals "
+    "== c * decimal, exactly), so the lang fan-out and stats join "
+    "run on distinct (doc, term) pairs, not raw token instances — "
+    "several-fold fewer join rows at corpus scale, and the word-"
+    "count / lang-total / vocab stats all derive from that one "
+    "aggregate instead of re-exploding the corpus. No O(rows) "
+    "driver traffic.",
     oracle="""
         WITH tok AS (
             SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
@@ -208,12 +214,18 @@ def q_k47_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     langs = docs.select("lang").distinct()
     prior = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
     n = docs.agg(F.count("*").alias("n_total"))
-    wc = tok.groupBy("w", "lang").agg(F.count("*").alias("c"))
-    ltok = tok.groupBy("lang").agg(F.count("*").alias("n_tok"))
-    v = tok.agg(F.countDistinct("w").alias("vsz"))
+    # One explode -> per-(doc, lang, term) counts; every corpus statistic
+    # (word-lang counts, lang token totals, vocab size) and the scoring
+    # fan-out derive from this aggregate, so the raw token stream is
+    # shuffled once and the lang cross-join runs on distinct (doc, term)
+    # pairs instead of token instances.
+    tf = tok.groupBy("doc_id", "lang", "w").agg(F.count("*").alias("tc"))
+    wc = tf.groupBy("w", "lang").agg(F.sum("tc").cast("long").alias("c"))
+    ltok = tf.groupBy("lang").agg(F.sum("tc").cast("long").alias("n_tok"))
+    v = tf.agg(F.countDistinct("w").alias("vsz"))
 
     terms = (
-        tok.select("doc_id", "w")
+        tf.select("doc_id", "w", "tc")
         .crossJoin(F.broadcast(langs))
         .join(F.broadcast(wc), ["w", "lang"], "left")
         .join(F.broadcast(ltok), "lang")
@@ -221,12 +233,18 @@ def q_k47_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "lang",
-            F.round(
-                F.log(
-                    (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
-                    / (F.col("n_tok") + F.col("vsz"))
-                ),
-                8,
+            # c instances of the same 8dp-rounded decimal sum to exactly
+            # c * term, so multiplying by the count keeps the oracle's
+            # per-token-instance decimal sum bit-identical.
+            (
+                F.col("tc").cast("decimal(12,0)")
+                * F.round(
+                    F.log(
+                        (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+                        / (F.col("n_tok") + F.col("vsz"))
+                    ),
+                    8,
+                ).cast("decimal(20,8)")
             )
             .cast("decimal(20,8)")
             .alias("term"),
@@ -234,7 +252,7 @@ def q_k47_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scores = (
         terms.groupBy("doc_id", "lang")
-        .agg(F.sum("term").alias("_s"))
+        .agg(F.sum("term").cast("decimal(20,8)").alias("_s"))
         .join(F.broadcast(prior), "lang")
         .crossJoin(F.broadcast(n))
         .select(

@@ -1,0 +1,295 @@
+"""Family K round-4 extension: data-selection and sketch operators.
+
+- q_k54 DSIR importance resampling (Xie et al. 2023, "Data Selection
+  for Language Models via Importance Resampling"): score every raw-
+  pool document by how target-like its hashed n-gram profile is, then
+  keep the top-N. The bag-of-hashed-ngrams importance estimator is
+  two vocabulary-BOUNDED distributions (B buckets each), so at 100 TB
+  the only corpus-scale work is one explode -> bucket-count pass; the
+  per-bucket log-ratio table is a B-row broadcast and selection is a
+  TakeOrderedAndProject (fixed N), never a global sort.
+- q_k57 count-min sketch heavy hitters: a d x w count-min table built
+  with ONE partial+final aggregate over hashed grams (the table is
+  d*w counters regardless of corpus size - the canonical mergeable-
+  sketch shape), then point-estimates for the true top-20 tokens with
+  the overestimate-only invariant checked cross-engine.
+
+Both are deterministic and exactly SQL-reproducible: buckets come
+from md5 (reproducible in DuckDB via ('0x' || substr(md5(g),1,8))::
+UBIGINT, same trick as operators/mixing.py), every ln() is 8dp-
+rounded and DECIMAL-summed per registry.py hash-stability rules.
+
+Reference parity: none of this exists in the reference (a CDC
+microservice, /root/reference/src/cdc_publisher/core.clj:1-22); both
+are declared LLM-data extension surface (SURVEY.md §2.2 K).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_publisher_spark.functions.text import words
+from cdc_publisher_spark.registry import register
+from cdc_publisher_spark.tables import load
+
+DSIR_BUCKETS = 256
+DSIR_TARGET = "src0"
+DSIR_KEEP = 100
+CM_DEPTH = 4
+CM_WIDTH = 256
+CM_TOP = 20
+
+
+def _md5_bucket(g: Column, salt: str, width: int) -> Column:
+    """Deterministic bucket in [0, width): first 32 bits of md5(salt||g).
+
+    md5 (not xxhash64) so DuckDB reproduces the identical bucket from
+    the same bytes — the whole query stays oracle-hashable.
+    """
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), g)), 1, 8), 16, 10)
+        .cast("bigint")
+        % F.lit(width)
+    )
+
+
+def _doc_grams(docs: DataFrame) -> DataFrame:
+    """Unigrams + space-joined bigrams, one row per gram instance."""
+    toks = docs.select("doc_id", "source", words(F.col("text")).alias("w"))
+    uni = toks.select("doc_id", "source", F.explode("w").alias("g"))
+    bi = (
+        toks.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr("transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))")
+            ).alias("g"),
+        )
+    )
+    return uni.unionByName(bi)
+
+
+# --------------------------------------------------------------------------
+# q_k54 — DSIR hashed-ngram importance resampling
+# --------------------------------------------------------------------------
+@register(
+    "q_k54_dsir_importance",
+    family="K",
+    bench=True,  # corpus explode + two bounded distributions + TakeOrdered
+    doc="DSIR data selection (Xie et al. 2023): hash every unigram/"
+    "bigram into 256 md5 buckets; fit add-1-smoothed bucket "
+    "distributions p (target = src0 docs) and q (raw = the rest); "
+    "score each raw doc as sum_b c_b * (ln p_b - ln q_b) with 8dp-"
+    "rounded DECIMAL terms (c copies of an equal decimal sum to "
+    "exactly c * term, so per-doc bucket counts multiply instead of "
+    "re-summing instances); keep the 100 highest-scoring raw docs "
+    "(score desc, doc_id asc tie-break -> TakeOrderedAndProject). "
+    "Scale shape: both distributions are 256-row broadcast aggs, the "
+    "corpus side is one explode -> (doc, bucket) count, selection is "
+    "top-N not a global sort. No driver-side data traffic.",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+        ),
+        uni AS (SELECT doc_id, source, unnest(w) AS g FROM t),
+        bi AS (
+            SELECT doc_id, source, w[i] || ' ' || w[i + 1] AS g
+            FROM t CROSS JOIN generate_series(1, 100000) s(i)
+            WHERE i <= len(w) - 1
+        ),
+        grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+        bg AS (
+            SELECT doc_id, source,
+                   CAST(('0x' || substr(md5('dsir' || g), 1, 8)) AS UBIGINT)
+                       % {DSIR_BUCKETS} AS b
+            FROM grams
+        ),
+        docc AS (
+            SELECT doc_id, source, b, COUNT(*) AS c
+            FROM bg GROUP BY doc_id, source, b
+        ),
+        tgt AS (
+            SELECT b, COUNT(*) AS n FROM bg WHERE source = '{DSIR_TARGET}' GROUP BY b
+        ),
+        tgt_tot AS (
+            SELECT COUNT(*) AS nt FROM bg WHERE source = '{DSIR_TARGET}'
+        ),
+        raw AS (
+            SELECT b, COUNT(*) AS n FROM bg WHERE source <> '{DSIR_TARGET}' GROUP BY b
+        ),
+        raw_tot AS (
+            SELECT COUNT(*) AS nr FROM bg WHERE source <> '{DSIR_TARGET}'
+        ),
+        buckets AS (
+            SELECT CAST(x AS UBIGINT) AS b
+            FROM generate_series(0, {DSIR_BUCKETS - 1}) gs(x)
+        ),
+        ratio AS (
+            SELECT buckets.b,
+                   CAST(ROUND(ln((COALESCE(tgt.n, 0) + 1.0)
+                                 / (tgt_tot.nt + {DSIR_BUCKETS})), 8)
+                        AS DECIMAL(20, 8))
+                   - CAST(ROUND(ln((COALESCE(raw.n, 0) + 1.0)
+                                   / (raw_tot.nr + {DSIR_BUCKETS})), 8)
+                        AS DECIMAL(20, 8)) AS w_b
+            FROM buckets
+            LEFT JOIN tgt ON tgt.b = buckets.b
+            LEFT JOIN raw ON raw.b = buckets.b
+            CROSS JOIN tgt_tot CROSS JOIN raw_tot
+        ),
+        scored AS (
+            SELECT docc.doc_id, docc.source,
+                   SUM(CAST(docc.c AS DECIMAL(12, 0)) * ratio.w_b) AS s
+            FROM docc JOIN ratio ON ratio.b = docc.b
+            WHERE docc.source <> '{DSIR_TARGET}'
+            GROUP BY docc.doc_id, docc.source
+        )
+        SELECT doc_id, source, CAST(ROUND(s, 4) AS DOUBLE) AS dsir_score
+        FROM scored
+        ORDER BY s DESC, doc_id ASC
+        LIMIT {DSIR_KEEP}
+    """,
+)
+def q_k54_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bg = _doc_grams(docs).select(
+        "doc_id", "source", _md5_bucket(F.col("g"), "dsir", DSIR_BUCKETS).alias("b")
+    )
+    docc = bg.groupBy("doc_id", "source", "b").agg(F.count("*").alias("c"))
+    tgt = bg.filter(F.col("source") == DSIR_TARGET)
+    raw = bg.filter(F.col("source") != DSIR_TARGET)
+    tgt_n = tgt.groupBy("b").agg(F.count("*").alias("tn"))
+    raw_n = raw.groupBy("b").agg(F.count("*").alias("rn"))
+    tgt_tot = tgt.agg(F.count("*").alias("nt"))
+    raw_tot = raw.agg(F.count("*").alias("nr"))
+    buckets = spark.range(DSIR_BUCKETS).select(F.col("id").alias("b"))
+
+    def _lterm(n: Column, tot: Column) -> Column:
+        return F.round(
+            F.log((F.coalesce(n, F.lit(0)) + F.lit(1.0)) / (tot + F.lit(DSIR_BUCKETS))), 8
+        ).cast("decimal(20,8)")
+
+    ratio = (
+        buckets.join(F.broadcast(tgt_n), "b", "left")
+        .join(F.broadcast(raw_n), "b", "left")
+        .crossJoin(F.broadcast(tgt_tot))
+        .crossJoin(F.broadcast(raw_tot))
+        .select(
+            "b",
+            (_lterm(F.col("tn"), F.col("nt")) - _lterm(F.col("rn"), F.col("nr"))).alias(
+                "w_b"
+            ),
+        )
+    )
+    scored = (
+        docc.filter(F.col("source") != DSIR_TARGET)
+        .join(F.broadcast(ratio), "b")
+        .groupBy("doc_id", "source")
+        .agg(F.sum(F.col("c").cast("decimal(12,0)") * F.col("w_b")).alias("s"))
+    )
+    return (
+        scored.orderBy(F.col("s").desc(), F.col("doc_id").asc())
+        .limit(DSIR_KEEP)
+        .select(
+            "doc_id",
+            "source",
+            F.round(F.col("s"), 4).cast("double").alias("dsir_score"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q_k57 — count-min sketch heavy hitters
+# --------------------------------------------------------------------------
+@register(
+    "q_k57_countmin_heavy_hitters",
+    family="K",
+    doc="Count-min sketch frequency estimation: a 4x256 counter table "
+    "built by ONE partial+final aggregate over (row, md5-salted "
+    "bucket) pairs - the sketch is d*w counters independent of corpus "
+    "size, Spark's map-side combine IS the sketch merge, so the "
+    "shuffle is bounded by d*w per partition regardless of token "
+    "count. Point estimates (min over the d row counters) for the 20 "
+    "most frequent true tokens, with the one-sided count-min "
+    "guarantee emitted as a checked column: est >= true always. "
+    "True top-20 comes from an exact vocab agg + TakeOrdered (the "
+    "diagnostic side, vocab-bounded).",
+    oracle=f"""
+        WITH tok AS (
+            SELECT unnest(string_split(text, ' ')) AS g FROM documents
+        ),
+        cells AS (
+            SELECT r.x AS r,
+                   CAST(('0x' || substr(md5('cm' || CAST(r.x AS VARCHAR) || g), 1, 8))
+                        AS UBIGINT) % {CM_WIDTH} AS b,
+                   COUNT(*) AS cnt
+            FROM tok CROSS JOIN generate_series(0, {CM_DEPTH - 1}) r(x)
+            GROUP BY 1, 2
+        ),
+        top AS (
+            SELECT g, COUNT(*) AS true_c
+            FROM tok GROUP BY g
+            ORDER BY true_c DESC, g ASC
+            LIMIT {CM_TOP}
+        ),
+        probes AS (
+            SELECT top.g, top.true_c, r.x AS r,
+                   CAST(('0x' || substr(md5('cm' || CAST(r.x AS VARCHAR) || top.g), 1, 8))
+                        AS UBIGINT) % {CM_WIDTH} AS b
+            FROM top CROSS JOIN generate_series(0, {CM_DEPTH - 1}) r(x)
+        )
+        SELECT probes.g AS token,
+               CAST(probes.true_c AS BIGINT) AS true_c,
+               CAST(MIN(cells.cnt) AS BIGINT) AS cm_est,
+               (MIN(cells.cnt) >= probes.true_c) AS overestimate_ok
+        FROM probes
+        JOIN cells ON cells.r = probes.r AND cells.b = probes.b
+        GROUP BY probes.g, probes.true_c
+        ORDER BY true_c DESC, token ASC
+    """,
+)
+def q_k57_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(words(F.col("text"))).alias("g"))
+    rows = spark.range(CM_DEPTH).select(F.col("id").alias("r"))
+    # Sketch build: every token lands in one bucket per sketch row; the
+    # groupBy is the partial+final merge of per-partition sketches.
+    cells = (
+        tok.crossJoin(F.broadcast(rows))
+        .select(
+            "r",
+            _md5_bucket(
+                F.concat(F.lit("cm"), F.col("r").cast("string"), F.col("g")), "", CM_WIDTH
+            ).alias("b"),
+        )
+        .groupBy("r", "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = (
+        tok.groupBy("g")
+        .agg(F.count("*").alias("true_c"))
+        .orderBy(F.col("true_c").desc(), F.col("g").asc())
+        .limit(CM_TOP)
+    )
+    probes = top.crossJoin(F.broadcast(rows)).select(
+        "g",
+        "true_c",
+        "r",
+        _md5_bucket(
+            F.concat(F.lit("cm"), F.col("r").cast("string"), F.col("g")), "", CM_WIDTH
+        ).alias("b"),
+    )
+    return (
+        probes.join(cells, ["r", "b"])
+        .groupBy("g", "true_c")
+        .agg(F.min("cnt").alias("cm_est"))
+        .select(
+            F.col("g").alias("token"),
+            F.col("true_c").cast("long").alias("true_c"),
+            F.col("cm_est").cast("long").alias("cm_est"),
+            (F.col("cm_est") >= F.col("true_c")).alias("overestimate_ok"),
+        )
+        .orderBy(F.col("true_c").desc(), F.col("token").asc())
+    )

@@ -109,6 +109,9 @@ def test_no_cartesian_products(spark, sf_oracle):
         "q_c5_event_pairs_within_hour",
         "q_c1_revenue_by_customer",
         "q_c9_large_volume_customers",
+        # keyless +-60s interval join: the bucket-binning rewrite must
+        # plan as a shuffled equi-join, never a nested loop
+        "q_c14_binned_interval_join",
     ):
         plan = plan_string(_df(spark, sf_oracle, name), "simple")
         assert "CartesianProduct" not in plan, name
