@@ -342,3 +342,74 @@ def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
             )
 
     return df.mapInPandas(batches, schema=RESIZED_FIELDS)
+
+
+# --------------------------------------------------------------------------
+# Perceptual image hashing (dHash) over decoded payloads
+# --------------------------------------------------------------------------
+
+
+def synth_ppm_from_text(text: str, w: int = 16, h: int = 16) -> bytes:
+    """Deterministic P6 image derived from a document's words: the
+    pixel stream is the concatenation of per-word md5 digests, tiled to
+    w*h*3 bytes. Identical text => identical image, so the image-dedup
+    path can be exercised against the text tables the driver ships
+    (the container has no real image corpus or codecs)."""
+    import hashlib
+
+    import numpy as np
+
+    toks = text.split() or [""]
+    need = w * h * 3
+    buf = bytearray()
+    i = 0
+    while len(buf) < need:
+        buf += hashlib.md5(toks[i % len(toks)].encode("utf-8")).digest()
+        i += 1
+    px = np.frombuffer(bytes(buf[:need]), dtype=np.uint8).reshape(h, w, 3)
+    return encode_ppm(px)
+
+
+def dhash64(payload: bytes) -> int:
+    """64-bit difference hash of a binary PPM: decode, Rec.601 luma,
+    nearest-neighbor downsample to 9x8, then one bit per horizontally
+    adjacent brighter-than comparison. Returned as a SIGNED 64-bit int
+    so it shuffles as a fixed-width Spark LongType key."""
+    import numpy as np
+
+    w, h, maxval, raster = _parse_ppm(payload)
+    px = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3).astype(np.float64)
+    luma = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+    rows = (np.arange(8) * h) // 8
+    cols = (np.arange(9) * w) // 9
+    g = luma[rows][:, cols]
+    bits = (g[:, 1:] > g[:, :-1]).flatten()
+    v = 0
+    for i, b in enumerate(bits):
+        if b:
+            v |= 1 << i
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+DHASH_FIELDS = "media_id long, dhash long"
+
+
+def image_dhash(df: DataFrame) -> DataFrame:
+    """mapInPandas perceptual hash: (media_id, payload) -> (media_id,
+    dhash). Arrow moves the binary batches; each blob is decoded once.
+    At 100 TB this is the canonical image-near-dup signature pass —
+    the 8-byte dhash is what shuffles, never the pixels."""
+    _ship_module_by_value()
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "dhash": [dhash64(p) for p in pdf["payload"]],
+                }
+            )
+
+    return df.mapInPandas(batches, schema=DHASH_FIELDS)

@@ -293,3 +293,91 @@ def q_k57_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("true_c").desc(), F.col("token").asc())
     )
+
+
+# --------------------------------------------------------------------------
+# q_k56 — fuzzy dedup: shingle-nominate, edit-distance-verify
+# --------------------------------------------------------------------------
+FUZZY_MIN_SHARED = 3
+FUZZY_SIM = 0.8
+
+
+@register(
+    "q_k56_fuzzy_editdist_dedup",
+    family="K",
+    doc="Fuzzy near-dup pairs by normalized edit similarity: nominate "
+    "candidate pairs sharing >= 3 distinct trigram shingles (the "
+    "same int64-hashed shingle equi-join as q_k2 — no doc x doc "
+    "product; candidate volume is O(co-occurring shingles)), then "
+    "verify with levenshtein on the pair's raw texts and keep "
+    "1 - dist/max_len >= 0.8. Edit distance is the verifier CHARACTER-"
+    "level fuzzy dedup needs (token-set Jaccard is blind to within-"
+    "word edits); running it only on nominated pairs keeps the "
+    "O(len^2) DP off the corpus-scale path. Both stages are mirrored "
+    "exactly in the DuckDB oracle, so the output hash-checks "
+    "end-to-end.",
+    oracle=f"""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+            FROM w CROSS JOIN generate_series(1, 4096) g(i)
+            WHERE i + 2 <= len(ws)
+        ),
+        cand AS (
+            SELECT a.doc_id d1, b.doc_id d2
+            FROM sh a JOIN sh b USING (s)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= {FUZZY_MIN_SHARED}
+        ),
+        verified AS (
+            SELECT cand.d1, cand.d2,
+                   levenshtein(ta.text, tb.text) AS dist,
+                   GREATEST(length(ta.text), length(tb.text)) AS max_len
+            FROM cand
+            JOIN documents ta ON ta.doc_id = cand.d1
+            JOIN documents tb ON tb.doc_id = cand.d2
+        )
+        SELECT d1, d2, CAST(dist AS BIGINT) AS edit_dist,
+               ROUND(1.0 - dist * 1.0 / max_len, 4) AS edit_sim
+        FROM verified
+        WHERE 1.0 - dist * 1.0 / max_len >= {FUZZY_SIM}
+        ORDER BY d1, d2
+    """,
+)
+def q_k56_fuzzy_editdist_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_publisher_spark.functions import text as TX
+
+    docs = load(spark, sf_dir, "documents")
+    tok = TX.shingle_rows(docs, "doc_id", "text", 3, hashed=True)
+    cand = (
+        tok.alias("a")
+        .join(tok.alias("b"), "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= FUZZY_MIN_SHARED)
+    )
+    ta = docs.select(F.col("doc_id").alias("d1"), F.col("text").alias("t1"))
+    tb = docs.select(F.col("doc_id").alias("d2"), F.col("text").alias("t2"))
+    verified = (
+        cand.join(ta, "d1")
+        .join(tb, "d2")
+        .select(
+            "d1",
+            "d2",
+            F.levenshtein("t1", "t2").alias("dist"),
+            F.greatest(F.length("t1"), F.length("t2")).alias("max_len"),
+        )
+    )
+    sim = F.lit(1.0) - F.col("dist") * F.lit(1.0) / F.col("max_len")
+    return (
+        verified.filter(sim >= FUZZY_SIM)
+        .select(
+            "d1",
+            "d2",
+            F.col("dist").cast("long").alias("edit_dist"),
+            F.round(sim, 4).alias("edit_sim"),
+        )
+        .orderBy("d1", "d2")
+    )

@@ -297,3 +297,80 @@ def q_k15_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@register(
+    "q_k55_image_dhash_dedup",
+    family="K",
+    doc="Image near-dup signature pass: deterministic PPM images "
+    "synthesized from each document's words (the container ships no "
+    "image corpus), decoded by the REAL dependency-free P6 decoder, "
+    "perceptual-hashed with 64-bit dHash (operators/multimodal.py "
+    "image_dhash — Arrow-batched mapInPandas, 8-byte hash is the only "
+    "thing that shuffles). The dhash itself is not SQL-reproducible "
+    "(pixel math in Python), so the registered form emits oracle-"
+    "anchored INVARIANTS: media count and distinct-text count are "
+    "recomputed by DuckDB from the same table, and the booleans pin "
+    "determinism (identical text => identical dhash, never split "
+    "across hashes) and injectivity direction (hash groups <= text "
+    "groups). Hamming-near behavior is pytest'd.",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_media,
+               CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+               TRUE AS exact_dupes_same_hash,
+               TRUE AS groups_le_texts
+        FROM documents
+    """,
+)
+def q_k55_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    from cdc_publisher_spark.operators import multimodal as MM
+
+    docs = load(spark, sf_dir, "documents")
+
+    MM._ship_module_by_value()
+
+    def synth(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        MM.synth_ppm_from_text(t) for t in pdf["text"]
+                    ],
+                }
+            )
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    hashes = MM.image_dhash(media)
+    keyed = docs.select(
+        F.col("doc_id").alias("media_id"), F.md5("text").alias("tkey")
+    ).join(hashes, "media_id")
+    per_text = keyed.groupBy("tkey").agg(
+        F.countDistinct("dhash").alias("n_hashes")
+    )
+    return (
+        keyed.agg(
+            F.count("*").alias("n_media"),
+            F.countDistinct("tkey").alias("n_texts"),
+            F.countDistinct("dhash").alias("n_hash_groups"),
+        )
+        .crossJoin(
+            F.broadcast(
+                per_text.agg(
+                    F.bool_and(F.col("n_hashes") == 1).alias("exact_dupes_same_hash")
+                )
+            )
+        )
+        .select(
+            F.col("n_media").cast("long").alias("n_media"),
+            F.col("n_texts").cast("long").alias("n_distinct_texts"),
+            "exact_dupes_same_hash",
+            (F.col("n_hash_groups") <= F.col("n_texts")).alias("groups_le_texts"),
+        )
+    )

@@ -82,3 +82,49 @@ def test_countmin_top_tokens_match_exact_counts(spark, sf_oracle):
     )
     got = {r.token: r.true_c for r in q_k57_countmin_heavy_hitters(spark, sf_oracle).collect()}
     assert {r.g: r["count"] for r in exact} == got
+
+
+# --------------------------------------------------------------------------
+# q_k55 / q_k56 semantics
+# --------------------------------------------------------------------------
+
+
+def test_dhash64_deterministic_and_discriminative():
+    from cdc_publisher_spark.operators.multimodal import dhash64, synth_ppm_from_text
+
+    a1 = synth_ppm_from_text("alpha beta gamma delta epsilon zeta")
+    a2 = synth_ppm_from_text("alpha beta gamma delta epsilon zeta")
+    b = synth_ppm_from_text("totally different words entirely here now")
+    assert a1 == a2
+    ha, hb = dhash64(a1), dhash64(b)
+    assert ha == dhash64(a2)
+    assert ha != hb
+    assert -(1 << 63) <= ha < (1 << 63)  # fits LongType
+
+
+def test_dhash_small_edit_changes_fewer_bits_than_rewrite():
+    from cdc_publisher_spark.operators.multimodal import dhash64, synth_ppm_from_text
+
+    t0 = " ".join(f"w{i}" for i in range(50))
+    t1 = " ".join(f"w{i}" if i != 25 else "CHANGED" for i in range(50))
+    t2 = " ".join(f"z{i}" for i in range(50))
+    h0, h1, h2 = (dhash64(synth_ppm_from_text(t)) for t in (t0, t1, t2))
+
+    def ham(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    assert ham(h0, h1) < ham(h0, h2)
+
+
+def test_fuzzy_dedup_pairs_respect_threshold(spark, sf_oracle):
+    from cdc_publisher_spark.queries.llm_select import (
+        FUZZY_SIM,
+        q_k56_fuzzy_editdist_dedup,
+    )
+
+    rows = q_k56_fuzzy_editdist_dedup(spark, sf_oracle).collect()
+    assert rows, "sf0.01 corpus has near-duplicates by construction"
+    for r in rows:
+        assert r.d1 < r.d2
+        assert r.edit_sim >= FUZZY_SIM
+        assert r.edit_dist >= 0
