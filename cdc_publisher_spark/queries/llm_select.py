@@ -381,3 +381,104 @@ def q_k56_fuzzy_editdist_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d1", "d2")
     )
+
+
+# --------------------------------------------------------------------------
+# q_k58 — Matryoshka truncated-dimension retrieval recall
+# --------------------------------------------------------------------------
+MRL_DIM = 16
+MRL_QUERIES = 20
+MRL_K = 10
+
+
+@register(
+    "q_k58_matryoshka_recall",
+    family="K",
+    doc="Matryoshka-style dimension-truncation audit: rank the corpus "
+    "by exact cosine twice - full 64-dim vs the first-16-dim prefix "
+    "(the cheap representation a 100 TB first-pass retriever would "
+    "scan; 4x less shuffle and compute) - and emit per-query "
+    "recall@10 of the truncated ranking against the full one. Both "
+    "rankings use the same sequential-fold dot product as DuckDB's "
+    "list_dot_product, so ordering (cos desc, cand_id) is bit-"
+    "deterministic cross-engine and the whole audit hash-checks "
+    "exactly. Query block bounded by design (20 vectors broadcast); "
+    "corpus side is one scan, no driver traffic.",
+    oracle=f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+        q AS (SELECT * FROM v WHERE vec_id < {MRL_QUERIES}),
+        c AS (SELECT * FROM v WHERE vec_id >= {MRL_QUERIES}),
+        full_rk AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_dot_product(q.e, c.e)
+                                / (sqrt(list_dot_product(q.e, q.e))
+                                   * sqrt(list_dot_product(c.e, c.e))) DESC,
+                                c.vec_id) AS rk
+            FROM q CROSS JOIN c
+        ),
+        trunc_rk AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_dot_product(q.e[1:{MRL_DIM}], c.e[1:{MRL_DIM}])
+                                / (sqrt(list_dot_product(q.e[1:{MRL_DIM}], q.e[1:{MRL_DIM}]))
+                                   * sqrt(list_dot_product(c.e[1:{MRL_DIM}], c.e[1:{MRL_DIM}]))) DESC,
+                                c.vec_id) AS rk
+            FROM q CROSS JOIN c
+        )
+        SELECT f.query_id,
+               CAST(COUNT(t.cand_id) AS BIGINT) AS n_common,
+               ROUND(COUNT(t.cand_id) * 1.0 / {MRL_K}, 4) AS recall_at_10
+        FROM full_rk f
+        LEFT JOIN trunc_rk t
+          ON t.query_id = f.query_id AND t.cand_id = f.cand_id AND t.rk <= {MRL_K}
+        WHERE f.rk <= {MRL_K}
+        GROUP BY f.query_id
+        ORDER BY f.query_id
+    """,
+)
+def q_k58_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from cdc_publisher_spark.functions import vectors as VX
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < MRL_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.slice(F.col("embedding"), 1, MRL_DIM).alias("qt"),
+    )
+    c = e.filter(F.col("vec_id") >= MRL_QUERIES).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cv"),
+        F.slice(F.col("embedding"), 1, MRL_DIM).alias("ct"),
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "cand_id",
+        VX.cosine(F.col("qv"), F.col("cv")).alias("cos_full"),
+        VX.cosine(F.col("qt"), F.col("ct")).alias("cos_trunc"),
+    )
+    w_full = W.partitionBy("query_id").orderBy(F.col("cos_full").desc(), F.col("cand_id"))
+    w_trunc = W.partitionBy("query_id").orderBy(F.col("cos_trunc").desc(), F.col("cand_id"))
+    ranked = scored.select(
+        "query_id",
+        "cand_id",
+        F.row_number().over(w_full).alias("rk_full"),
+        F.row_number().over(w_trunc).alias("rk_trunc"),
+    ).filter(F.col("rk_full") <= MRL_K)
+    return (
+        ranked.groupBy("query_id")
+        .agg(
+            F.sum(F.when(F.col("rk_trunc") <= MRL_K, 1).otherwise(0))
+            .cast("long")
+            .alias("n_common"),
+            F.round(
+                F.sum(F.when(F.col("rk_trunc") <= MRL_K, 1).otherwise(0)) * F.lit(1.0) / MRL_K,
+                4,
+            ).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )

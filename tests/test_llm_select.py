@@ -128,3 +128,21 @@ def test_fuzzy_dedup_pairs_respect_threshold(spark, sf_oracle):
         assert r.d1 < r.d2
         assert r.edit_sim >= FUZZY_SIM
         assert r.edit_dist >= 0
+
+
+def test_matryoshka_recall_bounds(spark, sf_oracle):
+    from cdc_publisher_spark.queries.llm_select import (
+        MRL_K,
+        MRL_QUERIES,
+        q_k58_matryoshka_recall,
+    )
+
+    rows = q_k58_matryoshka_recall(spark, sf_oracle).collect()
+    assert len(rows) == MRL_QUERIES
+    for r in rows:
+        assert 0 <= r.n_common <= MRL_K
+        assert abs(r.recall_at_10 - r.n_common / MRL_K) < 1e-9
+    # truncation keeps SOME signal: chance recall@10 over ~480
+    # candidates is ~0.02; the synthetic near-random embeddings land
+    # ~0.19, so 0.05 separates signal from chance with margin
+    assert sum(r.n_common for r in rows) / (len(rows) * MRL_K) > 0.05
