@@ -146,3 +146,50 @@ def test_matryoshka_recall_bounds(spark, sf_oracle):
     # candidates is ~0.02; the synthetic near-random embeddings land
     # ~0.19, so 0.05 separates signal from chance with margin
     assert sum(r.n_common for r in rows) / (len(rows) * MRL_K) > 0.05
+
+
+def test_countmin_sketch_is_streaming_mergeable(spark, sf_smoke, tmp_path):
+    """The count-min table is a plain keyed COUNT, so Spark's partial+
+    final (and micro-batch) merges ARE the sketch merge: building the
+    d x w table over a document STREAM must give the identical table
+    the batch aggregate produces."""
+    from cdc_publisher_spark.queries.llm_select import CM_DEPTH, CM_WIDTH, _md5_bucket
+    from cdc_publisher_spark.sources.files import stream_table
+    from cdc_publisher_spark.functions.text import words
+    from cdc_publisher_spark.tables import load
+
+    def cells(df):
+        rows = spark.range(CM_DEPTH).select(F.col("id").alias("r"))
+        return (
+            df.select(F.explode(words(F.col("text"))).alias("g"))
+            .crossJoin(F.broadcast(rows))
+            .select(
+                "r",
+                _md5_bucket(
+                    F.concat(F.lit("cm"), F.col("r").cast("string"), F.col("g")),
+                    "",
+                    CM_WIDTH,
+                ).alias("b"),
+            )
+            .groupBy("r", "b")
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    stream = stream_table(spark, sf_smoke, "documents", str(tmp_path))
+    q = (
+        cells(stream)
+        .writeStream.format("memory")
+        .queryName("cm_stream_t")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.r, r.b): r.cnt for r in spark.sql("SELECT * FROM cm_stream_t").collect()
+    }
+    expected = {
+        (r.r, r.b): r.cnt
+        for r in cells(load(spark, sf_smoke, "documents")).collect()
+    }
+    assert got == expected
