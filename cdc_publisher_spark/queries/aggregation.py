@@ -658,3 +658,65 @@ def q_d17_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out.orderBy("col")
+
+
+@register(
+    "q_d16_median_mode",
+    family="D",
+    doc="Exact median and deterministic mode of order totals per "
+    "priority. Median = interpolated 50th percentile (Spark median == "
+    "DuckDB median, both exact at this cardinality). Mode is NOT "
+    "cross-engine deterministic as a built-in (tie order is engine-"
+    "specific), so it is computed as an explicit argmax: per-(group, "
+    "value) counts, then max_by(value, (count, -value)) — highest "
+    "count, smallest value on ties — which is a total order both "
+    "engines reproduce. Two partial+final aggs, no window, no "
+    "shuffle beyond the group keys.",
+    oracle="""
+        WITH vc AS (
+            SELECT o_orderpriority, o_totalprice AS v, COUNT(*) AS c
+            FROM orders
+            GROUP BY o_orderpriority, o_totalprice
+        ),
+        m AS (
+            SELECT o_orderpriority, v AS mode_val
+            FROM (
+                SELECT o_orderpriority, v,
+                       row_number() OVER (PARTITION BY o_orderpriority
+                                          ORDER BY c DESC, v ASC) AS rn
+                FROM vc
+            )
+            WHERE rn = 1
+        )
+        SELECT o.o_orderpriority,
+               ROUND(median(o.o_totalprice), 4) AS median_price,
+               ROUND(ANY_VALUE(m.mode_val), 4) AS mode_price,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders o
+        JOIN m ON m.o_orderpriority = o.o_orderpriority
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+    """,
+)
+def q_d16_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    vc = orders.groupBy("o_orderpriority", F.col("o_totalprice").alias("v")).agg(
+        F.count("*").alias("c")
+    )
+    mode = vc.groupBy("o_orderpriority").agg(
+        F.max_by("v", F.struct(F.col("c"), (-F.col("v")).alias("nv"))).alias("mode_val")
+    )
+    med = orders.groupBy("o_orderpriority").agg(
+        F.round(F.median("o_totalprice"), 4).alias("median_price"),
+        F.count("*").cast("long").alias("n"),
+    )
+    return (
+        med.join(F.broadcast(mode), "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "median_price",
+            F.round("mode_val", 4).alias("mode_price"),
+            "n",
+        )
+        .orderBy("o_orderpriority")
+    )
