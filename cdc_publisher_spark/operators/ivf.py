@@ -3,12 +3,15 @@
 
 Classic IVF-Flat, Spark-shaped:
 
-- **build**: unit-normalize vectors, fit k-means centroids (MLlib —
-  distributed Lloyd's; on normalized vectors Euclidean argmin ==
-  cosine argmax, i.e. spherical quantization), assign every corpus
-  vector to its nearest centroid's list. The assignment is the
-  index — a plain column, so it persists as parquet and prunes as a
-  partition key.
+- **build**: unit-normalize vectors, fit k-means centroids with
+  seeded k-means++ on a HASH-BOUNDED sample collected to the driver
+  (faiss-style coarse-quantizer training — O(MAX_FIT_ROWS x dim)
+  driver bytes at any corpus size; on normalized vectors Euclidean
+  argmin == cosine argmax, i.e. spherical quantization), then assign
+  every corpus vector to its nearest centroid's list in one
+  expression-only distributed pass. The assignment is the index — a
+  plain column, so it persists as parquet and prunes as a partition
+  key.
 - **query**: score each query against the tiny centroid table
   (broadcast, n_lists rows), take the top ``nprobe`` lists, equi-join
   corpus on list id, exact cosine inside the probed lists only.
@@ -64,6 +67,48 @@ def _best_list_expr(vec_col, centroids: list[list[float]]):
     return F.array_max(pairs)["idx"]
 
 
+#: Centroid training set bound: the fit collects at most ~this many
+#: unit vectors to the driver (faiss-style — IVF coarse quantizers are
+#: trained on a bounded sample, never the full corpus). 16384 x 64
+#: doubles is ~8 MB of driver memory regardless of corpus size.
+MAX_FIT_ROWS = 16384
+
+
+def _fit_kmeans(mat, k: int, seed: int, n_iter: int = 20):
+    """Deterministic seeded k-means++ + Lloyd on a driver-side numpy
+    matrix. Vectorized: each iteration is one (n x k) distance matmul —
+    ~100 MFLOP at the MAX_FIT_ROWS bound, milliseconds on the driver,
+    where the distributed-Lloyd alternative pays per-iteration job
+    overhead to fit what is by design a bounded sample."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    n = mat.shape[0]
+    k = min(k, n)
+    # k-means++ seeding
+    centers = [mat[rng.randint(n)]]
+    d2 = ((mat - centers[0]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        probs = d2 / d2.sum() if d2.sum() > 0 else np.full(n, 1.0 / n)
+        centers.append(mat[rng.choice(n, p=probs)])
+        d2 = np.minimum(d2, ((mat - centers[-1]) ** 2).sum(axis=1))
+    c = np.array(centers)
+    for _ in range(n_iter):
+        # ||x-c||^2 argmin == (x.c - ||c||^2/2) argmax for unit rows
+        assign = (mat @ c.T - 0.5 * (c**2).sum(axis=1)).argmax(axis=1)
+        moved = False
+        for j in range(k):
+            members = mat[assign == j]
+            if len(members):
+                nc = members.mean(axis=0)
+                if not np.allclose(nc, c[j], rtol=0, atol=1e-12):
+                    c[j] = nc
+                    moved = True
+        if not moved:
+            break
+    return c
+
+
 def build_ivf(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -71,10 +116,17 @@ def build_ivf(
     n_lists: int = 16,
     seed: int = 42,
 ) -> IvfIndex:
-    """Fit centroids (MLlib k-means on unit-normalized vectors) and
-    assign each corpus vector to its list."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    """Fit centroids (seeded k-means++ on a hash-bounded sample of
+    unit-normalized vectors) and assign each corpus vector to its list.
+
+    The train set is BOUNDED: if the corpus exceeds MAX_FIT_ROWS, a
+    deterministic content-hash filter (pmod(xxhash64(id), m) == 0)
+    thins it to ~MAX_FIT_ROWS before the collect, so driver memory is
+    O(MAX_FIT_ROWS x dim) at any corpus size — the standard IVF
+    coarse-quantizer recipe (train on a sample, assign everything).
+    Assignment stays fully distributed: one expression-only pass
+    (_best_list_expr) over the corpus, no UDF, no extra shuffle."""
+    import numpy as np
 
     normed = corpus.select(
         F.col(id_col),
@@ -83,9 +135,16 @@ def build_ivf(
     ).withColumn(
         "_unit", F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("_norm"))
     )
-    train = normed.select(array_to_vector("_unit").alias("features"))
-    model = KMeans(k=n_lists, seed=seed, featuresCol="features").fit(train)
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    n = normed.count()
+    train = normed.select(F.col(id_col).alias("_id"), "_unit")
+    if n > MAX_FIT_ROWS:
+        m = -(-n // MAX_FIT_ROWS)  # ceil
+        train = train.filter(F.pmod(F.xxhash64(F.col("_id")), F.lit(m)) == 0)
+    # deterministic collect order: the fit must not depend on partition
+    # arrival order, so sort the bounded sample by id
+    rows = train.orderBy("_id").collect()
+    mat = np.array([list(map(float, r["_unit"])) for r in rows])
+    centroids = [list(map(float, c)) for c in _fit_kmeans(mat, n_lists, seed)]
 
     indexed = normed.select(
         F.col(id_col),

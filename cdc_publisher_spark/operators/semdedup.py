@@ -4,8 +4,9 @@ K-2 embedding-cosine dedup, the 100 TB path).
 Method (Abbas et al., "SemDeDup: Data-efficient learning at web-scale
 through semantic deduplication", 2023): instead of mining cosine
 near-dup pairs over all O(n²) embedding pairs, first quantize the
-corpus with k-means (the IVF index from ``operators/ivf.py`` — MLlib
-distributed Lloyd's on unit-normalized vectors), then score pairs ONLY
+corpus with k-means (the IVF index from ``operators/ivf.py`` — seeded
+k-means++ trained on a hash-bounded sample, assignment fully
+distributed and expression-only), then score pairs ONLY
 within each cluster. Cost drops from |C|² to Σ|cluster|², i.e. ~|C|²/k
 for balanced clusters — the difference between impossible and routine
 at web scale.

@@ -269,7 +269,7 @@ def q_k37_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFra
     "q_k40_ivf_ann",
     family="K",
     bench=True,  # k-means quantize + nprobe scan: regression visibility
-    doc="K-3 IVF-Flat ANN (operators/ivf.py): MLlib k-means centroids "
+    doc="K-3 IVF-Flat ANN (operators/ivf.py): sample-trained k-means centroids "
     "quantize the corpus into lists; queries probe the nprobe nearest "
     "lists only — the data-adaptive alternative to the LSH path "
     "(q_k12). K-means centroids are not SQL-reproducible, so the "

@@ -1054,3 +1054,28 @@ def test_pq_topk_recall(spark, sf_oracle):
     # structure); the top-(k+pad) nominate still has to beat random
     # candidate picking by a wide margin
     assert mean_recall >= 0.3, f"mean recall {mean_recall:.2f} (per-query {recalls})"
+
+
+def test_build_ivf_fit_is_bounded_and_deterministic(spark):
+    """The coarse-quantizer train set must stay O(MAX_FIT_ROWS) at any
+    corpus size (hash-thinned, not collected whole) and the seeded fit
+    must be run-to-run deterministic so index rebuilds are stable."""
+    from cdc_publisher_spark.operators import ivf as IVF
+
+    n = IVF.MAX_FIT_ROWS + 4096  # force the thinning branch
+    corpus = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7).cast("float"),
+            (F.col("id") % 11).cast("float"),
+            (F.col("id") % 13 + 1).cast("float"),
+            F.lit(1.0).cast("float"),
+        ).alias("embedding"),
+    )
+    i1 = IVF.build_ivf(corpus, n_lists=4, seed=7)
+    i2 = IVF.build_ivf(corpus, n_lists=4, seed=7)
+    assert i1.centroids == i2.centroids
+    assert len(i1.centroids) == 4
+    lists = i1.corpus.select("list_id").distinct().collect()
+    assert all(0 <= r.list_id < 4 for r in lists)
+    assert i1.corpus.count() == n  # assignment covers the full corpus
