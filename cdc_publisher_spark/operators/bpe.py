@@ -99,3 +99,77 @@ def train_bpe(
             nxt[m] = nxt.get(m, 0) + n
         vocab = nxt
     return merges
+
+
+def encode_word(word: str, merges: list[tuple[str, str, int]]) -> list[str]:
+    """Apply the trained merge list (in rank order) to one word —
+    the pure-Python reference encoder, shared by the distributed
+    encoder's closure and the tests."""
+    syms: tuple[str, ...] = tuple(word)
+    for left, right, _rank in merges:
+        if len(syms) < 2:
+            break
+        syms = _merge_pair(syms, (left, right))
+    return list(syms)
+
+
+def apply_bpe(
+    docs: DataFrame, merges: list[tuple[str, str, int]], text_col: str = "text"
+) -> DataFrame:
+    """Tokenize ``text_col`` with a trained merge list: adds a
+    ``tokens array<string>`` column (whitespace-split words, each
+    BPE-encoded, flattened in order — detokenizing by concatenation
+    reconstructs each word exactly).
+
+    Scale shape: the merge list is vocabulary-bounded and ships in the
+    closure (same broadcast-sized footprint as the stats tables other
+    operators broadcast); encoding is an Arrow-batched pandas_udf with
+    per-batch word memoization — Zipf's law makes the cache hit rate
+    high, so the per-row cost is a dict lookup for all but the first
+    occurrence of each word in a batch.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    ordered = sorted(merges, key=lambda m: m[2])
+
+    def _encode_series(texts):
+        # Self-contained closure: driver-contract sessions run queries
+        # from outside the package, so executors cannot import this
+        # module — everything the worker needs is defined locally and
+        # cloudpickled by value (same constraint as
+        # multimodal._ship_module_by_value).
+        def merge_pair(syms, left, right):
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            return tuple(out)
+
+        def encode(word):
+            syms = tuple(word)
+            for left, right, _rank in ordered:
+                if len(syms) < 2:
+                    break
+                syms = merge_pair(syms, left, right)
+            return list(syms)
+
+        cache: dict[str, list[str]] = {}
+
+        def enc(text: str) -> list[str]:
+            out: list[str] = []
+            for w in (text or "").split():
+                got = cache.get(w)
+                if got is None:
+                    got = encode(w)
+                    cache[w] = got
+                out.extend(got)
+            return out
+
+        return texts.map(enc)
+
+    _encode = pandas_udf(_encode_series, "array<string>")
+    return docs.withColumn("tokens", _encode(F.col(text_col)))

@@ -724,3 +724,57 @@ def q_k53_source_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("leaning").desc(), "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# q_k59 — BPE encoding (apply trained merges)
+# --------------------------------------------------------------------------
+BPE_ENC_MERGES = 30
+
+
+@register(
+    "q_k59_bpe_encode",
+    family="K",
+    doc="Tokenize the corpus with the BPE merges trained by the k50 "
+    "path (operators/bpe.py): distributed word histogram -> driver "
+    "merge loop on the vocab-bounded histogram -> Arrow-batched "
+    "pandas_udf encoder with per-batch word memoization (Zipf makes "
+    "the cache hit rate high). Token arrays are not SQL-reproducible "
+    "(the merge loop is iterative Python), so the registered form "
+    "emits oracle-ANCHORED invariants: doc and word totals are "
+    "recomputed by DuckDB from the same table; the booleans pin the "
+    "encoder's contract - per-word concatenation reconstructs the "
+    "text exactly (lossless), and the token count lies in "
+    "[n_words, n_chars_without_spaces] (merges only ever shrink the "
+    "per-word symbol count; never below one symbol per word).",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_words,
+               TRUE AS roundtrip_ok,
+               TRUE AS tokens_within_bounds
+        FROM documents
+    """,
+)
+def q_k59_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_publisher_spark.operators.bpe import apply_bpe, train_bpe, word_histogram
+
+    docs = load(spark, sf_dir, "documents")
+    merges = train_bpe(word_histogram(docs), n_merges=BPE_ENC_MERGES)
+    toks = apply_bpe(docs, merges)
+    per_doc = toks.select(
+        "doc_id",
+        F.size("tokens").alias("n_tokens"),
+        F.size(words(F.col("text"))).alias("n_words"),
+        (F.length(F.regexp_replace(F.col("text"), r"\s+", ""))).alias("n_chars"),
+        (F.concat_ws("", F.col("tokens")) == F.regexp_replace(F.col("text"), r"\s+", ""))
+        .alias("rt"),
+    )
+    return per_doc.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.bool_and("rt").alias("roundtrip_ok"),
+        F.bool_and(
+            (F.col("n_tokens") >= F.col("n_words"))
+            & (F.col("n_tokens") <= F.col("n_chars"))
+        ).alias("tokens_within_bounds"),
+    )

@@ -188,3 +188,40 @@ def test_hard_negatives_partition_invariant(spark):
     lbl = {r["vec_id"]: r["label"] for r in e.select("vec_id", "label").collect()}
     for qid, cid, _, _ in ra:
         assert lbl[qid] != lbl[cid]
+
+
+# --------------------------------------------------------------------------
+# BPE encoding (q_k59, operators/bpe.py apply_bpe)
+# --------------------------------------------------------------------------
+
+
+def test_bpe_encode_word_follows_merge_order():
+    from cdc_publisher_spark.operators.bpe import encode_word
+
+    # merges: (l,o)->lo rank0, (lo,w)->low rank1, (e,r)->er rank2
+    merges = [("l", "o", 0), ("lo", "w", 1), ("e", "r", 2)]
+    assert encode_word("lower", merges) == ["low", "er"]
+    assert encode_word("low", merges) == ["low"]
+    assert encode_word("x", merges) == ["x"]
+    assert encode_word("", merges) == []
+
+
+def test_bpe_encode_roundtrip_and_train_consistency(spark, sf_smoke):
+    from cdc_publisher_spark.operators.bpe import apply_bpe, train_bpe, word_histogram
+    from cdc_publisher_spark.tables import load
+
+    docs = load(spark, sf_smoke, "documents")
+    merges = train_bpe(word_histogram(docs), n_merges=15)
+    assert len(merges) <= 15
+    out = apply_bpe(docs, merges).select("doc_id", "text", "tokens").collect()
+    assert len(out) > 0
+    from cdc_publisher_spark.operators.bpe import encode_word
+
+    for r in out:
+        # lossless: concatenating tokens reconstructs the text minus spaces
+        assert "".join(r.tokens) == "".join(r.text.split())
+        assert len(r.tokens) >= len(r.text.split())
+    # distributed closure == pure-Python reference encoder
+    for r in out[:20]:
+        ref = [t for w in r.text.split() for t in encode_word(w, merges)]
+        assert r.tokens == ref
