@@ -482,3 +482,183 @@ def q_k58_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q_k60 — SSL-prototype pruning (drop the most prototypical examples)
+# --------------------------------------------------------------------------
+PROTO_LISTS = 8
+PROTO_DROP = 0.10
+
+
+@register(
+    "q_k60_prototype_pruning",
+    family="K",
+    doc="SSL-prototype data pruning (Sorscher 2022, 'Beyond neural "
+    "scaling laws'): cluster embeddings with the IVF coarse "
+    "quantizer (operators/ivf.py — sample-trained k-means++, "
+    "expression-only assignment), score each vector's "
+    "prototypicality as cosine to its own centroid, and drop the "
+    "top 10% most prototypical PER CLUSTER (the 'easy' examples; "
+    "keeping hard examples is the data-efficient regime at scale). "
+    "Per-cluster ranking is one window partitioned on list_id — "
+    "cluster-sized partitions, no global sort. Centroids are seeded "
+    "but not SQL-reproducible, so the registered form emits count-"
+    "anchored invariants: the oracle recomputes n_total; the "
+    "booleans pin the exact per-cluster drop quota "
+    "(dropped == floor(0.1 * cluster size)), full coverage "
+    "(kept + dropped == total), and score sanity (-1 <= proto <= 1).",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+               TRUE AS quota_exact,
+               TRUE AS coverage_ok,
+               TRUE AS scores_in_range
+        FROM embeddings
+    """,
+)
+def q_k60_prototype_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from cdc_publisher_spark.functions.vectors import dot, l2_norm
+    from cdc_publisher_spark.operators.ivf import build_ivf
+
+    e = load(spark, sf_dir, "embeddings")
+    idx = build_ivf(e, n_lists=PROTO_LISTS)
+    cent = {i: c for i, c in enumerate(idx.centroids)}
+    # cosine(vec, own centroid): literal centroid arrays, one CASE over
+    # list_id — expression-only, no join needed for k centroids
+    cent_arr = {
+        i: F.array(*[F.lit(float(x)) for x in c]) for i, c in cent.items()
+    }
+    cnorm = {
+        i: float(sum(x * x for x in c) ** 0.5) or 1.0 for i, c in cent.items()
+    }
+    proto = F.lit(None).cast("double")
+    for i in cent:
+        proto = (
+            F.when(
+                F.col("list_id") == i,
+                dot(F.col(idx.vec_col), cent_arr[i])
+                / (F.col("norm") * F.lit(cnorm[i])),
+            ).otherwise(proto)
+        )
+    scored = idx.corpus.select(
+        F.col(idx.id_col), F.col("list_id"), proto.alias("proto")
+    )
+    w = W.partitionBy("list_id").orderBy(F.col("proto").desc(), F.col(idx.id_col))
+    ranked = scored.select(
+        idx.id_col,
+        "list_id",
+        "proto",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(W.partitionBy("list_id")).alias("csize"),
+    ).withColumn(
+        "dropped", F.col("rk") <= F.floor(F.col("csize") * F.lit(PROTO_DROP))
+    )
+    per_cluster = ranked.groupBy("list_id", "csize").agg(
+        F.sum(F.when(F.col("dropped"), 1).otherwise(0)).alias("n_dropped"),
+        F.count("*").alias("n_rows"),
+    )
+    return (
+        per_cluster.agg(
+            F.sum("n_rows").cast("long").alias("n_total"),
+            F.bool_and(
+                F.col("n_dropped") == F.floor(F.col("csize") * F.lit(PROTO_DROP))
+            ).alias("quota_exact"),
+            F.bool_and(F.col("n_rows") == F.col("csize")).alias("coverage_ok"),
+        )
+        .crossJoin(
+            F.broadcast(
+                ranked.agg(
+                    F.bool_and(
+                        (F.col("proto") >= -1.0 - 1e-9) & (F.col("proto") <= 1.0 + 1e-9)
+                    ).alias("scores_in_range")
+                )
+            )
+        )
+        .select("n_total", "quota_exact", "coverage_ok", "scores_in_range")
+    )
+
+
+# --------------------------------------------------------------------------
+# q_k61 — leakage-safe train/test split (split + decontaminate composed)
+# --------------------------------------------------------------------------
+LEAK_TEST_FRAC = 0.1
+LEAK_GRAM = 5
+
+
+@register(
+    "q_k61_leakage_safe_split",
+    family="K",
+    doc="Leakage-safe dataset split: md5-draw 10% of docs as the test "
+    "set (content-keyed, partitioning-independent — same draw as "
+    "q_k20), then DROP every train doc sharing any 5-token shingle "
+    "with any test doc (the k19 decontamination semantics turned "
+    "inward, so the split itself cannot leak evaluation n-grams into "
+    "training). Every stage is md5/shingle algebra both engines "
+    "reproduce, so the final per-doc role assignment hash-checks "
+    "EXACTLY — no invariant indirection. Scale shape: the test-side "
+    "gram set is |test| x grams rows joined as a left-semi on "
+    "xxhash-free string grams (broadcastable at 10% x dedup'd "
+    "grams); one draw expression, one semi join, no driver traffic.",
+    oracle=f"""
+        WITH drawn AS (
+            SELECT doc_id, text,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                       / 4294967296.0 < {LEAK_TEST_FRAC} AS is_test
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, is_test,
+                   ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                         || ' ' || ws[i+4] AS g
+            FROM (SELECT doc_id, is_test, string_split(text, ' ') ws FROM drawn)
+            CROSS JOIN generate_series(1, 4096) s(i)
+            WHERE i + {LEAK_GRAM - 1} <= len(ws)
+        ),
+        test_grams AS (SELECT DISTINCT g FROM grams WHERE is_test),
+        leaky AS (
+            SELECT DISTINCT grams.doc_id
+            FROM grams JOIN test_grams USING (g)
+            WHERE NOT grams.is_test
+        )
+        SELECT d.doc_id,
+               CASE WHEN d.is_test THEN 'test'
+                    WHEN leaky.doc_id IS NOT NULL THEN 'dropped'
+                    ELSE 'train' END AS role
+        FROM drawn d LEFT JOIN leaky ON leaky.doc_id = d.doc_id
+        ORDER BY d.doc_id
+    """,
+)
+def q_k61_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_publisher_spark.functions import text as TX
+    from cdc_publisher_spark.operators.mixing import uniform_from_id
+
+    docs = load(spark, sf_dir, "documents")
+    drawn = docs.select(
+        "doc_id",
+        "text",
+        (uniform_from_id(F.col("doc_id")) < F.lit(LEAK_TEST_FRAC)).alias("is_test"),
+    )
+    grams = TX.shingle_rows(drawn, "doc_id", "text", LEAK_GRAM, hashed=True).join(
+        drawn.select("doc_id", "is_test"), "doc_id"
+    )
+    test_grams = grams.filter("is_test").select("s").distinct()
+    leaky = (
+        grams.filter(~F.col("is_test"))
+        .join(test_grams, "s", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_leak", F.lit(True))
+    )
+    return (
+        drawn.join(leaky, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_test"), F.lit("test"))
+            .when(F.col("_leak"), F.lit("dropped"))
+            .otherwise(F.lit("train"))
+            .alias("role"),
+        )
+        .orderBy("doc_id")
+    )

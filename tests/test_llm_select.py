@@ -193,3 +193,43 @@ def test_countmin_sketch_is_streaming_mergeable(spark, sf_smoke, tmp_path):
         for r in cells(load(spark, sf_smoke, "documents")).collect()
     }
     assert got == expected
+
+
+def test_prototype_pruning_invariants_hold(spark, sf_oracle):
+    from cdc_publisher_spark.queries.llm_select import q_k60_prototype_pruning
+
+    r = q_k60_prototype_pruning(spark, sf_oracle).collect()[0]
+    assert r.n_total == 500
+    assert r.quota_exact and r.coverage_ok and r.scores_in_range
+    # seeded clustering + deterministic tie-break => stable rerun
+    r2 = q_k60_prototype_pruning(spark, sf_oracle).collect()[0]
+    assert r == r2
+
+
+def test_leakage_safe_split_has_no_test_gram_in_train(spark, sf_oracle):
+    from cdc_publisher_spark.functions import text as TX
+    from cdc_publisher_spark.queries.llm_select import (
+        LEAK_GRAM,
+        q_k61_leakage_safe_split,
+    )
+    from cdc_publisher_spark.tables import load
+
+    roles = q_k61_leakage_safe_split(spark, sf_oracle)
+    counts = {r.role: r.n for r in roles.groupBy("role").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 500  # roles partition the corpus
+    assert 0 < counts.get("test", 0) < 100  # ~10% draw
+    # hard leakage check: zero shared 5-grams between train and test
+    docs = load(spark, sf_oracle, "documents")
+    grams = TX.shingle_rows(docs, "doc_id", "text", LEAK_GRAM, hashed=True).join(
+        roles, "doc_id"
+    )
+    shared = (
+        grams.filter(F.col("role") == "train")
+        .join(
+            grams.filter(F.col("role") == "test").select("s").distinct(),
+            "s",
+            "left_semi",
+        )
+        .count()
+    )
+    assert shared == 0
