@@ -233,3 +233,78 @@ def test_leakage_safe_split_has_no_test_gram_in_train(spark, sf_oracle):
         .count()
     )
     assert shared == 0
+
+
+# --------------------------------------------------------------------------
+# Property tests for the round-4 pure kernels (no Spark session needed)
+# --------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_word = st.text(alphabet="abcdefg", min_size=1, max_size=12)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    word=_word,
+    pairs=st.lists(
+        st.tuples(st.text("abcdefg", min_size=1, max_size=3),
+                  st.text("abcdefg", min_size=1, max_size=3)),
+        max_size=8,
+    ),
+)
+def test_bpe_encode_word_properties(word, pairs):
+    from cdc_publisher_spark.operators.bpe import encode_word
+
+    merges = [(left, right, rank) for rank, (left, right) in enumerate(pairs)]
+    toks = encode_word(word, merges)
+    # lossless and bounded: concatenation reconstructs; counts in [1, len]
+    assert "".join(toks) == word
+    assert 1 <= len(toks) <= len(word)
+    # deterministic
+    assert toks == encode_word(word, merges)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    data=st.lists(
+        st.lists(st.integers(0, 255), min_size=3, max_size=3),
+        min_size=4,
+        max_size=64,
+    )
+)
+def test_dhash64_properties(data):
+    import numpy as np
+
+    from cdc_publisher_spark.operators.multimodal import dhash64, encode_ppm
+
+    h = max(2, int(len(data) ** 0.5))
+    w = max(2, len(data) // h)
+    px = np.array(data[: h * w], dtype=np.uint8).reshape(h, w, 3)
+    payload = encode_ppm(px)
+    v = dhash64(payload)
+    assert -(1 << 63) <= v < (1 << 63)
+    assert v == dhash64(payload)  # deterministic
+
+
+@settings(max_examples=100, deadline=None)
+@given(tokens=st.lists(_word, min_size=1, max_size=60))
+def test_countmin_overestimate_property_pure(tokens):
+    """Pure-python count-min replica of the q_k57 bucket algebra: the
+    min-over-rows estimate can never undercount — for any multiset."""
+    import hashlib
+    from collections import Counter
+
+    D, W_ = 4, 16  # narrow table to force collisions
+    cells = Counter()
+    for t in tokens:
+        for r in range(D):
+            b = int(hashlib.md5(f"cm{r}{t}".encode()).hexdigest()[:8], 16) % W_
+            cells[(r, b)] += 1
+    true = Counter(tokens)
+    for t, c in true.items():
+        est = min(
+            cells[(r, int(hashlib.md5(f"cm{r}{t}".encode()).hexdigest()[:8], 16) % W_)]
+            for r in range(D)
+        )
+        assert est >= c
