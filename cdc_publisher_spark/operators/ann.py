@@ -237,22 +237,28 @@ def _blas_candidate_pairs(
     cosine_pairs_lsh / SemDeDup.
     """
     v = vectors.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
-    n = v.count()
-    if n == 0:
+    # Single-tile fast path: probe with limit(tile_rows + 1) so the
+    # common bounded-corpus case pays ONE collect job instead of a
+    # count + a collect; the probe itself is the memory guard (at most
+    # tile_rows + 1 rows ever reach the driver here).
+    probe = v.limit(tile_rows + 1).toPandas()
+    if len(probe) == 0:
         return vectors.sparkSession.createDataFrame([], "i bigint, j bigint")
-    n_tiles = max(1, math.ceil(n / tile_rows))
-    if n_tiles > 1:
+    if len(probe) <= tile_rows:
+        n, n_tiles = len(probe), 1
+    else:
+        n = v.count()
+        n_tiles = max(1, math.ceil(n / tile_rows))
         # one materialization feeds n_tiles collects + n_tiles scans
         v = v.persist()
     guard = threshold - 1e-9
     parts: list[DataFrame] = []
     for t in range(n_tiles):
-        tile = (
-            v
-            if n_tiles == 1
-            else v.filter(F.pmod(F.xxhash64(F.col("i")), F.lit(n_tiles)) == t)
-        )
-        pdf = tile.toPandas()
+        if n_tiles == 1:
+            pdf = probe
+        else:
+            tile = v.filter(F.pmod(F.xxhash64(F.col("i")), F.lit(n_tiles)) == t)
+            pdf = tile.toPandas()
         if len(pdf) == 0:  # np.array([]) is 1-D; axis=1 norms would throw
             continue
         tile_ids = np.asarray(pdf["i"].to_numpy(), dtype=np.int64)
