@@ -545,3 +545,83 @@ def q_c14_binned_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "q_c15_min_cost_supplier",
+    family="C",
+    doc="TPC-H Q2 shape over the available join graph: for each part "
+    "of a chosen type, the supplier(s) in a chosen region achieving "
+    "the MINIMUM discounted price for that part, with the minimum "
+    "coming from a correlated aggregate subquery. Catalyst "
+    "decorrelates the scalar subquery into an aggregate + equi-join "
+    "(no per-row re-execution), the region/nation/supplier snowflake "
+    "broadcasts, and only lineitem shuffles — the plan every engine "
+    "must find for Q2 to survive at scale.",
+    oracle="""
+        WITH cost AS (
+            SELECT l.l_partkey, l.l_suppkey,
+                   MIN(ROUND(l.l_extendedprice * (1 - l.l_discount), 4)) AS supp_cost
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            WHERE r.r_name = 'EUROPE'
+            GROUP BY l.l_partkey, l.l_suppkey
+        ),
+        best AS (
+            SELECT l_partkey, MIN(supp_cost) AS min_cost
+            FROM cost GROUP BY l_partkey
+        )
+        SELECT p.p_partkey, p.p_type, s.s_name, n.n_name,
+               CAST(cost.supp_cost AS DOUBLE) AS supp_cost
+        FROM part p
+        JOIN cost ON cost.l_partkey = p.p_partkey
+        JOIN best ON best.l_partkey = p.p_partkey
+                 AND cost.supp_cost = best.min_cost
+        JOIN supplier s ON s.s_suppkey = cost.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE p.p_type LIKE 'PROMO%'
+        ORDER BY p.p_partkey, s.s_name
+    """,
+)
+def q_c15_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+
+    regional_supp = (
+        supp.join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), F.col("n_regionkey") == region["r_regionkey"])
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    cost = (
+        li.join(F.broadcast(regional_supp), li["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+            ).alias("supp_cost")
+        )
+    )
+    best = cost.groupBy("l_partkey").agg(F.min("supp_cost").alias("min_cost"))
+    return (
+        cost.join(best, ["l_partkey"])
+        .filter(F.col("supp_cost") == F.col("min_cost"))
+        .join(
+            F.broadcast(part.filter(F.col("p_type").like("PROMO%"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(regional_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey",
+            "p_type",
+            "s_name",
+            "n_name",
+            F.col("supp_cost").cast("double").alias("supp_cost"),
+        )
+        .orderBy("p_partkey", "s_name")
+    )

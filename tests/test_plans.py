@@ -112,6 +112,8 @@ def test_no_cartesian_products(spark, sf_oracle):
         # keyless +-60s interval join: the bucket-binning rewrite must
         # plan as a shuffled equi-join, never a nested loop
         "q_c14_binned_interval_join",
+        # Q2-shape correlated min: decorrelated agg + equi-joins only
+        "q_c15_min_cost_supplier",
     ):
         plan = plan_string(_df(spark, sf_oracle, name), "simple")
         assert "CartesianProduct" not in plan, name
