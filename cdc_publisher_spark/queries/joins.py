@@ -550,6 +550,7 @@ def q_c14_binned_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_c15_min_cost_supplier",
     family="C",
+    bench=True,  # classic decorrelated-min multi-join shape
     doc="TPC-H Q2 shape over the available join graph: for each part "
     "of a chosen type, the supplier(s) in a chosen region achieving "
     "the MINIMUM discounted price for that part, with the minimum "
