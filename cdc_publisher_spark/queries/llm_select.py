@@ -662,3 +662,83 @@ def q_k61_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q_k62 — CCNet-style perplexity-bucket partition
+# --------------------------------------------------------------------------
+@register(
+    "q_k62_ccnet_perplexity_buckets",
+    family="K",
+    doc="CCNet's head/middle/tail partition (Wenzek 2020): score every "
+    "doc with the unigram-LM cross-entropy (the q_k27 formulation - "
+    "8dp-rounded DECIMAL-summed logs, vocab-bounded broadcast prob "
+    "table), then split each LANGUAGE into equal thirds by ntile(3) "
+    "ordered on (rounded CE asc, doc_id) - the rounding makes the "
+    "sort key bit-identical cross-engine and the doc_id tie-break "
+    "makes the order total, so bucket membership hash-checks "
+    "exactly. head = most-fluent third (lowest CE), the slice CCNet "
+    "keeps. One explode + one broadcast join + one per-language "
+    "window; no global sort.",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        ),
+        v AS (SELECT w, COUNT(*) AS tf FROM tok GROUP BY w),
+        t AS (SELECT SUM(tf) AS total FROM v),
+        lp AS (
+            SELECT w, CAST(ROUND(ln(tf * 1.0 / total), 8) AS DECIMAL(18, 8)) AS lw
+            FROM v CROSS JOIN t
+        ),
+        ce AS (
+            SELECT tok.doc_id, ROUND(-SUM(lw) / COUNT(*), 4) AS ce
+            FROM tok JOIN lp USING (w)
+            GROUP BY tok.doc_id
+        ),
+        bucketed AS (
+            SELECT d.doc_id, d.lang, ce.ce,
+                   ntile(3) OVER (PARTITION BY d.lang
+                                  ORDER BY ce.ce ASC, d.doc_id) AS third
+            FROM documents d JOIN ce ON ce.doc_id = d.doc_id
+        )
+        SELECT doc_id, lang, CAST(ce AS DOUBLE) AS cross_entropy,
+               CASE third WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                          ELSE 'tail' END AS bucket
+        FROM bucketed
+        ORDER BY doc_id
+    """,
+)
+def q_k62_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(words(F.col("text"))).alias("w"))
+    v = tok.groupBy("w").agg(F.count("*").alias("tf"))
+    total = v.agg(F.sum("tf").alias("total"))
+    lp = v.crossJoin(F.broadcast(total)).select(
+        "w",
+        F.round(F.log(F.col("tf") * 1.0 / F.col("total")), 8)
+        .cast("decimal(18,8)")
+        .alias("lw"),
+    )
+    ce = (
+        tok.join(F.broadcast(lp), "w")
+        .groupBy("doc_id")
+        .agg(F.round(-F.sum("lw") / F.count("*"), 4).alias("ce"))
+    )
+    w = W.partitionBy("lang").orderBy(F.col("ce").asc(), F.col("doc_id"))
+    return (
+        docs.select("doc_id", "lang")
+        .join(ce, "doc_id")
+        .withColumn("third", F.ntile(3).over(w))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("ce").cast("double").alias("cross_entropy"),
+            F.when(F.col("third") == 1, "head")
+            .when(F.col("third") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )

@@ -308,3 +308,24 @@ def test_countmin_overestimate_property_pure(tokens):
             for r in range(D)
         )
         assert est >= c
+
+
+def test_ccnet_buckets_are_equal_thirds_per_language(spark, sf_oracle):
+    from cdc_publisher_spark.queries.llm_select import q_k62_ccnet_perplexity_buckets
+
+    rows = q_k62_ccnet_perplexity_buckets(spark, sf_oracle).collect()
+    assert len(rows) == 500
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        counts = {}
+        for r in rs:
+            counts[r.bucket] = counts.get(r.bucket, 0) + 1
+        # ntile: bucket sizes differ by at most 1
+        assert max(counts.values()) - min(counts.values()) <= 1, (lang, counts)
+        # head is the most fluent third: its max CE <= tail's min CE
+        head = [r.cross_entropy for r in rs if r.bucket == "head"]
+        tail = [r.cross_entropy for r in rs if r.bucket == "tail"]
+        if head and tail:
+            assert max(head) <= min(tail) + 1e-9
