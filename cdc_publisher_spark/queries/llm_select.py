@@ -1,26 +1,32 @@
-"""Family K round-4 extension: data-selection and sketch operators.
+"""Family K round-4 extension: data-selection, sketch, and
+curation-pipeline operators.
 
-- q_k54 DSIR importance resampling (Xie et al. 2023, "Data Selection
-  for Language Models via Importance Resampling"): score every raw-
-  pool document by how target-like its hashed n-gram profile is, then
-  keep the top-N. The bag-of-hashed-ngrams importance estimator is
-  two vocabulary-BOUNDED distributions (B buckets each), so at 100 TB
-  the only corpus-scale work is one explode -> bucket-count pass; the
-  per-bucket log-ratio table is a B-row broadcast and selection is a
-  TakeOrderedAndProject (fixed N), never a global sort.
-- q_k57 count-min sketch heavy hitters: a d x w count-min table built
-  with ONE partial+final aggregate over hashed grams (the table is
-  d*w counters regardless of corpus size - the canonical mergeable-
-  sketch shape), then point-estimates for the true top-20 tokens with
-  the overestimate-only invariant checked cross-engine.
+- q_k54 DSIR importance resampling (Xie 2023): hashed-ngram bucket
+  distributions (vocab-BOUNDED, broadcast log-ratio table), top-N
+  selection via TakeOrderedAndProject — never a global sort.
+- q_k56 fuzzy dedup: trigram-shingle candidate nomination + exact
+  levenshtein verify, both stages mirrored in the DuckDB oracle.
+- q_k57 count-min sketch heavy hitters: the d x w counter table is
+  ONE partial+final aggregate (map-side combine IS the sketch merge);
+  one-sided-error invariant checked cross-engine, streaming
+  mergeability pinned in tests.
+- q_k58 Matryoshka truncated-dimension retrieval recall: prefix-dim
+  cosine ranking audited against the full-dim ranking, exact oracle.
+- q_k60 SSL-prototype pruning (Sorscher 2022): per-cluster drop of
+  the most prototypical 10% via cosine-to-own-centroid ranking.
+- q_k61 leakage-safe split: md5-draw test set + 5-gram
+  decontamination of train, exact per-doc role oracle end-to-end.
+- q_k62 CCNet perplexity buckets (Wenzek 2020): per-language
+  head/middle/tail thirds on unigram-LM cross-entropy.
 
-Both are deterministic and exactly SQL-reproducible: buckets come
-from md5 (reproducible in DuckDB via ('0x' || substr(md5(g),1,8))::
-UBIGINT, same trick as operators/mixing.py), every ln() is 8dp-
-rounded and DECIMAL-summed per registry.py hash-stability rules.
+Everything deterministic: buckets/draws come from md5 (reproducible
+in DuckDB via ('0x' || substr(md5(g),1,8))::UBIGINT, same trick as
+operators/mixing.py), every ln() is 8dp-rounded and DECIMAL-summed,
+and every ranking key is rounded + tie-broken into a total order per
+registry.py hash-stability rules.
 
 Reference parity: none of this exists in the reference (a CDC
-microservice, /root/reference/src/cdc_publisher/core.clj:1-22); both
+microservice, /root/reference/src/cdc_publisher/core.clj:1-22); all
 are declared LLM-data extension surface (SURVEY.md §2.2 K).
 """
 
