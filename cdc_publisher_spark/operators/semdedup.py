@@ -90,13 +90,19 @@ def semantic_dedup(
     vec_col: str = "embedding",
     n_lists: int = 8,
     seed: int = 42,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """(vec_id, cluster_id, keep) for EVERY corpus vector: near-dup
     components labeled by their min member, ``keep`` true for the one
-    kept representative per component (singletons always keep)."""
-    pairs = semantic_dedup_pairs(
-        corpus, threshold, id_col=id_col, vec_col=vec_col, n_lists=n_lists, seed=seed
-    )
+    kept representative per component (singletons always keep).
+
+    ``pairs``: pass a precomputed ``semantic_dedup_pairs`` result to
+    reuse one k-means index across pair mining and closure (a caller
+    auditing both, like q_k35, would otherwise fit and assign twice)."""
+    if pairs is None:
+        pairs = semantic_dedup_pairs(
+            corpus, threshold, id_col=id_col, vec_col=vec_col, n_lists=n_lists, seed=seed
+        )
     clustered = neardup_clusters(pairs, left="i", right="j").select(
         F.col("doc_id").alias(id_col), "cluster_id"
     )

@@ -192,9 +192,13 @@ def q_k35_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "embeddings")
     thr = NEARDUP_COS_THRESHOLD
-    sd = semantic_dedup(e, thr)
-    mined = semantic_dedup_pairs(e, thr).select("i", "j")
-    exact = cosine_pairs_exact(e, thr).select("i", "j")
+    # mine once, persist the (small) pair sets: the invariant audit
+    # references each of them from several aggregates, and without the
+    # cache every reference re-runs the k-means fit / exact miner
+    mined_full = semantic_dedup_pairs(e, thr).persist()
+    sd = semantic_dedup(e, thr, pairs=mined_full)
+    mined = mined_full.select("i", "j")
+    exact = cosine_pairs_exact(e, thr).select("i", "j").persist()
 
     n_vec = e.agg(F.count("*").alias("_n_vec"))
     part = sd.agg(
