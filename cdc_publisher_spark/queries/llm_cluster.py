@@ -384,7 +384,8 @@ def q_k42_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_publisher_spark.operators.semdedup import diversity_sample
 
     e = load(spark, sf_dir, "embeddings")
-    ds = diversity_sample(e, per_cluster=32)
+    # one fit+assignment feeds both the quota and coverage audits
+    ds = diversity_sample(e, per_cluster=32).persist()
     per_cluster = ds.groupBy("list_id").agg(
         F.count("*").alias("_size"),
         F.count_if(F.col("keep")).alias("_kept"),

@@ -99,7 +99,8 @@ def q_k11_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_publisher_spark.functions import text as TX
 
     docs = load(spark, sf_dir, "documents")
-    found = simhash_near_duplicates(docs, max_hamming=3).select("d1", "d2")
+    # both miners feed two audit branches each; cache the small pair sets
+    found = simhash_near_duplicates(docs, max_hamming=3).select("d1", "d2").persist()
 
     # exact trigram-Jaccard >= 0.5 reference set (the q_k2 machinery)
     tok = TX.shingle_rows(docs, "doc_id", "text", 3, hashed=True)
@@ -116,6 +117,7 @@ def q_k11_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sizes).alias("s2"), F.col("d2") == F.col("s2.doc_id"))
         .filter(F.col("i") * 1.0 / (F.col("s1.n") + F.col("s2.n") - F.col("i")) >= 0.5)
         .select("d1", "d2")
+        .persist()
     )
     hits = ref.join(found, ["d1", "d2"], "left_semi")
     stats = ref.agg(F.count("*").alias("n_reference_pairs")).crossJoin(
@@ -348,9 +350,11 @@ def q_k55_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth, schema="media_id long, payload binary"
     )
     hashes = MM.image_dhash(media)
+    # cache: the per-text and whole-corpus audits below would otherwise
+    # re-run the synth+decode+hash mapInPandas pass per reference
     keyed = docs.select(
         F.col("doc_id").alias("media_id"), F.md5("text").alias("tkey")
-    ).join(hashes, "media_id")
+    ).join(hashes, "media_id").persist()
     per_text = keyed.groupBy("tkey").agg(
         F.countDistinct("dhash").alias("n_hashes")
     )
