@@ -1,0 +1,131 @@
+"""Command-line entry point: ``python -m cdc_publisher_spark <cmd>``.
+
+The reference ships as a runnable service (`-main` starts the CDC
+dataflow, /root/reference/src/cdc_publisher/main.clj:40-62); this CLI
+is the engine's equivalent surface, thin wrappers over the library:
+
+  list                      registered queries (name, family, oracle?)
+  run NAME [--sf-dir D]     execute one query, print rows (capped)
+  explain NAME [--sf-dir D] formatted physical plan
+  oracle NAME [--sf-dir D]  Spark-vs-DuckDB compare (the t2 gate, one query)
+  serve --src DIR --out DIR --checkpoint DIR [--once]
+                            run the CDC file->parquet pipeline (the
+                            reference's publish loop; --once drains
+                            available input then exits, otherwise runs
+                            until interrupted)
+
+Everything routes through the same registry / session / pipeline code
+the tests and the driver use — the CLI adds no second code path.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _session():
+    from cdc_publisher_spark.session import get_session
+
+    spark = get_session(app_name="cdc_publisher_spark_cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def cmd_list(args) -> int:
+    import cdc_publisher_spark.queries  # noqa: F401  (populate registry)
+    from cdc_publisher_spark.registry import all_specs
+
+    for name, spec in sorted(all_specs().items()):
+        kind = "oracle" if spec.oracle else "rows-only"
+        bench = " bench" if spec.bench else ""
+        print(f"{name}\t{spec.family}\t{kind}{bench}")
+    return 0
+
+
+def _spec(name: str):
+    import cdc_publisher_spark.queries  # noqa: F401
+    from cdc_publisher_spark.registry import all_specs
+
+    specs = all_specs()
+    if name not in specs:
+        matches = sorted(n for n in specs if name in n)
+        if len(matches) == 1:
+            return specs[matches[0]]
+        hint = f"; close: {', '.join(matches[:5])}" if matches else ""
+        raise SystemExit(f"unknown query {name!r}{hint}")
+    return specs[name]
+
+
+def cmd_run(args) -> int:
+    spec = _spec(args.name)
+    df = spec.spark(_session(), args.sf_dir)
+    df.show(args.limit, truncate=False)
+    return 0
+
+
+def cmd_explain(args) -> int:
+    spec = _spec(args.name)
+    spec.spark(_session(), args.sf_dir).explain("formatted")
+    return 0
+
+
+def cmd_oracle(args) -> int:
+    from cdc_publisher_spark.oracle import run_compare
+
+    spec = _spec(args.name)
+    res = run_compare(_session(), args.sf_dir, spec.name)
+    print(
+        f"{res.name}: match={res.match} spark_rows={res.spark_rows} "
+        f"oracle_rows={res.oracle_rows}{' ' + res.detail if res.detail else ''}"
+    )
+    return 0 if res.match else 1
+
+
+def cmd_serve(args) -> int:
+    from cdc_publisher_spark.sources.files import read_dml_stream
+    from cdc_publisher_spark.streaming.pipeline import run_file_to_parquet
+
+    spark = _session()
+    stream = read_dml_stream(spark, args.src, args.max_files_per_trigger)
+    q = run_file_to_parquet(stream, args.out, args.checkpoint)
+    if args.once:
+        q.processAllAvailable()
+        q.stop()
+        return 0
+    try:
+        q.awaitTermination()
+    except KeyboardInterrupt:
+        q.stop()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="python -m cdc_publisher_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list").set_defaults(fn=cmd_list)
+
+    default_sf = "/root/testdata/sf0.001"
+    for cmd, fn in (("run", cmd_run), ("explain", cmd_explain), ("oracle", cmd_oracle)):
+        sp = sub.add_parser(cmd)
+        sp.add_argument("name")
+        sp.add_argument("--sf-dir", default=default_sf)
+        if cmd == "run":
+            sp.add_argument("--limit", type=int, default=20)
+        sp.set_defaults(fn=fn)
+
+    sp = sub.add_parser("serve")
+    sp.add_argument("--src", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--checkpoint", required=True)
+    sp.add_argument("--max-files-per-trigger", type=int, default=None)
+    sp.add_argument("--once", action="store_true")
+    sp.set_defaults(fn=cmd_serve)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,56 @@
+"""CLI surface (cdc_publisher_spark/__main__.py): thin wrappers over
+the registry/session/pipeline — each subcommand exercised in-process."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from cdc_publisher_spark.__main__ import main
+
+
+def test_cli_list(capsys):
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "q_d1_pricing_summary" in out
+    assert "oracle" in out
+
+
+def test_cli_run_and_explain(spark, sf_smoke, capsys):
+    assert main(["run", "q_d1_pricing_summary", "--sf-dir", sf_smoke]) == 0
+    out = capsys.readouterr().out
+    assert "sum_qty" in out or "l_returnflag" in out
+    assert main(["explain", "q_b1_range_filter", "--sf-dir", sf_smoke]) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out
+
+
+def test_cli_oracle_gate(spark, sf_oracle, capsys):
+    assert main(["oracle", "q_b1_range_filter", "--sf-dir", sf_oracle]) == 0
+    assert "match=True" in capsys.readouterr().out
+
+
+def test_cli_unknown_query_suggests(spark):
+    with pytest.raises(SystemExit):
+        main(["run", "q_definitely_not_there"])
+
+
+def test_cli_serve_once_drains_spool(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        json.dumps(
+            {"id": {"k": i}, "type": "insert", "table": "t",
+             "data": {"v": i}, "info": {"user": "u", "timestamp": "2024-01-01T00:00:00"}},
+            separators=(",", ":"),
+        )
+        for i in range(5)
+    ]
+    (src / "a.jsonl").write_text("\n".join(rows))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    assert main(["serve", "--src", str(src), "--out", out,
+                 "--checkpoint", ckpt, "--once"]) == 0
+    sunk = spark.read.parquet(out)
+    assert sunk.count() == 5
+    assert set(sunk.columns) >= {"key", "value", "topic"}
