@@ -748,3 +748,82 @@ def q_k62_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q_k63 — curriculum ordering with deterministic source interleaving
+# --------------------------------------------------------------------------
+@register(
+    "q_k63_curriculum_order",
+    family="K",
+    doc="Curriculum data ordering (Bengio 2009 shape): schedule the "
+    "corpus easy -> hard by the composite quality proxy (longer, "
+    "lower-entropy docs first: rank on (quality desc, doc_id)), but "
+    "INTERLEAVE sources round-robin within difficulty bands so no "
+    "source monopolizes a training phase - curriculum_pos = "
+    "band * (per-band size) + round-robin slot from the per-(band, "
+    "source) rank. Every key is integer algebra over window ranks "
+    "with doc_id tie-breaks (total order), so the whole schedule "
+    "hash-checks exactly cross-engine. Scale note: the band id here "
+    "rides an exact global percent_rank (oracle-exact diagnostic "
+    "form - fine to sf-scale, single-partition window at corpus "
+    "scale); the 100 TB substitution is q_k33's broadcast "
+    "percentile_approx thresholds (operators/quality_filter.py), "
+    "which changes no downstream algebra. The two interleaving "
+    "windows are band/(band, source)-partitioned either way.",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+            FROM documents
+        ),
+        banded AS (
+            SELECT doc_id, source, n_tok,
+                   CAST(least(3, floor(percent_rank() OVER (
+                       ORDER BY n_tok DESC, doc_id) * 4)) AS BIGINT) AS band
+            FROM scored
+        ),
+        slotted AS (
+            SELECT doc_id, source, n_tok, band,
+                   row_number() OVER (PARTITION BY band, source
+                                      ORDER BY n_tok DESC, doc_id) AS src_rk,
+                   dense_rank() OVER (PARTITION BY band ORDER BY source) AS src_id,
+                   COUNT(DISTINCT source) OVER (PARTITION BY band) AS n_src
+            FROM banded
+        )
+        SELECT doc_id, source, band,
+               CAST((src_rk - 1) * n_src + src_id - 1 AS BIGINT) AS slot_in_band
+        FROM slotted
+        ORDER BY band, slot_in_band, doc_id
+    """,
+)
+def q_k63_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", F.size(words(F.col("text"))).cast("long").alias("n_tok")
+    )
+    w_all = W.orderBy(F.col("n_tok").desc(), F.col("doc_id"))
+    banded = scored.withColumn(
+        "band",
+        F.least(F.lit(3), F.floor(F.percent_rank().over(w_all) * 4)).cast("long"),
+    )
+    w_src = W.partitionBy("band", "source").orderBy(F.col("n_tok").desc(), F.col("doc_id"))
+    w_band = W.partitionBy("band").orderBy("source")
+    slotted = banded.select(
+        "doc_id",
+        "source",
+        "band",
+        F.row_number().over(w_src).alias("src_rk"),
+        F.dense_rank().over(w_band).alias("src_id"),
+        F.size(F.collect_set("source").over(W.partitionBy("band"))).alias("n_src"),
+    )
+    return slotted.select(
+        "doc_id",
+        "source",
+        "band",
+        ((F.col("src_rk") - 1) * F.col("n_src") + F.col("src_id") - 1)
+        .cast("long")
+        .alias("slot_in_band"),
+    ).orderBy("band", "slot_in_band", "doc_id")

@@ -329,3 +329,23 @@ def test_ccnet_buckets_are_equal_thirds_per_language(spark, sf_oracle):
         tail = [r.cross_entropy for r in rs if r.bucket == "tail"]
         if head and tail:
             assert max(head) <= min(tail) + 1e-9
+
+
+def test_curriculum_interleaves_sources_within_bands(spark, sf_oracle):
+    from cdc_publisher_spark.queries.llm_select import q_k63_curriculum_order
+
+    rows = q_k63_curriculum_order(spark, sf_oracle).collect()
+    assert len(rows) == 500
+    by_band = {}
+    for r in rows:
+        by_band.setdefault(r.band, []).append(r)
+    assert set(by_band) == {0, 1, 2, 3}
+    for band, rs in by_band.items():
+        # slots are unique within a band (a total schedule)
+        slots = [r.slot_in_band for r in rs]
+        assert len(set(slots)) == len(slots)
+        # round-robin: among the first n_sources slots, no source repeats
+        # before every present source has appeared once
+        srcs = sorted({r.source for r in rs})
+        first = [r.source for r in sorted(rs, key=lambda r: r.slot_in_band)[: len(srcs)]]
+        assert len(set(first)) == len(first), (band, first)
