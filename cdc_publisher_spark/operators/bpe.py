@@ -135,9 +135,11 @@ def apply_bpe(
     def _encode_series(texts):
         # Self-contained closure: driver-contract sessions run queries
         # from outside the package, so executors cannot import this
-        # module — everything the worker needs is defined locally and
-        # cloudpickled by value (same constraint as
-        # multimodal._ship_module_by_value).
+        # module (and register_pickle_by_value would drag in this
+        # module's own package imports) — everything the worker needs
+        # is defined locally and cloudpickled by value. Kept in
+        # lockstep with encode_word/_merge_pair by the parity check in
+        # tests/test_llm_ml.py::test_bpe_encode_roundtrip_and_train_consistency.
         def merge_pair(syms, left, right):
             out, i = [], 0
             while i < len(syms):

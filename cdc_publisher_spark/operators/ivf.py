@@ -84,6 +84,8 @@ def _fit_kmeans(mat, k: int, seed: int, n_iter: int = 20):
 
     rng = np.random.RandomState(seed)
     n = mat.shape[0]
+    if n == 0:
+        raise ValueError("k-means: empty training set (guard the corpus upstream)")
     k = min(k, n)
     # k-means++ seeding
     centers = [mat[rng.randint(n)]]

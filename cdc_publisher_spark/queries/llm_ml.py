@@ -764,7 +764,12 @@ def q_k59_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = toks.select(
         "doc_id",
         F.size("tokens").alias("n_tokens"),
+        # total_words mirrors the oracle's len(string_split(text, ' '));
+        # the BOUND check must instead count words the way the encoder
+        # does (str.split: empty tokens from edge/repeat whitespace
+        # dropped), or a whitespace-edged doc breaks the invariant
         F.size(words(F.col("text"))).alias("n_words"),
+        F.size(F.array_remove(words(F.col("text")), "")).alias("n_words_enc"),
         (F.length(F.regexp_replace(F.col("text"), r"\s+", ""))).alias("n_chars"),
         (F.concat_ws("", F.col("tokens")) == F.regexp_replace(F.col("text"), r"\s+", ""))
         .alias("rt"),
@@ -774,7 +779,7 @@ def q_k59_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_words").cast("long").alias("total_words"),
         F.bool_and("rt").alias("roundtrip_ok"),
         F.bool_and(
-            (F.col("n_tokens") >= F.col("n_words"))
+            (F.col("n_tokens") >= F.col("n_words_enc"))
             & (F.col("n_tokens") <= F.col("n_chars"))
         ).alias("tokens_within_bounds"),
     )

@@ -163,13 +163,25 @@ def q_k54_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = _doc_grams(docs).select(
         "doc_id", "source", _md5_bucket(F.col("g"), "dsir", DSIR_BUCKETS).alias("b")
     )
-    docc = bg.groupBy("doc_id", "source", "b").agg(F.count("*").alias("c"))
-    tgt = bg.filter(F.col("source") == DSIR_TARGET)
-    raw = bg.filter(F.col("source") != DSIR_TARGET)
-    tgt_n = tgt.groupBy("b").agg(F.count("*").alias("tn"))
-    raw_n = raw.groupBy("b").agg(F.count("*").alias("rn"))
-    tgt_tot = tgt.agg(F.count("*").alias("nt"))
-    raw_tot = raw.agg(F.count("*").alias("nr"))
+    # ONE pass over the corpus-sized gram explode; the bucket
+    # distributions and totals all re-aggregate the (doc, source, b)
+    # counts (doc-bounded, persisted for its two consumers) instead of
+    # re-running the explode per statistic.
+    docc = (
+        bg.groupBy("doc_id", "source", "b").agg(F.count("*").alias("c")).persist()
+    )
+    tgt_n = (
+        docc.filter(F.col("source") == DSIR_TARGET)
+        .groupBy("b")
+        .agg(F.sum("c").alias("tn"))
+    )
+    raw_n = (
+        docc.filter(F.col("source") != DSIR_TARGET)
+        .groupBy("b")
+        .agg(F.sum("c").alias("rn"))
+    )
+    tgt_tot = tgt_n.agg(F.coalesce(F.sum("tn"), F.lit(0)).alias("nt"))
+    raw_tot = raw_n.agg(F.coalesce(F.sum("rn"), F.lit(0)).alias("nr"))
     buckets = spark.range(DSIR_BUCKETS).select(F.col("id").alias("b"))
 
     def _lterm(n: Column, tot: Column) -> Column:
@@ -451,21 +463,32 @@ def q_k58_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_publisher_spark.functions import vectors as VX
 
     e = load(spark, sf_dir, "embeddings")
+    # pre-stage each side's norms once per ROW: cosine_with_norms is
+    # bit-identical to cosine (same op order) but folds one array per
+    # pair instead of three
     q = e.filter(F.col("vec_id") < MRL_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
         F.slice(F.col("embedding"), 1, MRL_DIM).alias("qt"),
+        VX.l2_norm(F.col("embedding")).alias("qn"),
+        VX.l2_norm(F.slice(F.col("embedding"), 1, MRL_DIM)).alias("qtn"),
     )
     c = e.filter(F.col("vec_id") >= MRL_QUERIES).select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("cv"),
         F.slice(F.col("embedding"), 1, MRL_DIM).alias("ct"),
+        VX.l2_norm(F.col("embedding")).alias("cn"),
+        VX.l2_norm(F.slice(F.col("embedding"), 1, MRL_DIM)).alias("ctn"),
     )
     scored = c.crossJoin(F.broadcast(q)).select(
         "query_id",
         "cand_id",
-        VX.cosine(F.col("qv"), F.col("cv")).alias("cos_full"),
-        VX.cosine(F.col("qt"), F.col("ct")).alias("cos_trunc"),
+        VX.cosine_with_norms(
+            F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+        ).alias("cos_full"),
+        VX.cosine_with_norms(
+            F.col("qt"), F.col("ct"), F.col("qtn"), F.col("ctn")
+        ).alias("cos_trunc"),
     )
     w_full = W.partitionBy("query_id").orderBy(F.col("cos_full").desc(), F.col("cand_id"))
     w_trunc = W.partitionBy("query_id").orderBy(F.col("cos_trunc").desc(), F.col("cand_id"))
@@ -529,6 +552,12 @@ def q_k60_prototype_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_publisher_spark.operators.ivf import build_ivf
 
     e = load(spark, sf_dir, "embeddings")
+    if e.limit(1).count() == 0:  # k-means cannot fit on zero rows
+        return spark.createDataFrame(
+            [(0, True, True, True)],
+            "n_total long, quota_exact boolean, coverage_ok boolean, "
+            "scores_in_range boolean",
+        )
     idx = build_ivf(e, n_lists=PROTO_LISTS)
     cent = {i: c for i, c in enumerate(idx.centroids)}
     # cosine(vec, own centroid): literal centroid arrays, one CASE over
@@ -561,28 +590,53 @@ def q_k60_prototype_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "dropped", F.col("rk") <= F.floor(F.col("csize") * F.lit(PROTO_DROP))
     )
-    per_cluster = ranked.groupBy("list_id", "csize").agg(
-        F.sum(F.when(F.col("dropped"), 1).otherwise(0)).alias("n_dropped"),
-        F.count("*").alias("n_rows"),
+    # Audit against INDEPENDENTLY computed quantities (not the window
+    # columns that defined the drops): cluster sizes re-aggregated from
+    # the raw assignment, corpus total from the source table, and the
+    # semantic boundary property (every dropped vector at least as
+    # prototypical as every kept one in its cluster).
+    ind_sizes = idx.corpus.groupBy("list_id").agg(F.count("*").alias("ind_size"))
+    per_cluster = (
+        ranked.groupBy("list_id")
+        .agg(
+            F.sum(F.when(F.col("dropped"), 1).otherwise(0)).alias("n_dropped"),
+            F.count("*").alias("n_rows"),
+            F.min(F.when(F.col("dropped"), F.col("proto"))).alias("min_dropped"),
+            F.max(F.when(~F.col("dropped"), F.col("proto"))).alias("max_kept"),
+        )
+        .join(F.broadcast(ind_sizes), "list_id")
     )
+    n_src = e.agg(F.count("*").alias("n_src"))
     return (
         per_cluster.agg(
-            F.sum("n_rows").cast("long").alias("n_total"),
+            F.sum("n_rows").cast("long").alias("_n_ranked"),
             F.bool_and(
-                F.col("n_dropped") == F.floor(F.col("csize") * F.lit(PROTO_DROP))
+                F.col("n_dropped") == F.floor(F.col("ind_size") * F.lit(PROTO_DROP))
             ).alias("quota_exact"),
-            F.bool_and(F.col("n_rows") == F.col("csize")).alias("coverage_ok"),
+            F.bool_and(F.col("n_rows") == F.col("ind_size")).alias("_sizes_agree"),
+            F.bool_and(
+                F.col("min_dropped").isNull()
+                | (F.col("min_dropped") >= F.col("max_kept") - F.lit(1e-12))
+            ).alias("_boundary_ok"),
         )
+        .crossJoin(F.broadcast(n_src))
         .crossJoin(
             F.broadcast(
                 ranked.agg(
                     F.bool_and(
                         (F.col("proto") >= -1.0 - 1e-9) & (F.col("proto") <= 1.0 + 1e-9)
-                    ).alias("scores_in_range")
+                    ).alias("_in_range")
                 )
             )
         )
-        .select("n_total", "quota_exact", "coverage_ok", "scores_in_range")
+        .select(
+            F.col("n_src").cast("long").alias("n_total"),
+            (F.col("quota_exact") & F.col("_boundary_ok")).alias("quota_exact"),
+            ((F.col("_n_ranked") == F.col("n_src")) & F.col("_sizes_agree")).alias(
+                "coverage_ok"
+            ),
+            F.col("_in_range").alias("scores_in_range"),
+        )
     )
 
 
@@ -603,10 +657,12 @@ LEAK_GRAM = 5
     "inward, so the split itself cannot leak evaluation n-grams into "
     "training). Every stage is md5/shingle algebra both engines "
     "reproduce, so the final per-doc role assignment hash-checks "
-    "EXACTLY — no invariant indirection. Scale shape: the test-side "
-    "gram set is |test| x grams rows joined as a left-semi on "
-    "xxhash-free string grams (broadcastable at 10% x dedup'd "
-    "grams); one draw expression, one semi join, no driver traffic.",
+    "EXACTLY — no invariant indirection (the Spark side shuffles "
+    "xxhash64'd 8-byte shingle keys, q_k2/q_k3-style, so parity "
+    "additionally rests on 64-bit collision-freeness — negligible at "
+    "any realistic shingle cardinality). Scale shape: the test-side "
+    "distinct-gram set is ~10% of corpus grams (broadcastable), one "
+    "draw expression, one semi join, no driver traffic.",
     oracle=f"""
         WITH drawn AS (
             SELECT doc_id, text,

@@ -314,13 +314,16 @@ def q_k15_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "anchored INVARIANTS: media count and distinct-text count are "
     "recomputed by DuckDB from the same table, and the booleans pin "
     "determinism (identical text => identical dhash, never split "
-    "across hashes) and injectivity direction (hash groups <= text "
-    "groups). Hamming-near behavior is pytest'd.",
+    "across hashes) and discriminativeness (distinct texts land in "
+    ">= 90% as many hash groups — a constant or near-constant hash "
+    "fails it; exact equality is not required because 64-bit "
+    "perceptual collisions are legal). Hamming-near behavior is "
+    "pytest'd.",
     oracle="""
         SELECT CAST(COUNT(*) AS BIGINT) AS n_media,
                CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
                TRUE AS exact_dupes_same_hash,
-               TRUE AS groups_le_texts
+               TRUE AS hash_discriminative
         FROM documents
     """,
 )
@@ -375,6 +378,8 @@ def q_k55_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_media").cast("long").alias("n_media"),
             F.col("n_texts").cast("long").alias("n_distinct_texts"),
             "exact_dupes_same_hash",
-            (F.col("n_hash_groups") <= F.col("n_texts")).alias("groups_le_texts"),
+            (
+                F.col("n_hash_groups") >= F.ceil(F.col("n_texts") * F.lit(0.9))
+            ).alias("hash_discriminative"),
         )
     )

@@ -225,3 +225,24 @@ def test_bpe_encode_roundtrip_and_train_consistency(spark, sf_smoke):
     for r in out[:20]:
         ref = [t for w in r.text.split() for t in encode_word(w, merges)]
         assert r.tokens == ref
+
+
+def test_bpe_encode_invariants_survive_whitespace_edges(spark, tmp_path):
+    """q_k59's bound invariant must hold for whitespace-edged and empty
+    docs: the encoder drops empty split tokens, so the word count used
+    for the bound has to count the same way (regression for the
+    split-vs-str.split mismatch)."""
+    import os
+
+    from cdc_publisher_spark.queries.llm_ml import q_k59_bpe_encode
+
+    d = tmp_path / "ws"
+    d.mkdir()
+    df = spark.createDataFrame(
+        [(1, " ab cd", "en", "s0", 6), (2, "x", "en", "s0", 1), (3, "ab  cd ", "en", "s0", 7)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(str(d), "documents.parquet"))
+    r = q_k59_bpe_encode(spark, str(d)).collect()[0]
+    assert r.roundtrip_ok and r.tokens_within_bounds
+    assert r.n_docs == 3
