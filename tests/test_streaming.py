@@ -782,3 +782,70 @@ def test_drift_monitor_stream_matches_batch(spark, tmp_path):
     }
     assert got == expected
     assert len(expected) >= 2  # the month spans multiple 7-day windows
+
+
+def test_stream_stream_full_outer_interval_join_equals_batch(spark, sf_smoke, tmp_path):
+    """Stream-stream FULL OUTER join with watermarks + interval bound —
+    the last join mode in the stream-stream contract: unmatched rows on
+    BOTH sides may only emit once the watermark proves no match can
+    still arrive (flushed here by a far-future row per side, the same
+    replay trick as the left-outer test), and the final table must
+    equal the batch full-outer join."""
+    import datetime
+
+    from cdc_publisher_spark.tables import load
+
+    ev = load(spark, sf_smoke, "events")
+    v_schema = "v_user bigint, v_id bigint, v_ts timestamp"
+    c_schema = "c_user bigint, c_id bigint, c_ts timestamp"
+    v_batch = ev.filter(F.col("event_type") == "view").selectExpr(
+        "user_id AS v_user", "event_id AS v_id", "ts AS v_ts"
+    )
+    c_batch = ev.filter(F.col("event_type") == "click").selectExpr(
+        "user_id AS c_user", "event_id AS c_id", "ts AS c_ts"
+    )
+    v_dir, c_dir = str(tmp_path / "v"), str(tmp_path / "c")
+    v_batch.write.parquet(v_dir)
+    c_batch.write.parquet(c_dir)
+
+    cond = F.expr("v_user = c_user AND c_ts > v_ts AND c_ts <= v_ts + INTERVAL 1 HOUR")
+    views_s = spark.readStream.schema(v_schema).parquet(v_dir).withWatermark("v_ts", "2 hours")
+    clicks_s = spark.readStream.schema(c_schema).parquet(c_dir).withWatermark("c_ts", "2 hours")
+    joined = views_s.join(clicks_s, cond, "full_outer").select(
+        F.coalesce("v_user", F.lit(-1)).alias("v_user"),
+        F.coalesce("v_id", F.lit(-1)).alias("v_id"),
+        F.coalesce("c_user", F.lit(-1)).alias("c_user"),
+        F.coalesce("c_id", F.lit(-1)).alias("c_id"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_fo_t")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    far = ev.agg(F.max("ts")).collect()[0][0]
+    flush_ts = far + datetime.timedelta(hours=12)
+    spark.createDataFrame([(-9, -9, flush_ts)], v_schema).write.mode("append").parquet(v_dir)
+    spark.createDataFrame([(-9, -9, flush_ts)], c_schema).write.mode("append").parquet(c_dir)
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["v_user"], r["v_id"], r["c_user"], r["c_id"])
+        for r in spark.sql(
+            "SELECT * FROM ssj_fo_t WHERE v_user <> -9 AND c_user <> -9"
+        ).collect()
+    }
+
+    expected = {
+        (
+            r["v_user"] if r["v_user"] is not None else -1,
+            r["v_id"] if r["v_id"] is not None else -1,
+            r["c_user"] if r["c_user"] is not None else -1,
+            r["c_id"] if r["c_id"] is not None else -1,
+        )
+        for r in v_batch.join(c_batch, cond, "full_outer").collect()
+    }
+    # both unmatched directions must actually occur
+    assert any(t[0] == -1 for t in expected) and any(t[2] == -1 for t in expected)
+    assert got == expected
