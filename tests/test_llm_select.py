@@ -349,3 +349,37 @@ def test_curriculum_interleaves_sources_within_bands(spark, sf_oracle):
         srcs = sorted({r.source for r in rs})
         first = [r.source for r in sorted(rs, key=lambda r: r.slot_in_band)[: len(srcs)]]
         assert len(set(first)) == len(first), (band, first)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    a_us=st.integers(min_value=0, max_value=2**52),
+    delta=st.integers(min_value=-60_000_000, max_value=60_000_000),
+)
+def test_interval_binning_covers_window(a_us, delta):
+    """q_c14's bucket math: if |b - a| <= 60 s then bucket(b) is one of
+    {bucket(a)-1, bucket(a), bucket(a)+1} — the equi-join on candidate
+    buckets can never drop a qualifying pair."""
+    b_us = a_us + delta
+    if b_us < 0:
+        return
+    w = 60_000_000
+    ba, bb = a_us // w, b_us // w
+    assert bb in (ba - 1, ba, ba + 1)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    a_us=st.integers(min_value=0, max_value=2**52),
+    delta=st.integers(min_value=60_000_001, max_value=10**12),
+    sign=st.sampled_from([-1, 1]),
+)
+def test_interval_binning_excess_gap_is_filtered_not_missed(a_us, delta, sign):
+    """Out-of-window pairs may still share a candidate bucket (boundary
+    adjacency) — correctness comes from the residual filter, so the
+    invariant to pin is only one-directional: the residual predicate
+    rejects them."""
+    b_us = a_us + sign * delta
+    if b_us < 0:
+        return
+    assert abs(b_us - a_us) > 60_000_000  # residual filter rejects
