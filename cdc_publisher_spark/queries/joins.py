@@ -479,6 +479,12 @@ def q_c13_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: q_c14 bucket width in microseconds == the interval half-window, so
+#: a qualifying neighbor is always in {b-1, b, b+1} (property-pinned in
+#: tests/test_llm_select.py against THIS constant).
+INTERVAL_BIN_US = 60_000_000
+
+
 @register(
     "q_c14_binned_interval_join",
     family="C",
@@ -513,7 +519,7 @@ def q_c14_binned_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # implies floor-bucket(b) is in {bucket(a)-1, bucket(a), bucket(a)+1},
     # so exploding the build side into its three candidate buckets makes
     # the bucket an exact equi key for the range predicate.
-    bucket = (F.unix_micros(F.col("ts")) / F.lit(60_000_000)).cast("bigint")
+    bucket = (F.unix_micros(F.col("ts")) / F.lit(INTERVAL_BIN_US)).cast("bigint")
     a = ev.select(
         F.col("event_id").alias("a_id"),
         F.col("user_id").alias("a_user"),
@@ -531,8 +537,8 @@ def q_c14_binned_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         b,
         (F.col("a_bkt") == F.col("b_bkt"))
         & (F.col("b_id") != F.col("a_id"))
-        & (F.col("b_us") >= F.col("a_us") - F.lit(60_000_000))
-        & (F.col("b_us") <= F.col("a_us") + F.lit(60_000_000)),
+        & (F.col("b_us") >= F.col("a_us") - F.lit(INTERVAL_BIN_US))
+        & (F.col("b_us") <= F.col("a_us") + F.lit(INTERVAL_BIN_US)),
         "left",
     )
     return (

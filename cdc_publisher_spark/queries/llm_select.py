@@ -577,9 +577,13 @@ def q_k60_prototype_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("norm") * F.lit(cnorm[i])),
             ).otherwise(proto)
         )
+    # one evaluation of the assignment + centroid-cosine lineage feeds
+    # the ranking, the independent size re-aggregation, and the range
+    # audit (audit independence is about separate AGGREGATION paths,
+    # not re-execution of the same scan)
     scored = idx.corpus.select(
         F.col(idx.id_col), F.col("list_id"), proto.alias("proto")
-    )
+    ).persist()
     w = W.partitionBy("list_id").orderBy(F.col("proto").desc(), F.col(idx.id_col))
     ranked = scored.select(
         idx.id_col,
@@ -595,7 +599,7 @@ def q_k60_prototype_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the raw assignment, corpus total from the source table, and the
     # semantic boundary property (every dropped vector at least as
     # prototypical as every kept one in its cluster).
-    ind_sizes = idx.corpus.groupBy("list_id").agg(F.count("*").alias("ind_size"))
+    ind_sizes = scored.groupBy("list_id").agg(F.count("*").alias("ind_size"))
     per_cluster = (
         ranked.groupBy("list_id")
         .agg(

@@ -58,6 +58,8 @@ def read_dml_stream(
     pacing knob (the reference paces via sync-send backpressure,
     kafka_queue_writer.clj:87; micro-batch pacing is the Spark form)."""
     reader = spark.readStream.format("text")
-    if max_files_per_trigger:
+    if max_files_per_trigger is not None:
+        # pass 0/negative through: Spark rejects them loudly at stream
+        # start, which beats silently running unpaced
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return reader.load(path).select(F.col("value").alias("raw"))

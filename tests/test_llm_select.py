@@ -360,10 +360,11 @@ def test_interval_binning_covers_window(a_us, delta):
     """q_c14's bucket math: if |b - a| <= 60 s then bucket(b) is one of
     {bucket(a)-1, bucket(a), bucket(a)+1} — the equi-join on candidate
     buckets can never drop a qualifying pair."""
+    from cdc_publisher_spark.queries.joins import INTERVAL_BIN_US as w
+
     b_us = a_us + delta
     if b_us < 0:
         return
-    w = 60_000_000
     ba, bb = a_us // w, b_us // w
     assert bb in (ba - 1, ba, ba + 1)
 
@@ -379,7 +380,9 @@ def test_interval_binning_excess_gap_is_filtered_not_missed(a_us, delta, sign):
     adjacency) — correctness comes from the residual filter, so the
     invariant to pin is only one-directional: the residual predicate
     rejects them."""
+    from cdc_publisher_spark.queries.joins import INTERVAL_BIN_US
+
     b_us = a_us + sign * delta
     if b_us < 0:
         return
-    assert abs(b_us - a_us) > 60_000_000  # residual filter rejects
+    assert abs(b_us - a_us) > INTERVAL_BIN_US  # residual filter rejects
