@@ -849,3 +849,37 @@ def test_stream_stream_full_outer_interval_join_equals_batch(spark, sf_smoke, tm
     # both unmatched directions must actually occur
     assert any(t[0] == -1 for t in expected) and any(t[2] == -1 for t in expected)
     assert got == expected
+
+
+def test_hll_sketch_is_streaming_mergeable(spark, sf_smoke, tmp_path):
+    """approx_count_distinct is a mergeable HLL sketch: merging per
+    micro-batch partial sketches must yield the IDENTICAL estimate the
+    one-shot batch aggregation computes (commutative, deterministic
+    merge — the q_d5 sketch's streaming story, like count-min's)."""
+    from cdc_publisher_spark.sources.files import stream_table
+    from cdc_publisher_spark.tables import load
+
+    stream = stream_table(spark, sf_smoke, "events", str(tmp_path))
+    agg = stream.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("hll_stream_t")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.event_type, r.approx_users)
+        for r in spark.sql("SELECT * FROM hll_stream_t").collect()
+    }
+    expected = {
+        (r.event_type, r.approx_users)
+        for r in load(spark, sf_smoke, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+        .collect()
+    }
+    assert got == expected and len(got) > 0
