@@ -887,3 +887,105 @@ def q_k63_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("slot_in_band"),
     ).orderBy("band", "slot_in_band", "doc_id")
+
+
+# --------------------------------------------------------------------------
+# q_k64 — interpolated bigram-LM cross-entropy
+# --------------------------------------------------------------------------
+BILM_LAMBDA = 0.7
+
+
+@register(
+    "q_k64_bigram_lm_score",
+    family="K",
+    doc="Interpolated bigram-LM cross-entropy per document (the "
+    "conditional-probability upgrade over q_k27's unigram scorer - "
+    "closer to the KenLM-style fluency filters real pipelines run): "
+    "p(w2|w1) = 0.7 * c(w1 w2)/c(w1) + 0.3 * c(w2)/T, scored over "
+    "every bigram transition, ce = -mean ln p. Both probability "
+    "tables are vocab-bounded aggregates broadcast back; each ln "
+    "term is 8dp-rounded and DECIMAL-summed, and the pre-round "
+    "double is the same IEEE expression in the same order on the "
+    "same integers in both engines, so the score hash-checks "
+    "exactly. Docs with fewer than two tokens have no transitions "
+    "and are excluded in both engines.",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        bi AS (
+            SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+            FROM t CROSS JOIN generate_series(1, 100000) s(i)
+            WHERE i <= len(w) - 1
+        ),
+        uni AS (SELECT unnest(w) AS g FROM t),
+        c1 AS (SELECT g, COUNT(*) AS c FROM uni GROUP BY g),
+        tot AS (SELECT COUNT(*) AS n FROM uni),
+        c2 AS (SELECT w1, w2, COUNT(*) AS c FROM bi GROUP BY w1, w2),
+        terms AS (
+            SELECT bi.doc_id,
+                   CAST(ROUND(ln({BILM_LAMBDA} * (c2.c * 1.0 / cw1.c)
+                                 + {1 - BILM_LAMBDA} * (cw2.c * 1.0 / tot.n)), 8)
+                        AS DECIMAL(18, 8)) AS lw
+            FROM bi
+            JOIN c2 ON c2.w1 = bi.w1 AND c2.w2 = bi.w2
+            JOIN c1 cw1 ON cw1.g = bi.w1
+            JOIN c1 cw2 ON cw2.g = bi.w2
+            CROSS JOIN tot
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(-SUM(lw) / COUNT(*), 4) AS cross_entropy
+        FROM terms
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+)
+def q_k64_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", words(F.col("text")).alias("w"))
+    bi = toks.filter(F.size("w") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 2),"
+                " i -> struct(w[i] AS w1, w[i+1] AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    uni = toks.select(F.explode("w").alias("g"))
+    c1 = uni.groupBy("g").agg(F.count("*").alias("c"))
+    tot = uni.agg(F.count("*").alias("n"))
+    c2 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    terms = (
+        bi.join(F.broadcast(c2), ["w1", "w2"])
+        .join(
+            F.broadcast(c1.select(F.col("g").alias("w1"), F.col("c").alias("cw1"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(c1.select(F.col("g").alias("w2"), F.col("c").alias("cw2"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    F.lit(BILM_LAMBDA) * (F.col("c") * F.lit(1.0) / F.col("cw1"))
+                    + F.lit(1 - BILM_LAMBDA) * (F.col("cw2") * F.lit(1.0) / F.col("n"))
+                ),
+                8,
+            )
+            .cast("decimal(18,8)")
+            .alias("lw"),
+        )
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(-F.sum("lw") / F.count("*"), 4).cast("double").alias("cross_entropy"),
+        )
+        .orderBy("doc_id")
+    )

@@ -386,3 +386,22 @@ def test_interval_binning_excess_gap_is_filtered_not_missed(a_us, delta, sign):
     if b_us < 0:
         return
     assert abs(b_us - a_us) > INTERVAL_BIN_US  # residual filter rejects
+
+
+def test_bigram_lm_score_semantics(spark, sf_oracle):
+    from cdc_publisher_spark.queries.llm_select import q_k64_bigram_lm_score
+    from cdc_publisher_spark.tables import load
+
+    rows = q_k64_bigram_lm_score(spark, sf_oracle).collect()
+    docs = {r.doc_id: r.text for r in load(spark, sf_oracle, "documents").collect()}
+    assert len(rows) == sum(1 for t in docs.values() if len(t.split()) >= 2)
+    by_id = {r.doc_id: r for r in rows}
+    for r in rows:
+        assert r.cross_entropy > 0  # probabilities < 1
+        assert r.n_bigrams == len(docs[r.doc_id].split()) - 1
+    # identical texts score identically (pure function of content)
+    by_text = {}
+    for i, t in docs.items():
+        if i in by_id:
+            by_text.setdefault(t, set()).add(by_id[i].cross_entropy)
+    assert all(len(v) == 1 for v in by_text.values())
