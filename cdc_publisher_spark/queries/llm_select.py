@@ -989,3 +989,105 @@ def q_k64_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q_k65 — winnowing fingerprints (Schleimer 2003) + shared-print pairs
+# --------------------------------------------------------------------------
+WIN_K = 3  # k-gram size (tokens)
+WIN_W = 4  # winnowing window (k-gram hashes per window)
+
+
+@register(
+    "q_k65_winnowing_pairs",
+    family="K",
+    doc="Winnowing fingerprints (Schleimer 2003, the MOSS local "
+    "fingerprinting algorithm): hash every 3-token k-gram (md5 hex, "
+    "cross-engine), slide a window of 4 consecutive hashes, and "
+    "select each window's minimum with the paper's RIGHTMOST tie-"
+    "break — encoded as min over the sortable key h||'-'||zero-"
+    "padded(inverted pos), so the whole selection is ONE per-doc "
+    "window pass in both engines. Guarantee: any shared run of >= "
+    "w+k-1 = 6 tokens between two docs shares a selected "
+    "fingerprint; storage density ~2/(w+1). Output: doc pairs "
+    "sharing >= 2 selected prints with the shared count — the "
+    "plagiarism/near-dup detector shape. Scale: selection never "
+    "shuffles (per-doc window); the pair join rides the 8-hex print "
+    "as an equi key, candidate volume O(co-occurring prints).",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        kg AS (
+            SELECT doc_id, i AS pos,
+                   substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 8) AS h
+            FROM t CROSS JOIN generate_series(1, 100000) s(i)
+            WHERE i + {WIN_K - 1} <= len(ws)
+        ),
+        win AS (
+            SELECT doc_id, pos,
+                   MIN(h || '-' || lpad(CAST(99999999 - pos AS VARCHAR), 8, '0'))
+                       OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN {WIN_W - 1} PRECEDING AND CURRENT ROW)
+                       AS sel_key
+            FROM kg
+        ),
+        prints AS (
+            SELECT DISTINCT doc_id, substr(sel_key, 1, 8) AS h
+            FROM win WHERE pos >= {WIN_W}
+        )
+        SELECT a.doc_id AS d1, b.doc_id AS d2,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM prints a JOIN prints b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING COUNT(*) >= 2
+        ORDER BY d1, d2
+    """,
+)
+def q_k65_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", words(F.col("text")).alias("ws"))
+    kg = (
+        toks.filter(F.size("ws") >= WIN_K)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(ws) - {WIN_K}),"
+                    f" i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))"
+                )
+            ).alias("p0", "g"),
+        )
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).alias("pos"),  # 1-based, mirrors the oracle
+            F.substring(F.md5("g"), 1, 8).alias("h"),
+        )
+    )
+    w = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(WIN_W - 1), W.currentRow)
+    )
+    sel_key = F.min(
+        F.concat(
+            F.col("h"),
+            F.lit("-"),
+            F.lpad((F.lit(99999999) - F.col("pos")).cast("string"), 8, "0"),
+        )
+    ).over(w)
+    prints = (
+        kg.withColumn("sel_key", sel_key)
+        .filter(F.col("pos") >= WIN_W)
+        .select("doc_id", F.substring("sel_key", 1, 8).alias("h"))
+        .distinct()
+    )
+    return (
+        prints.alias("a")
+        .join(prints.alias("b"), "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+        .orderBy("d1", "d2")
+    )

@@ -405,3 +405,66 @@ def test_bigram_lm_score_semantics(spark, sf_oracle):
         if i in by_id:
             by_text.setdefault(t, set()).add(by_id[i].cross_entropy)
     assert all(len(v) == 1 for v in by_text.values())
+
+
+def test_winnowing_guarantee_and_density(spark, tmp_path):
+    import os
+
+    from cdc_publisher_spark.queries.llm_select import (
+        WIN_W,
+        q_k65_winnowing_pairs,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(30))
+    rows = [
+        (1, shared + " " + " ".join(f"a{i}" for i in range(20)), "en", "s0", 0),
+        (2, " ".join(f"b{i}" for i in range(20)) + " " + shared, "en", "s0", 0),
+        (3, " ".join(f"z{i}" for i in range(60)), "en", "s0", 0),
+    ]
+    d = tmp_path / "win"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(str(d), "documents.parquet"))
+    pairs = {(r.d1, r.d2): r.n_shared for r in q_k65_winnowing_pairs(spark, str(d)).collect()}
+    # 30 shared tokens >> w+k-1: docs 1 and 2 must share fingerprints
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    # doc 3 is disjoint from both
+    assert not any(3 in p for p in pairs)
+
+
+def test_winnowing_density_near_theory(spark, sf_oracle):
+    """Selected-fingerprint density should sit near the paper's
+    2/(w+1) expectation on effectively-random hashes."""
+    from pyspark.sql import Window as W
+
+    from cdc_publisher_spark.functions.text import words
+    from cdc_publisher_spark.queries.llm_select import WIN_K, WIN_W
+    from cdc_publisher_spark.tables import load
+
+    docs = load(spark, sf_oracle, "documents")
+    toks = docs.select("doc_id", words(F.col("text")).alias("ws"))
+    kg = toks.filter(F.size("ws") >= WIN_K).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(ws) - {WIN_K}),"
+                f" i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))"
+            )
+        ).alias("p0", "g"),
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), F.substring(F.md5("g"), 1, 8).alias("h"))
+    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(-(WIN_W - 1), 0)
+    sel = (
+        kg.withColumn(
+            "k",
+            F.min(
+                F.concat(F.col("h"), F.lit("-"),
+                         F.lpad((F.lit(99999999) - F.col("pos")).cast("string"), 8, "0"))
+            ).over(w),
+        )
+        .filter(F.col("pos") >= WIN_W)
+    )
+    n_grams = sel.count()
+    n_sel = sel.select("doc_id", "k").distinct().count()
+    density = n_sel / n_grams
+    assert 0.25 < density < 0.55, density  # theory: 2/(w+1) = 0.4
