@@ -1091,3 +1091,107 @@ def q_k65_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_shared") >= 2)
         .orderBy("d1", "d2")
     )
+
+
+# --------------------------------------------------------------------------
+# q_k66 — maximal cross-doc duplicated runs (seed-and-chain)
+# --------------------------------------------------------------------------
+RUN_K = 5  # seed shingle size (tokens)
+RUN_MIN = 10  # minimum duplicated run length (tokens)
+
+
+@register(
+    "q_k66_duplicate_runs",
+    family="K",
+    doc="Exact substring-duplication extraction (the Lee 2021 "
+    "'Deduplicating Training Data' semantics, relationally): seed "
+    "with 5-token shingle matches across doc pairs, then chain "
+    "seeds lying on the same DIAGONAL (posA - posB constant) into "
+    "maximal runs with gaps-and-islands (pos - row_number is "
+    "constant within a consecutive island), and keep runs of >= 10 "
+    "duplicated tokens, emitting (d1, d2, start positions, length). "
+    "Unlike the fixed-window approximations (q_k29/q_k32/q_k51) "
+    "this recovers variable-length MAXIMAL duplicated spans "
+    "exactly. Cost: seed volume = co-occurring shingles (the q_k2 "
+    "bound); chaining is one window per (pair, diagonal). Fully "
+    "SQL-reproducible - md5 seeds, integer algebra.",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        kg AS (
+            SELECT doc_id, i AS pos,
+                   substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                              || ' ' || ws[i+3] || ' ' || ws[i+4]), 1, 12) AS h
+            FROM t CROSS JOIN generate_series(1, 100000) s(i)
+            WHERE i + {RUN_K - 1} <= len(ws)
+        ),
+        seeds AS (
+            SELECT a.doc_id d1, b.doc_id d2, a.pos pa, b.pos pb,
+                   a.pos - b.pos AS diag
+            FROM kg a JOIN kg b ON a.h = b.h AND a.doc_id < b.doc_id
+        ),
+        islands AS (
+            SELECT d1, d2, diag, pa, pb,
+                   pa - row_number() OVER (PARTITION BY d1, d2, diag
+                                           ORDER BY pa) AS grp
+            FROM seeds
+        ),
+        runs AS (
+            SELECT d1, d2,
+                   MIN(pa) AS start1, MIN(pb) AS start2,
+                   CAST(COUNT(*) + {RUN_K} - 1 AS BIGINT) AS run_tokens
+            FROM islands
+            GROUP BY d1, d2, diag, grp
+        )
+        SELECT d1, d2, start1, start2, run_tokens
+        FROM runs
+        WHERE run_tokens >= {RUN_MIN}
+        ORDER BY d1, d2, start1, start2
+    """,
+)
+def q_k66_duplicate_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", words(F.col("text")).alias("ws"))
+    gram = "concat(" + ", ' ', ".join(f"ws[i+{j}]" for j in range(RUN_K)) + ")"
+    kg = (
+        toks.filter(F.size("ws") >= RUN_K)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(ws) - {RUN_K}), i -> {gram})"
+                )
+            ).alias("p0", "g"),
+        )
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).alias("pos"),
+            F.substring(F.md5("g"), 1, 12).alias("h"),
+        )
+    )
+    seeds = (
+        kg.alias("a")
+        .join(kg.alias("b"), "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.pos").alias("pa"),
+            F.col("b.pos").alias("pb"),
+            (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+        )
+    )
+    w = W.partitionBy("d1", "d2", "diag").orderBy("pa")
+    islands = seeds.withColumn("grp", F.col("pa") - F.row_number().over(w))
+    return (
+        islands.groupBy("d1", "d2", "diag", "grp")
+        .agg(
+            F.min("pa").alias("start1"),
+            F.min("pb").alias("start2"),
+            (F.count("*") + F.lit(RUN_K - 1)).cast("long").alias("run_tokens"),
+        )
+        .filter(F.col("run_tokens") >= RUN_MIN)
+        .select("d1", "d2", "start1", "start2", "run_tokens")
+        .orderBy("d1", "d2", "start1", "start2")
+    )

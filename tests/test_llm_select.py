@@ -468,3 +468,31 @@ def test_winnowing_density_near_theory(spark, sf_oracle):
     n_sel = sel.select("doc_id", "k").distinct().count()
     density = n_sel / n_grams
     assert 0.25 < density < 0.55, density  # theory: 2/(w+1) = 0.4
+
+
+def test_duplicate_runs_are_maximal_and_exact(spark, tmp_path):
+    import os
+
+    from cdc_publisher_spark.queries.llm_select import q_k66_duplicate_runs
+
+    run = " ".join(f"r{i}" for i in range(20))  # the duplicated span
+    rows = [
+        (1, " ".join(f"a{i}" for i in range(7)) + " " + run + " " +
+            " ".join(f"c{i}" for i in range(5)), "en", "s0", 0),
+        (2, " ".join(f"b{i}" for i in range(3)) + " " + run + " " +
+            " ".join(f"d{i}" for i in range(9)), "en", "s0", 0),
+        (3, " ".join(f"z{i}" for i in range(40)), "en", "s0", 0),
+    ]
+    d = tmp_path / "runs"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(str(d), "documents.parquet"))
+    out = q_k66_duplicate_runs(spark, str(d)).collect()
+    assert len(out) == 1
+    r = out[0]
+    # maximal: exactly the 20 duplicated tokens, at the right offsets
+    assert (r.d1, r.d2) == (1, 2)
+    assert r.run_tokens == 20
+    assert r.start1 == 8  # after 7 prefix tokens, 1-based
+    assert r.start2 == 4  # after 3 prefix tokens, 1-based
