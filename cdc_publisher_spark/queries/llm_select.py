@@ -18,6 +18,14 @@ curation-pipeline operators.
   decontamination of train, exact per-doc role oracle end-to-end.
 - q_k62 CCNet perplexity buckets (Wenzek 2020): per-language
   head/middle/tail thirds on unigram-LM cross-entropy.
+- q_k63 curriculum ordering: difficulty bands with round-robin source
+  interleaving, all window-rank integer algebra.
+- q_k64 interpolated bigram-LM cross-entropy: conditional-probability
+  fluency scoring, vocab-bounded broadcast tables.
+- q_k65 winnowing fingerprints (Schleimer 2003): window-min selection
+  with rightmost tie-break, shared-print near-dup pairs.
+- q_k66 maximal duplicated runs (Lee 2021 semantics): diagonal seed
+  chaining, variable-length exact spans.
 
 Everything deterministic: buckets/draws come from md5 (reproducible
 in DuckDB via ('0x' || substr(md5(g),1,8))::UBIGINT, same trick as
