@@ -1009,6 +1009,7 @@ WIN_W = 4  # winnowing window (k-gram hashes per window)
 @register(
     "q_k65_winnowing_pairs",
     family="K",
+    bench=True,  # window-select + print co-occurrence join
     doc="Winnowing fingerprints (Schleimer 2003, the MOSS local "
     "fingerprinting algorithm): hash every 3-token k-gram (md5 hex, "
     "cross-engine), slide a window of 4 consecutive hashes, and "
@@ -1111,6 +1112,7 @@ RUN_MIN = 10  # minimum duplicated run length (tokens)
 @register(
     "q_k66_duplicate_runs",
     family="K",
+    bench=True,  # seed join + diagonal chaining windows
     doc="Exact substring-duplication extraction (the Lee 2021 "
     "'Deduplicating Training Data' semantics, relationally): seed "
     "with 5-token shingle matches across doc pairs, then chain "
