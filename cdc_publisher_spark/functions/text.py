@@ -107,3 +107,27 @@ def set_fingerprint(text: Column) -> Column:
     distinct-word list (K document fingerprinting; the rolling-hash
     variant lives in operators/fingerprint.py)."""
     return F.md5(F.concat_ws(" ", F.array_sort(distinct_words(text))))
+
+
+def kgram_hashes(toks, k: int, hex_len: int = 8, id_col: str = "doc_id", arr_col: str = "ws"):
+    """md5-hex k-gram frame over a (id, token-array) DataFrame:
+    (id, pos 1-based, h) — one row per k-gram, hash = first ``hex_len``
+    hex digits of md5(space-joined gram). Shared by the winnowing
+    selector (q_k65), the duplicate-run seeder (q_k66), and their
+    tests, and mirrored verbatim by their DuckDB oracles (md5 is
+    cross-engine; positions are 1-based to match SQL arrays)."""
+    gram = "concat(" + ", ' ', ".join(f"{arr_col}[i+{j}]" for j in range(k)) + ")"
+    return (
+        toks.filter(F.size(arr_col) >= k)
+        .select(
+            id_col,
+            F.posexplode(
+                F.expr(f"transform(sequence(0, size({arr_col}) - {k}), i -> {gram})")
+            ).alias("p0", "g"),
+        )
+        .select(
+            id_col,
+            (F.col("p0") + 1).alias("pos"),
+            F.substring(F.md5("g"), 1, hex_len).alias("h"),
+        )
+    )

@@ -963,7 +963,9 @@ def q_k64_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     uni = toks.select(F.explode("w").alias("g"))
     c1 = uni.groupBy("g").agg(F.count("*").alias("c"))
-    tot = uni.agg(F.count("*").alias("n"))
+    # total tokens from the |V|-row vocab table, not a second pass over
+    # the corpus-sized explode (same trick as q_k62)
+    tot = c1.agg(F.sum("c").alias("n"))
     c2 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c"))
     terms = (
         bi.join(F.broadcast(c2), ["w1", "w2"])
@@ -1054,25 +1056,11 @@ WIN_W = 4  # winnowing window (k-gram hashes per window)
 def q_k65_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
+    from cdc_publisher_spark.functions.text import kgram_hashes
+
     docs = load(spark, sf_dir, "documents")
     toks = docs.select("doc_id", words(F.col("text")).alias("ws"))
-    kg = (
-        toks.filter(F.size("ws") >= WIN_K)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(0, size(ws) - {WIN_K}),"
-                    f" i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))"
-                )
-            ).alias("p0", "g"),
-        )
-        .select(
-            "doc_id",
-            (F.col("p0") + 1).alias("pos"),  # 1-based, mirrors the oracle
-            F.substring(F.md5("g"), 1, 8).alias("h"),
-        )
-    )
+    kg = kgram_hashes(toks, WIN_K, hex_len=8)
     w = (
         W.partitionBy("doc_id")
         .orderBy("pos")
@@ -1161,25 +1149,11 @@ RUN_MIN = 10  # minimum duplicated run length (tokens)
 def q_k66_duplicate_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
+    from cdc_publisher_spark.functions.text import kgram_hashes
+
     docs = load(spark, sf_dir, "documents")
     toks = docs.select("doc_id", words(F.col("text")).alias("ws"))
-    gram = "concat(" + ", ' ', ".join(f"ws[i+{j}]" for j in range(RUN_K)) + ")"
-    kg = (
-        toks.filter(F.size("ws") >= RUN_K)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(0, size(ws) - {RUN_K}), i -> {gram})"
-                )
-            ).alias("p0", "g"),
-        )
-        .select(
-            "doc_id",
-            (F.col("p0") + 1).alias("pos"),
-            F.substring(F.md5("g"), 1, 12).alias("h"),
-        )
-    )
+    kg = kgram_hashes(toks, RUN_K, hex_len=12)
     seeds = (
         kg.alias("a")
         .join(kg.alias("b"), "h")

@@ -392,13 +392,18 @@ def test_bigram_lm_score_semantics(spark, sf_oracle):
     from cdc_publisher_spark.queries.llm_select import q_k64_bigram_lm_score
     from cdc_publisher_spark.tables import load
 
+    import re
+
     rows = q_k64_bigram_lm_score(spark, sf_oracle).collect()
     docs = {r.doc_id: r.text for r in load(spark, sf_oracle, "documents").collect()}
-    assert len(rows) == sum(1 for t in docs.values() if len(t.split()) >= 2)
+    # tokenize the expected side with Spark's split semantics (keeps
+    # edge empties), not str.split
+    ntok = {i: len(re.split(r"\s+", t)) for i, t in docs.items()}
+    assert len(rows) == sum(1 for n in ntok.values() if n >= 2)
     by_id = {r.doc_id: r for r in rows}
     for r in rows:
         assert r.cross_entropy > 0  # probabilities < 1
-        assert r.n_bigrams == len(docs[r.doc_id].split()) - 1
+        assert r.n_bigrams == ntok[r.doc_id] - 1
     # identical texts score identically (pure function of content)
     by_text = {}
     for i, t in docs.items():
@@ -442,17 +447,11 @@ def test_winnowing_density_near_theory(spark, sf_oracle):
     from cdc_publisher_spark.queries.llm_select import WIN_K, WIN_W
     from cdc_publisher_spark.tables import load
 
+    from cdc_publisher_spark.functions.text import kgram_hashes
+
     docs = load(spark, sf_oracle, "documents")
     toks = docs.select("doc_id", words(F.col("text")).alias("ws"))
-    kg = toks.filter(F.size("ws") >= WIN_K).select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, size(ws) - {WIN_K}),"
-                f" i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))"
-            )
-        ).alias("p0", "g"),
-    ).select("doc_id", (F.col("p0") + 1).alias("pos"), F.substring(F.md5("g"), 1, 8).alias("h"))
+    kg = kgram_hashes(toks, WIN_K, hex_len=8)
     w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(-(WIN_W - 1), 0)
     sel = (
         kg.withColumn(
