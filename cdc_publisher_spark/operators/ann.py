@@ -249,8 +249,12 @@ def _blas_candidate_pairs(
     else:
         n = v.count()
         n_tiles = max(1, math.ceil(n / tile_rows))
-        # one materialization feeds n_tiles collects + n_tiles scans
-        v = v.persist()
+        # one materialization feeds n_tiles collects + n_tiles scans;
+        # scoped via the registry tracker so a long-lived session frees
+        # it when the next registered query starts
+        from cdc_publisher_spark.registry import track_persist
+
+        v = track_persist(v)
     guard = threshold - 1e-9
     parts: list[DataFrame] = []
     for t in range(n_tiles):

@@ -44,7 +44,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_publisher_spark.functions.text import words
-from cdc_publisher_spark.registry import register
+from cdc_publisher_spark.registry import register, track_persist
 from cdc_publisher_spark.tables import load
 
 DSIR_BUCKETS = 256
@@ -176,7 +176,7 @@ def q_k54_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # counts (doc-bounded, persisted for its two consumers) instead of
     # re-running the explode per statistic.
     docc = (
-        bg.groupBy("doc_id", "source", "b").agg(F.count("*").alias("c")).persist()
+        track_persist(bg.groupBy("doc_id", "source", "b").agg(F.count("*").alias("c")))
     )
     tgt_n = (
         docc.filter(F.col("source") == DSIR_TARGET)
@@ -591,7 +591,8 @@ def q_k60_prototype_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     # not re-execution of the same scan)
     scored = idx.corpus.select(
         F.col(idx.id_col), F.col("list_id"), proto.alias("proto")
-    ).persist()
+    )
+    scored = track_persist(scored)
     w = W.partitionBy("list_id").orderBy(F.col("proto").desc(), F.col(idx.id_col))
     ranked = scored.select(
         idx.id_col,

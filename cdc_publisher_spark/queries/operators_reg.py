@@ -19,7 +19,7 @@ from cdc_publisher_spark.operators.ann import ann_topk
 from cdc_publisher_spark.operators.fingerprint import rolling_fingerprint
 from cdc_publisher_spark.operators.minhash import minhash_near_duplicates
 from cdc_publisher_spark.operators.simhash import simhash_near_duplicates
-from cdc_publisher_spark.registry import register
+from cdc_publisher_spark.registry import register, track_persist
 from cdc_publisher_spark.tables import load
 
 
@@ -100,7 +100,7 @@ def q_k11_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     # both miners feed two audit branches each; cache the small pair sets
-    found = simhash_near_duplicates(docs, max_hamming=3).select("d1", "d2").persist()
+    found = track_persist(simhash_near_duplicates(docs, max_hamming=3).select("d1", "d2"))
 
     # exact trigram-Jaccard >= 0.5 reference set (the q_k2 machinery)
     tok = TX.shingle_rows(docs, "doc_id", "text", 3, hashed=True)
@@ -117,8 +117,8 @@ def q_k11_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sizes).alias("s2"), F.col("d2") == F.col("s2.doc_id"))
         .filter(F.col("i") * 1.0 / (F.col("s1.n") + F.col("s2.n") - F.col("i")) >= 0.5)
         .select("d1", "d2")
-        .persist()
     )
+    ref = track_persist(ref)
     hits = ref.join(found, ["d1", "d2"], "left_semi")
     stats = ref.agg(F.count("*").alias("n_reference_pairs")).crossJoin(
         hits.agg(F.count("*").alias("_n_hit"))
@@ -357,7 +357,8 @@ def q_k55_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-run the synth+decode+hash mapInPandas pass per reference
     keyed = docs.select(
         F.col("doc_id").alias("media_id"), F.md5("text").alias("tkey")
-    ).join(hashes, "media_id").persist()
+    ).join(hashes, "media_id")
+    keyed = track_persist(keyed)
     per_text = keyed.groupBy("tkey").agg(
         F.countDistinct("dhash").alias("n_hashes")
     )

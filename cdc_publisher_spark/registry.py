@@ -17,12 +17,41 @@ Hash-stability rules (SURVEY.md §2.2 preamble) every spec must follow:
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+#: Frames persisted by the *currently executing* registered query.
+#: A query can't unpersist its own caches (the caller collects the
+#: returned DataFrame after the callable returns, and that action is
+#: what reads the cached blocks), so persists are ENROLLED here and
+#: released when the NEXT registered query begins — in a long-lived
+#: session (bench driver, CLI serve) at most one query's blocks are
+#: ever cached, instead of accumulating forever.
+_PERSISTED: list[DataFrame] = []
+
+
+def track_persist(df: DataFrame) -> DataFrame:
+    """``df.persist()`` with scoped lifetime: the cache is dropped when
+    the next registered query starts (see ``_PERSISTED``). Use this —
+    not bare ``.persist()`` — anywhere inside a registered callable or
+    an operator it delegates to."""
+    _PERSISTED.append(df.persist())
+    return df
+
+
+def release_persisted() -> None:
+    """Drop every cache enrolled by the previous registered query."""
+    while _PERSISTED:
+        df = _PERSISTED.pop()
+        try:
+            df.unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
 
 
 @dataclass(frozen=True)
@@ -52,8 +81,16 @@ def register(
     def deco(fn: SparkQuery) -> SparkQuery:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
+
+        @functools.wraps(fn)
+        def scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Release the previous query's track_persist caches before
+            # building this one (see _PERSISTED docstring).
+            release_persisted()
+            return fn(spark, sf_dir)
+
         _REGISTRY[name] = QuerySpec(
-            name=name, family=family, spark=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""),
+            name=name, family=family, spark=scoped, oracle=oracle, doc=doc or (fn.__doc__ or ""),
             bench=bench, tags=tags,
         )
         return fn
