@@ -53,3 +53,65 @@ def scan_read_schema(df: DataFrame) -> str:
     return "\n".join(
         line.strip() for line in plan_string(df).splitlines() if "ReadSchema" in line
     )
+
+
+#: Leaf-scan attribute names that identify a CORPUS-sized table (the
+#: fact tables that grow with the data; dimensions like region/nation/
+#: customer/supplier/part stay broadcast-sized).
+_FACT_SIGNATURE_COLS = (
+    "l_orderkey",
+    "o_orderkey",
+    "event_id",
+    "doc_id",
+    "vec_id",
+    "media_id",
+)
+
+#: Grouping on a per-row id keeps corpus cardinality — an Aggregate
+#: only BLOCKS the corpus-size taint when none of these appear in its
+#: grouping expressions (e.g. groupBy(n_tok) reduces to the distinct
+#: value table; groupBy(doc_id) does not reduce at all).
+_ROW_ID_COLS = _FACT_SIGNATURE_COLS + ("chunk_id", "user_id", "i#", "j#")
+
+
+def unpartitioned_corpus_windows(df: DataFrame) -> list[str]:
+    """Window nodes with an EMPTY partitionSpec whose input can still be
+    corpus-sized — the single-partition scale-killer (every row of a
+    100 TB table funnels through one task).
+
+    Walks the optimized logical plan: a Window with no partition
+    expressions is flagged when some leaf scan of a fact table is
+    reachable from it without passing through a cardinality-reducing
+    node (an Aggregate whose grouping keys contain no per-row id, or a
+    Limit). Returns human-readable descriptions of the offending
+    nodes; empty list == scale-clean.
+    """
+    jplan = df._jdf.queryExecution().optimizedPlan()
+    offenders: list[str] = []
+
+    def corpus_sized(node) -> bool:
+        cls = node.getClass().getSimpleName()
+        if cls in ("GlobalLimit", "LocalLimit"):
+            return False
+        if cls == "Aggregate":
+            grouping = node.groupingExpressions().mkString(",")
+            if not any(c in grouping for c in _ROW_ID_COLS):
+                return False  # reduced to value/dimension cardinality
+        kids = node.children()
+        if kids.size() == 0:
+            out = node.output().mkString(",")
+            return any(c in out for c in _FACT_SIGNATURE_COLS)
+        return any(corpus_sized(kids.apply(i)) for i in range(kids.size()))
+
+    def walk(node) -> None:
+        cls = node.getClass().getSimpleName()
+        if cls == "Window" and node.partitionSpec().isEmpty():
+            kids = node.children()
+            if any(corpus_sized(kids.apply(i)) for i in range(kids.size())):
+                offenders.append(node.simpleString(120))
+        kids = node.children()
+        for i in range(kids.size()):
+            walk(kids.apply(i))
+
+    walk(jplan)
+    return offenders

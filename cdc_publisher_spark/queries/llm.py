@@ -407,12 +407,18 @@ def q_k16_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9\s]")).alias("n_punct"),
         F.length("text").alias("n_c"),
     )
-    w_all = W.partitionBy()
-    mean = F.sum("n_c").over(w_all) * 1.0 / F.count("*").over(w_all)
-    var = (
-        F.sum(F.col("n_c") * F.col("n_c")).over(w_all) * 1.0 / F.count("*").over(w_all)
-        - mean * mean
+    # Corpus length moments via a broadcast 1-row aggregate, NOT an
+    # unpartitioned window (single-partition at scale). Numerically
+    # identical: the sums/count are exact longs either way and the
+    # double algebra below keeps the same op order.
+    moments = stats.agg(
+        F.sum("n_c").alias("_s_nc"),
+        F.sum(F.col("n_c") * F.col("n_c")).alias("_ss_nc"),
+        F.count("*").alias("_n_docs"),
     )
+    stats = stats.crossJoin(F.broadcast(moments))
+    mean = F.col("_s_nc") * 1.0 / F.col("_n_docs")
+    var = F.col("_ss_nc") * 1.0 / F.col("_n_docs") - mean * mean
     # ratios stay UNROUNDED until output: composing rounded values puts
     # the composite score exactly on rounding boundaries (1e-4 grid)
     scored = stats.select(

@@ -831,15 +831,21 @@ def q_k62_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFram
     "INTERLEAVE sources round-robin within difficulty bands so no "
     "source monopolizes a training phase - curriculum_pos = "
     "band * (per-band size) + round-robin slot from the per-(band, "
-    "source) rank. Every key is integer algebra over window ranks "
-    "with doc_id tie-breaks (total order), so the whole schedule "
-    "hash-checks exactly cross-engine. Scale note: the band id here "
-    "rides an exact global percent_rank (oracle-exact diagnostic "
-    "form - fine to sf-scale, single-partition window at corpus "
-    "scale); the 100 TB substitution is q_k33's broadcast "
-    "percentile_approx thresholds (operators/quality_filter.py), "
-    "which changes no downstream algebra. The two interleaving "
-    "windows are band/(band, source)-partitioned either way.",
+    "source) rank. Every key is integer algebra over ranks with "
+    "doc_id tie-breaks (total order), so the whole schedule "
+    "hash-checks exactly cross-engine. SCALE: the oracle's global "
+    "percent_rank is reproduced WITHOUT any corpus-sized window - "
+    "rank(n_tok desc, doc_id) decomposes into a cumulative count "
+    "over the DISTINCT n_tok value table (dimension-sized, the only "
+    "unpartitioned window) plus a row_number partitioned by the tie "
+    "group (n_tok); the per-(band, source) round-robin rank "
+    "decomposes the same way over (band, source, n_tok), and the "
+    "source ids / counts come from a broadcast distinct (band, "
+    "source) table. percent_rank's (rank-1)/(n-1)*4 float algebra "
+    "is replayed with the same IEEE op order as both engines' "
+    "window form, so band boundaries match bit-exactly. The "
+    "coarser broadcast-percentile_approx banding lives in q_k33 "
+    "(operators/quality_filter.py).",
     oracle="""
         WITH scored AS (
             SELECT doc_id, source,
@@ -873,20 +879,69 @@ def q_k63_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = docs.select(
         "doc_id", "source", F.size(words(F.col("text"))).cast("long").alias("n_tok")
     )
-    w_all = W.orderBy(F.col("n_tok").desc(), F.col("doc_id"))
-    banded = scored.withColumn(
-        "band",
-        F.least(F.lit(3), F.floor(F.percent_rank().over(w_all) * 4)).cast("long"),
+    # Global rank(n_tok desc, doc_id) with no corpus-sized window:
+    # docs ranked above a row = (count of docs with a strictly larger
+    # n_tok) + (position among its own tie group, by doc_id). The
+    # first term is a running sum over the DISTINCT n_tok table —
+    # dimension-sized, the only unpartitioned window in the plan; the
+    # second partitions by the tie value.
+    vt = scored.groupBy("n_tok").agg(F.count("*").alias("_vc"))
+    w_vt = (
+        W.orderBy(F.col("n_tok").desc())
+        .rowsBetween(W.unboundedPreceding, -1)
     )
-    w_src = W.partitionBy("band", "source").orderBy(F.col("n_tok").desc(), F.col("doc_id"))
-    w_band = W.partitionBy("band").orderBy("source")
-    slotted = banded.select(
+    vt = vt.select(
+        "n_tok", F.coalesce(F.sum("_vc").over(w_vt), F.lit(0)).alias("_cum_gt")
+    )
+    n_all = scored.agg(F.count("*").alias("_n"))
+    w_tie = W.partitionBy("n_tok").orderBy("doc_id")
+    ranked = (
+        scored.join(F.broadcast(vt), "n_tok")
+        .withColumn("_rk", F.col("_cum_gt") + F.row_number().over(w_tie))
+        .crossJoin(F.broadcast(n_all))
+    )
+    # percent_rank = (rank-1)/(n-1) as a double, then *4 and floor —
+    # the identical IEEE op order both engines' window form uses, so
+    # band boundaries match bit-exactly. n == 1 => percent_rank 0.
+    pr = F.when(
+        F.col("_n") == 1, F.lit(0.0)
+    ).otherwise((F.col("_rk") - 1).cast("double") / (F.col("_n") - 1).cast("double"))
+    banded = ranked.select(
         "doc_id",
         "source",
+        "n_tok",
+        F.least(F.lit(3), F.floor(pr * 4)).cast("long").alias("band"),
+    )
+    # Per-(band, source) round-robin rank: same decomposition, keyed by
+    # (band, source, n_tok). The cumulative table is dimension-sized
+    # and its window is (band, source)-partitioned.
+    bst = banded.groupBy("band", "source", "n_tok").agg(F.count("*").alias("_bc"))
+    w_bst = (
+        W.partitionBy("band", "source")
+        .orderBy(F.col("n_tok").desc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    bst = bst.select(
         "band",
-        F.row_number().over(w_src).alias("src_rk"),
-        F.dense_rank().over(w_band).alias("src_id"),
-        F.size(F.collect_set("source").over(W.partitionBy("band"))).alias("n_src"),
+        "source",
+        "n_tok",
+        F.coalesce(F.sum("_bc").over(w_bst), F.lit(0)).alias("_cum_gt_src"),
+    )
+    w_src_tie = W.partitionBy("band", "source", "n_tok").orderBy("doc_id")
+    slotted = banded.join(F.broadcast(bst), ["band", "source", "n_tok"]).withColumn(
+        "src_rk", F.col("_cum_gt_src") + F.row_number().over(w_src_tie)
+    )
+    # Source ids and counts per band: a broadcast distinct (band,
+    # source) table — dense_rank over it is a few-row window.
+    srcs = banded.select("band", "source").distinct()
+    src_dim = srcs.select(
+        "band",
+        "source",
+        F.dense_rank().over(W.partitionBy("band").orderBy("source")).alias("src_id"),
+    )
+    n_src = srcs.groupBy("band").agg(F.count("*").alias("n_src"))
+    slotted = slotted.join(F.broadcast(src_dim), ["band", "source"]).join(
+        F.broadcast(n_src), "band"
     )
     return slotted.select(
         "doc_id",

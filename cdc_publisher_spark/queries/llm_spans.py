@@ -157,12 +157,17 @@ def q_k33_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame
         F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9\s]")).alias("n_punct"),
         F.length("text").alias("n_c"),
     )
-    w_all = W.partitionBy()
-    mean = F.sum("n_c").over(w_all) * 1.0 / F.count("*").over(w_all)
-    var = (
-        F.sum(F.col("n_c") * F.col("n_c")).over(w_all) * 1.0 / F.count("*").over(w_all)
-        - mean * mean
+    # Same broadcast-moments substitution as q_k16 (queries/llm.py):
+    # exact long sums + identical double op order, no unpartitioned
+    # corpus window.
+    moments = stats.agg(
+        F.sum("n_c").alias("_s_nc"),
+        F.sum(F.col("n_c") * F.col("n_c")).alias("_ss_nc"),
+        F.count("*").alias("_n_docs"),
     )
+    stats = stats.crossJoin(F.broadcast(moments))
+    mean = F.col("_s_nc") * 1.0 / F.col("_n_docs")
+    var = F.col("_ss_nc") * 1.0 / F.col("_n_docs") - mean * mean
     scored = stats.select(
         "doc_id",
         "lang",

@@ -223,3 +223,62 @@ def test_q_b3_all_predicates_reach_the_scan(spark, sf_oracle):
     read_cols = {c.split(":")[0] for c in schema.split(",")}
     assert read_cols == {"o_orderkey", "o_totalprice", "o_orderpriority",
                          "o_orderstatus", "o_custkey"}
+
+
+def test_no_unpartitioned_corpus_windows_anywhere(spark, sf_smoke):
+    """THE single-partition tripwire (VERDICT r4 ask #4): sweep every
+    registered query's optimized plan and flag any Window with an empty
+    partitionSpec whose input can still be corpus-sized — at 100 TB
+    such a window funnels the whole table through one task. Windows
+    over dimension-sized aggregates (distinct value tables, vocab
+    top-k, per-band source dims) pass: an Aggregate that drops per-row
+    ids blocks the corpus-size taint."""
+    from cdc_publisher_spark.plans import unpartitioned_corpus_windows
+    from cdc_publisher_spark.registry import all_specs
+
+    # Declared-global-semantics exceptions would go here; currently none
+    # (q_e1/q_e5/q_e10 run over dimension-sized or aggregate-reduced
+    # inputs and pass the taint check on their own).
+    allow: set[str] = set()
+    offenders = {}
+    for name, spec in sorted(all_specs().items()):
+        if name in allow:
+            continue
+        offs = unpartitioned_corpus_windows(spec.spark(spark, sf_smoke))
+        if offs:
+            offenders[name] = offs[0][:160]
+    assert not offenders, offenders
+
+
+def test_unpartitioned_window_detector_positive_control(spark, sf_oracle):
+    """The detector must actually fire on the pattern it polices: a
+    global row_number over the raw documents table (exactly round 4's
+    q_k63 shape) and a global window that survives a groupBy(doc_id)
+    (per-row-id grouping does not reduce cardinality)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from cdc_publisher_spark.plans import unpartitioned_corpus_windows
+    from cdc_publisher_spark.tables import load
+
+    docs = load(spark, sf_oracle, "documents")
+    bad = docs.withColumn(
+        "rk", F.row_number().over(W.orderBy(F.col("doc_id")))
+    )
+    assert unpartitioned_corpus_windows(bad)
+
+    still_bad = (
+        docs.groupBy("doc_id")
+        .agg(F.count("*").alias("c"))
+        .withColumn("rk", F.row_number().over(W.orderBy("doc_id")))
+    )
+    assert unpartitioned_corpus_windows(still_bad)
+
+    # negative control: the same window over a value-level aggregate
+    # (dimension-sized) must NOT fire
+    ok = (
+        docs.groupBy(F.length("text").alias("n_c"))
+        .agg(F.count("*").alias("c"))
+        .withColumn("rk", F.row_number().over(W.orderBy("n_c")))
+    )
+    assert not unpartitioned_corpus_windows(ok)
