@@ -21,6 +21,7 @@ the tests and the driver use — the CLI adds no second code path.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -106,11 +107,21 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("list").set_defaults(fn=cmd_list)
 
-    default_sf = "/root/testdata/sf0.001"
+    # Data dir resolves from the environment, not a baked-in path, so
+    # the CLI works on any machine: CDC_SF_DIR > SPARK_GRAFT_SF_DIR >
+    # the sandbox default (documented in --help).
+    default_sf = os.environ.get(
+        "CDC_SF_DIR",
+        os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"),
+    )
     for cmd, fn in (("run", cmd_run), ("explain", cmd_explain), ("oracle", cmd_oracle)):
         sp = sub.add_parser(cmd)
         sp.add_argument("name")
-        sp.add_argument("--sf-dir", default=default_sf)
+        sp.add_argument(
+            "--sf-dir",
+            default=default_sf,
+            help=f"parquet table dir (env CDC_SF_DIR/SPARK_GRAFT_SF_DIR; default {default_sf})",
+        )
         if cmd == "run":
             sp.add_argument("--limit", type=int, default=20)
         sp.set_defaults(fn=fn)

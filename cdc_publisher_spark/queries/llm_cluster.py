@@ -72,7 +72,7 @@ def q_k21_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
         sh AS (
             SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
-            FROM w CROSS JOIN generate_series(1, 4096) g(i)
+            FROM w CROSS JOIN generate_series(1, 100000) g(i)
             WHERE i + 2 <= len(ws)
         ),
         sz AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),

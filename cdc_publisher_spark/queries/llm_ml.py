@@ -72,7 +72,7 @@ PARA_WIN = 8
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         el AS (
             SELECT vec_id, i, v[i] AS x
-            FROM e CROSS JOIN generate_series(1, 4096) g(i)
+            FROM e CROSS JOIN generate_series(1, 100000) g(i)
             WHERE i <= len(v)
         ),
         dv AS (
@@ -366,7 +366,7 @@ def q_k48_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         el AS (
             SELECT vec_id, v[i] AS x
-            FROM e CROSS JOIN generate_series(1, 4096) g(i)
+            FROM e CROSS JOIN generate_series(1, 100000) g(i)
             WHERE i <= len(v)
         ),
         s AS (
@@ -466,7 +466,7 @@ def q_k49_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs AS (
             SELECT substr(word, i, 1) AS left_sym,
                    substr(word, i + 1, 1) AS right_sym
-            FROM w CROSS JOIN generate_series(1, 4096) g(i)
+            FROM w CROSS JOIN generate_series(1, 100000) g(i)
             WHERE len(word) >= 2 AND i <= len(word) - 1
         ),
         pc AS (
@@ -528,7 +528,7 @@ def q_k50_bpe_merge_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH ws AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         tok AS (
             SELECT doc_id, i - 1 AS pos, toks[i] AS w
-            FROM ws CROSS JOIN generate_series(1, 4096) g(i)
+            FROM ws CROSS JOIN generate_series(1, 100000) g(i)
             WHERE i <= len(toks)
         ),
         win AS (
@@ -777,9 +777,12 @@ def q_k59_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_words").cast("long").alias("total_words"),
-        F.bool_and("rt").alias("roundtrip_ok"),
-        F.bool_and(
-            (F.col("n_tokens") >= F.col("n_words_enc"))
-            & (F.col("n_tokens") <= F.col("n_chars"))
+        F.coalesce(F.bool_and("rt"), F.lit(True)).alias("roundtrip_ok"),
+        F.coalesce(
+            F.bool_and(
+                (F.col("n_tokens") >= F.col("n_words_enc"))
+                & (F.col("n_tokens") <= F.col("n_chars"))
+            ),
+            F.lit(True),
         ).alias("tokens_within_bounds"),
     )

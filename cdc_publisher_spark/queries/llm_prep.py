@@ -108,7 +108,7 @@ def q_k23_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
         st AS (
             SELECT doc_id, ws, i AS start
-            FROM w CROSS JOIN generate_series(0, 4096, 48) g(i)
+            FROM w CROSS JOIN generate_series(0, 100000, 48) g(i)
             WHERE i < len(ws)
         ),
         ch AS (
@@ -142,7 +142,7 @@ def q_k24_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
         sh AS (
             SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
-            FROM w CROSS JOIN generate_series(1, 4096) g(i)
+            FROM w CROSS JOIN generate_series(1, 100000) g(i)
             WHERE i + 2 <= len(ws)
         ),
         sz AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
@@ -226,7 +226,7 @@ def q_k25_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
         st AS (
             SELECT doc_id, ws, i AS start
-            FROM w CROSS JOIN generate_series(0, 4096, 32) g(i)
+            FROM w CROSS JOIN generate_series(0, 100000, 32) g(i)
             WHERE i < len(ws)
         ),
         ch AS (
@@ -284,7 +284,7 @@ def q_k29_chunk_dup_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
         w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
         sh3 AS (
             SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
-            FROM w CROSS JOIN generate_series(1, 4096) g(i)
+            FROM w CROSS JOIN generate_series(1, 100000) g(i)
             WHERE i + 2 <= len(ws)
         ),
         sz AS (SELECT doc_id, COUNT(*) n FROM sh3 GROUP BY doc_id),
@@ -309,7 +309,7 @@ def q_k29_chunk_dup_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT DISTINCT doc_id,
                    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
                          || ws[i+3] || ' ' || ws[i+4] AS s
-            FROM w CROSS JOIN generate_series(1, 4096) g(i)
+            FROM w CROSS JOIN generate_series(1, 100000) g(i)
             WHERE i + 4 <= len(ws)
         ),
         contaminated AS (

@@ -40,7 +40,7 @@ from cdc_publisher_spark.tables import load
         ),
         bi0 AS (
             SELECT doc_id, ws[i] || ' ' || ws[i+1] AS s
-            FROM w CROSS JOIN generate_series(1, 4096) g(i)
+            FROM w CROSS JOIN generate_series(1, 100000) g(i)
             WHERE i + 1 <= len(ws)
         ),
         bi AS (
@@ -51,7 +51,7 @@ from cdc_publisher_spark.tables import load
         ),
         tri0 AS (
             SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
-            FROM w CROSS JOIN generate_series(1, 4096) g(i)
+            FROM w CROSS JOIN generate_series(1, 100000) g(i)
             WHERE i + 2 <= len(ws)
         ),
         tri AS (
@@ -105,7 +105,7 @@ def q_k18_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT DISTINCT doc_id,
                    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
                          || ws[i+3] || ' ' || ws[i+4] AS s
-            FROM w CROSS JOIN generate_series(1, 4096) g(i)
+            FROM w CROSS JOIN generate_series(1, 100000) g(i)
             WHERE i + 4 <= len(ws)
         ),
         ev AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20)

@@ -346,7 +346,7 @@ FUZZY_SIM = 0.8
         WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
         sh AS (
             SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
-            FROM w CROSS JOIN generate_series(1, 4096) g(i)
+            FROM w CROSS JOIN generate_series(1, 100000) g(i)
             WHERE i + 2 <= len(ws)
         ),
         cand AS (
@@ -688,7 +688,7 @@ LEAK_GRAM = 5
                    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
                          || ' ' || ws[i+4] AS g
             FROM (SELECT doc_id, is_test, string_split(text, ' ') ws FROM drawn)
-            CROSS JOIN generate_series(1, 4096) s(i)
+            CROSS JOIN generate_series(1, 100000) s(i)
             WHERE i + {LEAK_GRAM - 1} <= len(ws)
         ),
         test_grams AS (SELECT DISTINCT g FROM grams WHERE is_test),

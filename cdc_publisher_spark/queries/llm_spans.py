@@ -47,13 +47,13 @@ _MIN_COUNT = 3
         WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
         tok AS (
             SELECT doc_id, i AS pos, ws[i] AS w
-            FROM w CROSS JOIN generate_series(1, 4096) g(i)
+            FROM w CROSS JOIN generate_series(1, 100000) g(i)
             WHERE i <= len(ws)
         ),
         gr AS (
             SELECT doc_id, i AS pos,
                    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS g
-            FROM w CROSS JOIN generate_series(1, 4096) g(i)
+            FROM w CROSS JOIN generate_series(1, 100000) g(i)
             WHERE i + {_N - 1} <= len(ws)
         ),
         freq AS (SELECT g FROM gr GROUP BY g HAVING COUNT(*) >= {_MIN_COUNT}),

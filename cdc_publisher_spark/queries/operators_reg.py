@@ -33,7 +33,7 @@ from cdc_publisher_spark.tables import load
         WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
         sh AS (
             SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
-            FROM w CROSS JOIN generate_series(1, 4096) g(i)
+            FROM w CROSS JOIN generate_series(1, 100000) g(i)
             WHERE i + 2 <= len(ws)
         ),
         sz AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
@@ -73,7 +73,7 @@ def q_k3_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
         sh AS (
             SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
-            FROM w CROSS JOIN generate_series(1, 4096) g(i)
+            FROM w CROSS JOIN generate_series(1, 100000) g(i)
             WHERE i + 2 <= len(ws)
         ),
         sz AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
@@ -371,7 +371,9 @@ def q_k55_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(
             F.broadcast(
                 per_text.agg(
-                    F.bool_and(F.col("n_hashes") == 1).alias("exact_dupes_same_hash")
+                    F.coalesce(
+                        F.bool_and(F.col("n_hashes") == 1), F.lit(True)
+                    ).alias("exact_dupes_same_hash")
                 )
             )
         )
