@@ -18,11 +18,31 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: Per-query sample count; the reported figure is the MEDIAN. This box
+#: has known 1.3-5x timing noise when anything else runs (and residual
+#: jitter even solo), so a single sample whipsaws round-over-round
+#: comparisons — the median of 3 is stable against one bad sample.
+BENCH_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+
+def _median_time(run, runs: int = BENCH_RUNS) -> float:
+    """Median wall-clock of ``runs`` invocations of ``run()``."""
+    return statistics.median(
+        [_timed(run) for _ in range(runs)]
+    )
+
+
+def _timed(run) -> float:
+    t0 = time.perf_counter()
+    run()
+    return time.perf_counter() - t0
 
 
 def main() -> None:
@@ -49,10 +69,19 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
     for name in sorted(specs):
-        df = specs[name].spark(spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # plan build stays outside the timer (same contract as before);
+        # each sample rebuilds so per-run setup (fits, broadcasts) is
+        # charged identically to every sample
+        timings[name] = round(
+            _median_time(
+                lambda: specs[name]
+                .spark(spark, sf_dir)
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            ),
+            3,
+        )
 
     streaming_rps, cdc_metrics = _bench_streaming(spark, sf_dir)
 
@@ -64,6 +93,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": BENCH_RUNS,
+                "agg": "median",
                 "sf": float(sf),
                 "streaming_rows_per_sec": streaming_rps,
                 # the reference's four instrumented metrics (BASELINE.md):
@@ -211,15 +242,21 @@ def write_scaling(path: str = "SCALING.md") -> None:
     table: dict[str, dict[str, float]] = {n: {} for n in reps}
     for s in sfs:
         for name in reps:
-            t0 = time.perf_counter()
-            specs[name].spark(spark, f"/root/testdata/sf{s}").write.format(
-                "noop"
-            ).mode("overwrite").save()
-            table[name][s] = round(time.perf_counter() - t0, 3)
+            table[name][s] = round(
+                _median_time(
+                    lambda: specs[name]
+                    .spark(spark, f"/root/testdata/sf{s}")
+                    .write.format("noop")
+                    .mode("overwrite")
+                    .save()
+                ),
+                3,
+            )
     with open(path, "w") as fh:
         fh.write("# SCALING — wall clock vs scale factor (local[32])\n\n")
         fh.write(
-            "Generated by `python bench.py --scaling`. Each sf step is 10× "
+            f"Generated by `python bench.py --scaling` (median of "
+            f"{BENCH_RUNS} runs per cell). Each sf step is 10× "
             "the data; the `x(a->b)` columns are the wall-clock ratios "
             "across steps. Sub-10× = fixed overheads still dominate "
             "(headroom); ~10× = linear; super-linear would be a "
