@@ -134,7 +134,8 @@ def cosine_pairs_exact(
     ``accel='blas'`` (default) mines candidates with an Arrow-batched
     numpy block matmul over ``mapInPandas`` — each corpus partition ×
     a closure-shipped tile of at most ``tile_rows`` vectors, the
-    textbook BLAS tiling — with a 1e-9 guard band, then recomputes the
+    textbook BLAS tiling — float32 sgemm under a 1e-3 guard band
+    (recall-only: candidates are nominated wide), then recomputes the
     cosine of the surviving handful of pairs with the same
     sequential-fold expression the DuckDB oracle uses, so the output
     stays bit-identical to ``accel='hof'`` (the pure-Catalyst
@@ -195,7 +196,16 @@ def _tile_miner(tile_ids: np.ndarray, tile_mat: np.ndarray, guard: float):
     Built by a factory so each tile's arrays bind by value and the
     closure pickles standalone (the driver contract runs sessions that
     cannot import this package on executors).
+
+    The mine runs in FLOAT32 (the source column is array<float>, so
+    nothing real is lost): half the closure bytes on the wire, sgemm
+    instead of dgemm. Candidates only need RECALL — the caller
+    re-scores every candidate with the exact fold expression and
+    re-filters at the true threshold — so the guard band below absorbs
+    float32 rounding (~1e-6 for 64-dim unit-scale dots) with orders of
+    magnitude to spare.
     """
+    tile_mat = np.ascontiguousarray(tile_mat, dtype=np.float32)
     tile_norms = np.linalg.norm(tile_mat, axis=1)
 
     def gen(batches):
@@ -204,7 +214,7 @@ def _tile_miner(tile_ids: np.ndarray, tile_mat: np.ndarray, guard: float):
 
         for part in batches:
             ids = _np.asarray(part["i"].to_numpy(), dtype=_np.int64)
-            A = _np.array([_np.asarray(v, dtype=_np.float64) for v in part["v"]])
+            A = _np.array([_np.asarray(v, dtype=_np.float32) for v in part["v"]])
             if len(A) == 0:
                 continue
             cos = (A @ tile_mat.T) / _np.outer(_np.linalg.norm(A, axis=1), tile_norms)
@@ -255,7 +265,10 @@ def _blas_candidate_pairs(
         from cdc_publisher_spark.registry import track_persist
 
         v = track_persist(v)
-    guard = threshold - 1e-9
+    # float32 mine (see _tile_miner): 1e-3 band >> f32 rounding, and
+    # the exact re-score re-filters at the true threshold, so a wider
+    # band costs only a few extra candidates, never a wrong pair.
+    guard = threshold - 1e-3
     parts: list[DataFrame] = []
     for t in range(n_tiles):
         if n_tiles == 1:
@@ -533,7 +546,7 @@ def bipartite_cosine_pairs(
     The block side (a benchmark suite: tiny by nature) ships inside a
     mapInPandas closure; each corpus partition does ONE numpy matmul
     against it — a single corpus pass, no shuffle, no join. Survivors
-    of the 1e-9 guard band get their cosine recomputed with the same
+    of the float32 1e-3 guard band get their cosine recomputed with the same
     sequential-fold expression the DuckDB oracle uses, so outputs are
     bit-identical to a per-pair evaluation (the matmul only nominates).
     """
@@ -543,9 +556,12 @@ def bipartite_cosine_pairs(
             [], "bench_id bigint, train_id bigint, cosine double"
         )
     b_ids = np.asarray(pdf["b"].to_numpy(), dtype=np.int64)
-    b_mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+    # float32 mine, wide guard: same recall-only contract as
+    # _tile_miner — the exact fold re-score below re-filters at the
+    # true threshold (source column is array<float>, f32 loses nothing)
+    b_mat = np.array([np.asarray(v, dtype=np.float32) for v in pdf["v"]])
     b_norms = np.linalg.norm(b_mat, axis=1)
-    guard = threshold - 1e-9
+    guard = threshold - 1e-3
 
     def gen(batches):
         import numpy as _np
@@ -553,7 +569,7 @@ def bipartite_cosine_pairs(
 
         for part in batches:
             ids = _np.asarray(part["i"].to_numpy(), dtype=_np.int64)
-            A = _np.array([_np.asarray(v, dtype=_np.float64) for v in part["v"]])
+            A = _np.array([_np.asarray(v, dtype=_np.float32) for v in part["v"]])
             if len(A) == 0:
                 continue
             cos = (A @ b_mat.T) / _np.outer(_np.linalg.norm(A, axis=1), b_norms)
