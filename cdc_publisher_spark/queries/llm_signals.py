@@ -173,9 +173,8 @@ def q_k67_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_k68_feature_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     tok = docs.select(
-        "doc_id",
-        _md5_bucket(F.explode(words(F.col("text"))), "fh", FHASH_BUCKETS).alias("b"),
-    )
+        "doc_id", F.explode(words(F.col("text"))).alias("w")
+    ).select("doc_id", _md5_bucket(F.col("w"), "fh", FHASH_BUCKETS).alias("b"))
     tf = tok.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
     nrm = tf.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("l2")
