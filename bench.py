@@ -32,6 +32,24 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BENCH_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
+def _session_gc(spark) -> None:
+    """Force a driver JVM GC so the ContextCleaner reclaims the
+    broadcasts/shuffle state accumulated by earlier queries.
+
+    On local[*] the driver IS the executor; ContextCleaner frees
+    accumulated shuffle files and torn-down broadcasts only when driver
+    GC collects their references, and ``spark.cleaner.periodicGC.
+    interval`` defaults to 30 min — longer than this whole bench. The
+    round-5 solo run showed the effect: late-alphabet queries (q_k47,
+    q_k54) ran 1.5-3.7x their fresh-session times with all 3 medians
+    slow, and a fresh session reproduced none of it. One System.gc()
+    between timed queries restores run-position independence."""
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass  # bench must never fail on a cleanup nicety
+
+
 def _median_time(build, runs: int = BENCH_RUNS) -> float:
     """Median wall-clock of ``runs`` noop-sink executions of the
     DataFrame ``build()`` returns.
@@ -58,7 +76,14 @@ def main() -> None:
     from cdc_publisher_spark.registry import all_specs
     from cdc_publisher_spark.session import get_session
 
-    spark = get_session(app_name="cdc_publisher_spark_bench")
+    spark = get_session(
+        app_name="cdc_publisher_spark_bench",
+        # Long-lived measurement session: let the ContextCleaner actually
+        # run (default 30min interval never fires inside one bench) so a
+        # query's timing doesn't depend on how much shuffle/broadcast
+        # debris its predecessors left. Belt to _session_gc's suspenders.
+        extra_confs={"spark.cleaner.periodicGC.interval": "1min"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.ui.explainMode", "simple")
 
@@ -75,10 +100,12 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
     for name in sorted(specs):
+        _session_gc(spark)
         timings[name] = round(
             _median_time(lambda: specs[name].spark(spark, sf_dir)), 3
         )
 
+    _session_gc(spark)
     streaming_rps, cdc_metrics = _bench_streaming(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
@@ -221,7 +248,10 @@ def write_scaling(path: str = "SCALING.md") -> None:
     from cdc_publisher_spark.registry import all_specs
     from cdc_publisher_spark.session import get_session
 
-    spark = get_session(app_name="cdc_publisher_spark_scaling")
+    spark = get_session(
+        app_name="cdc_publisher_spark_scaling",
+        extra_confs={"spark.cleaner.periodicGC.interval": "1min"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_specs()
     # the FULL headline set (bench=True), so every benched shape —
@@ -238,6 +268,7 @@ def write_scaling(path: str = "SCALING.md") -> None:
     table: dict[str, dict[str, float]] = {n: {} for n in reps}
     for s in sfs:
         for name in reps:
+            _session_gc(spark)
             table[name][s] = round(
                 _median_time(
                     lambda: specs[name].spark(spark, f"/root/testdata/sf{s}")

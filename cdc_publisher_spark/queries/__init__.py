@@ -10,6 +10,7 @@ from cdc_publisher_spark.queries import (  # noqa: F401
     filters,
     joins,
     llm,
+    llm_audit,
     llm_cluster,
     llm_ml,
     llm_prep,

@@ -1,0 +1,209 @@
+"""Family K round-5 extension: training-data audit operators.
+
+- q_k73 kNN label purity (label-noise audit): for a deterministic
+  bounded sample of query vectors, the fraction of each vector's
+  5 exact nearest cosine neighbors sharing its label, aggregated per
+  label. Low purity for a label = mislabeled or heterogeneous slice —
+  the standard embedding-space QA screen run before a labeled corpus
+  is trusted for training (the kNN agreement statistic behind
+  Confident Learning-style audits, Northcutt et al. 2021).
+- q_k74 language confusion matrix: declared ``lang`` vs the q_k47
+  closed-form Naive Bayes prediction, as (true, pred, count, frac)
+  cells. The confusion structure (which languages absorb which) is
+  what sets langid keep/drop thresholds in a cleaning pipeline;
+  q_k47 emits the per-doc verdicts, this is the corpus-level audit.
+
+Scale shape:
+
+- q_k73's query block is hard-bounded: ORDER BY md5 LIMIT 100 is a
+  TakeOrderedAndProject (no global sort materialization), and only
+  those 100 rows broadcast. The corpus side is one scan; per-query
+  ranking windows partition on query_id (100 partitions of corpus
+  cardinality each — at 1000 executors this is the standard bounded
+  probe-set brute-force audit, O(|Q|·n·d) spread across the cluster,
+  |Q| fixed at any corpus size). The k-NN *graph* over ALL vectors is
+  deliberately not computed here — that is q_k21/q_k35 territory.
+- q_k74 adds two fixed-width aggregations over q_k47's output
+  (cells are at most |langs|² rows; totals broadcast back).
+
+Float canonicalization per registry.py rules: purity/frac are single
+divisions of exact integer aggregates (no float accumulation), so
+ROUND(x, 4) is bit-stable cross-engine; neighbor ranking orders by
+the sequential-fold cosine both engines compute identically from the
+same float32 payloads (q_k6 precedent).
+
+Reference parity: none of this exists in the reference (a CDC
+microservice, /root/reference/src/cdc_publisher/core.clj:1-22); both
+are declared LLM-data extension surface (SURVEY.md §2.2 K-73/K-74).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from cdc_publisher_spark.functions import vectors as VX
+from cdc_publisher_spark.queries.llm_ml import K47_ORACLE, q_k47_naive_bayes_langid
+from cdc_publisher_spark.registry import register
+from cdc_publisher_spark.tables import load
+
+#: q_k73 probe-set size — FIXED at any corpus scale (the whole point:
+#: the audit cost is O(KNN_PROBES · n), never O(n²)).
+KNN_PROBES = 100
+#: q_k73 neighbors inspected per probe.
+KNN_K = 5
+
+
+# --------------------------------------------------------------------------
+# q_k73 — kNN label purity (label-noise audit)
+# --------------------------------------------------------------------------
+@register(
+    "q_k73_knn_label_purity",
+    family="K",
+    doc="K-73 kNN label purity: md5-drawn 100-vector probe set, exact "
+    "top-5 cosine neighbors from the full corpus (self excluded), "
+    "per-label share of neighbors agreeing with the probe's label. "
+    "Probe block is ORDER BY md5 LIMIT n (TakeOrdered, bounded at any "
+    "scale) and broadcasts; ranking windows partition per probe. "
+    "purity = same_sum/(5·n_probes) — one division of exact integer "
+    "sums, bit-stable at 4dp.",
+    oracle=f"""
+        WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] e FROM embeddings),
+        q AS (
+            SELECT * FROM v
+            ORDER BY md5('knnq' || vec_id), vec_id
+            LIMIT {KNN_PROBES}
+        ),
+        scored AS (
+            SELECT q.vec_id AS qid, q.label AS qlbl, c.label AS clbl,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_dot_product(q.e, c.e)
+                                / (sqrt(list_dot_product(q.e, q.e))
+                                   * sqrt(list_dot_product(c.e, c.e))) DESC,
+                                c.vec_id) AS rk
+            FROM q JOIN v c ON c.vec_id <> q.vec_id
+        ),
+        perq AS (
+            SELECT qid, qlbl,
+                   SUM(CASE WHEN clbl = qlbl THEN 1 ELSE 0 END) AS same
+            FROM scored WHERE rk <= {KNN_K}
+            GROUP BY qid, qlbl
+        )
+        SELECT CAST(qlbl AS BIGINT) AS label,
+               CAST(COUNT(*) AS BIGINT) AS n_probes,
+               CAST(SUM(same) AS BIGINT) AS same_sum,
+               ROUND(SUM(same) / ({KNN_K}.0 * COUNT(*)), 4) AS purity
+        FROM perq
+        GROUP BY qlbl
+        ORDER BY label
+    """,
+)
+def q_k73_knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    probes = (
+        e.select("vec_id", "label", "embedding")
+        .orderBy(
+            F.md5(F.concat(F.lit("knnq"), F.col("vec_id").cast("string"))),
+            "vec_id",
+        )
+        .limit(KNN_PROBES)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("qlbl"),
+            F.col("embedding").alias("qv"),
+            VX.l2_norm(F.col("embedding")).alias("qn"),
+        )
+    )
+    cand = e.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("clbl"),
+        F.col("embedding").alias("cv"),
+        VX.l2_norm(F.col("embedding")).alias("cn"),
+    )
+    scored = (
+        cand.crossJoin(F.broadcast(probes))
+        .filter(F.col("cand_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlbl",
+            "clbl",
+            "cand_id",
+            VX.cosine_with_norms(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+            ).alias("cos"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    perq = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KNN_K)
+        .groupBy("qid", "qlbl")
+        .agg(F.sum((F.col("clbl") == F.col("qlbl")).cast("int")).alias("same"))
+    )
+    return (
+        perq.groupBy("qlbl")
+        .agg(
+            F.count("*").cast("bigint").alias("n_probes"),
+            F.sum("same").cast("bigint").alias("same_sum"),
+            F.round(
+                F.sum("same") / (F.lit(float(KNN_K)) * F.count("*")), 4
+            ).alias("purity"),
+        )
+        .select(
+            F.col("qlbl").cast("bigint").alias("label"),
+            "n_probes",
+            "same_sum",
+            "purity",
+        )
+        .orderBy("label")
+    )
+
+
+# --------------------------------------------------------------------------
+# q_k74 — language confusion matrix over the q_k47 classifier
+# --------------------------------------------------------------------------
+@register(
+    "q_k74_lang_confusion",
+    family="K",
+    doc="K-74 language confusion matrix: q_k47's per-doc Naive Bayes "
+    "verdicts aggregated to (true_lang, pred_lang) cells with row-"
+    "normalized fractions (per-true-lang recall on the diagonal). "
+    "Reuses the registered q_k47 callable verbatim — one classifier "
+    "definition, two audits; the only additions are two fixed-width "
+    "aggregations (≤ |langs|² cells) and a broadcast totals join. "
+    "frac = n/total is one division of exact integers, 4dp-stable.",
+    oracle=f"""
+        WITH preds AS (
+            SELECT doc_id, true_lang, pred_lang
+            FROM ({K47_ORACLE}) k47
+        ),
+        cells AS (
+            SELECT true_lang, pred_lang, COUNT(*) AS n
+            FROM preds GROUP BY true_lang, pred_lang
+        ),
+        tot AS (
+            SELECT true_lang, COUNT(*) AS t FROM preds GROUP BY true_lang
+        )
+        SELECT c.true_lang, c.pred_lang, CAST(c.n AS BIGINT) AS n,
+               ROUND(c.n * 1.0 / tot.t, 4) AS frac
+        FROM cells c JOIN tot ON tot.true_lang = c.true_lang
+        ORDER BY c.true_lang, c.pred_lang
+    """,
+)
+def q_k74_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    preds = q_k47_naive_bayes_langid(spark, sf_dir).select(
+        "doc_id", "true_lang", "pred_lang"
+    )
+    cells = preds.groupBy("true_lang", "pred_lang").agg(F.count("*").alias("_n"))
+    tot = preds.groupBy("true_lang").agg(F.count("*").alias("_t"))
+    return (
+        cells.join(F.broadcast(tot), "true_lang")
+        .select(
+            "true_lang",
+            "pred_lang",
+            F.col("_n").cast("bigint").alias("n"),
+            F.round(F.col("_n") * F.lit(1.0) / F.col("_t"), 4).alias("frac"),
+        )
+        .orderBy("true_lang", "pred_lang")
+    )

@@ -141,27 +141,10 @@ def q_k46_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q_k47 — Naive Bayes language classifier (exact, closed-form)
 # --------------------------------------------------------------------------
-@register(
-    "q_k47_naive_bayes_langid",
-    family="K",
-    bench=True,  # heaviest new shape: corpus-explode x langs join
-    doc="Add-1-smoothed multinomial Naive Bayes language classifier, "
-    "trained and scored in one plan: per-(token,lang) counts and "
-    "class priors are closed-form aggregates, so unlike q_k41 the "
-    "whole classifier is exactly SQL-reproducible. Score = ln prior "
-    "+ sum ln P(w|lang); each ln term is 8dp-rounded and DECIMAL-"
-    "summed, and the per-doc argmax orders by the EXACT decimal "
-    "score (desc, lang asc) so ties break identically cross-engine. "
-    "Scale shape: (token,lang) stats and priors are vocab-bounded "
-    "broadcasts; the corpus side is aggregated to per-(doc, term) "
-    "counts BEFORE fanning out by language (sum of c equal decimals "
-    "== c * decimal, exactly), so the lang fan-out and stats join "
-    "run on distinct (doc, term) pairs, not raw token instances — "
-    "several-fold fewer join rows at corpus scale, and the word-"
-    "count / lang-total / vocab stats all derive from that one "
-    "aggregate instead of re-exploding the corpus. No O(rows) "
-    "driver traffic.",
-    oracle="""
+#: q_k47's full oracle SQL, module-level so q_k74's confusion-matrix
+#: oracle (queries/llm_audit.py) can wrap the IDENTICAL per-doc
+#: prediction SQL as a subquery — one classifier definition, two audits.
+K47_ORACLE = """
         WITH tok AS (
             SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
             FROM documents
@@ -206,7 +189,30 @@ def q_k46_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
         WHERE r.rn = 1
         ORDER BY r.doc_id
-    """,
+    """
+
+
+@register(
+    "q_k47_naive_bayes_langid",
+    family="K",
+    bench=True,  # heaviest new shape: corpus-explode x langs join
+    doc="Add-1-smoothed multinomial Naive Bayes language classifier, "
+    "trained and scored in one plan: per-(token,lang) counts and "
+    "class priors are closed-form aggregates, so unlike q_k41 the "
+    "whole classifier is exactly SQL-reproducible. Score = ln prior "
+    "+ sum ln P(w|lang); each ln term is 8dp-rounded and DECIMAL-"
+    "summed, and the per-doc argmax orders by the EXACT decimal "
+    "score (desc, lang asc) so ties break identically cross-engine. "
+    "Scale shape: (token,lang) stats and priors are vocab-bounded "
+    "broadcasts; the corpus side is aggregated to per-(doc, term) "
+    "counts BEFORE fanning out by language (sum of c equal decimals "
+    "== c * decimal, exactly), so the lang fan-out and stats join "
+    "run on distinct (doc, term) pairs, not raw token instances — "
+    "several-fold fewer join rows at corpus scale, and the word-"
+    "count / lang-total / vocab stats all derive from that one "
+    "aggregate instead of re-exploding the corpus. No O(rows) "
+    "driver traffic.",
+    oracle=K47_ORACLE,
 )
 def q_k47_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
