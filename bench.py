@@ -284,6 +284,17 @@ def write_scaling(path: str = "SCALING.md") -> None:
             "across steps. Sub-10× = fixed overheads still dominate "
             "(headroom); ~10× = linear; super-linear would be a "
             "scale-killer and fails review.\n\n"
+            "Measurement note (round-5 root cause): timings from long "
+            "multi-query sessions previously drifted 1.5-3.7× upward "
+            "for late-running queries (the BENCH_r04 q_k21/q_k35 "
+            "\"regressions\" — neither reproduced in a fresh session). "
+            "Cause: on local[*] the ContextCleaner reclaims finished "
+            "queries' shuffle files and broadcasts only on driver GC, "
+            "and spark.cleaner.periodicGC.interval defaults to 30 min — "
+            "longer than a whole bench run — so debris accumulates and "
+            "taxes whoever runs last. The harness now forces a JVM GC "
+            "between timed queries and pins periodicGC.interval=1min, "
+            "making timings run-position-independent.\n\n"
         )
         hdr = " | ".join(f"sf{s}" for s in sfs)
         ratios_hdr = " | ".join(f"x({a}->{b})" for a, b in zip(sfs, sfs[1:]))

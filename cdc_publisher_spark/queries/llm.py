@@ -47,15 +47,10 @@ def q_k1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_k2_jaccard_neardup",
-    family="K",
-    bench=True,
-    doc="K-2 exact near-dup: trigram-shingle Jaccard >= 0.5 pairs via "
-    "shingle-explode + self-equi-join on shingle (no doc×doc cross "
-    "product — cost is O(co-occurring shingles)). Ground truth for the "
-    "MinHash operator.",
-    oracle="""
+#: q_k2's full oracle SQL, module-level so q_k75's cross-source
+#: duplication matrix (queries/llm_audit.py) can wrap the IDENTICAL
+#: pair-mining SQL as a subquery — one dedup definition, two audits.
+K2_ORACLE = """
         WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
         sh AS (
             SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
@@ -75,7 +70,18 @@ def q_k1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN sz s2 ON s2.doc_id = d2
         WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.5
         ORDER BY d1, d2
-    """,
+    """
+
+
+@register(
+    "q_k2_jaccard_neardup",
+    family="K",
+    bench=True,
+    doc="K-2 exact near-dup: trigram-shingle Jaccard >= 0.5 pairs via "
+    "shingle-explode + self-equi-join on shingle (no doc×doc cross "
+    "product — cost is O(co-occurring shingles)). Ground truth for the "
+    "MinHash operator.",
+    oracle=K2_ORACLE,
 )
 def q_k2_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")

@@ -12,6 +12,14 @@
   cells. The confusion structure (which languages absorb which) is
   what sets langid keep/drop thresholds in a cleaning pipeline;
   q_k47 emits the per-doc verdicts, this is the corpus-level audit.
+- q_k75 cross-source duplication matrix: q_k2's exact near-dup pairs
+  rolled up to unordered (source, source) cells with exact
+  possible-pair denominators — the provenance audit that decides
+  which feeds to dedup against which.
+- q_k76 cleaning-yield funnel: per-source doc/token survival through
+  exact dedup (q_k1 keeper rule) × the Gopher screens (q_k71) — the
+  "what did cleaning cost" report a curation pipeline publishes
+  before training.
 
 Scale shape:
 
@@ -43,7 +51,9 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from cdc_publisher_spark.functions import vectors as VX
+from cdc_publisher_spark.queries.llm import K2_ORACLE, q_k2_jaccard_neardup
 from cdc_publisher_spark.queries.llm_ml import K47_ORACLE, q_k47_naive_bayes_langid
+from cdc_publisher_spark.queries.llm_signals import K71_ORACLE, q_k71_gopher_rules
 from cdc_publisher_spark.registry import register
 from cdc_publisher_spark.tables import load
 
@@ -206,4 +216,176 @@ def q_k74_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("_n") * F.lit(1.0) / F.col("_t"), 4).alias("frac"),
         )
         .orderBy("true_lang", "pred_lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# q_k75 — cross-source duplication matrix over the q_k2 pair miner
+# --------------------------------------------------------------------------
+@register(
+    "q_k75_source_dup_matrix",
+    family="K",
+    doc="K-75 cross-source duplication matrix: q_k2's exact Jaccard>=0.5 "
+    "pairs mapped to unordered (source, source) cells with the pair "
+    "rate against the exact number of possible cross-source pairs — "
+    "the provenance audit (which feeds copy from which) that decides "
+    "source-level dedup order. Adds two broadcast-sized joins (doc -> "
+    "source is a projection of the scan; per-source counts broadcast) "
+    "to the registered pair miner; possible-pair algebra is integer "
+    "(div 2 on an even product), so the rate is one exact division.",
+    oracle=f"""
+        WITH pairs AS (SELECT d1, d2 FROM ({K2_ORACLE}) k2),
+        src AS (SELECT doc_id, source FROM documents),
+        cells AS (
+            SELECT LEAST(a.source, b.source) AS src_a,
+                   GREATEST(a.source, b.source) AS src_b,
+                   COUNT(*) AS n_pairs
+            FROM pairs
+            JOIN src a ON a.doc_id = pairs.d1
+            JOIN src b ON b.doc_id = pairs.d2
+            GROUP BY 1, 2
+        ),
+        counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source)
+        SELECT c.src_a, c.src_b,
+               CAST(c.n_pairs AS BIGINT) AS n_pairs,
+               CAST(CASE WHEN c.src_a = c.src_b
+                         THEN (ca.n * (ca.n - 1)) // 2
+                         ELSE ca.n * cb.n END AS BIGINT) AS possible_pairs,
+               ROUND(c.n_pairs * 1.0
+                     / (CASE WHEN c.src_a = c.src_b
+                             THEN (ca.n * (ca.n - 1)) // 2
+                             ELSE ca.n * cb.n END), 8) AS pair_rate
+        FROM cells c
+        JOIN counts ca ON ca.source = c.src_a
+        JOIN counts cb ON cb.source = c.src_b
+        ORDER BY c.src_a, c.src_b
+    """,
+)
+def q_k75_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = q_k2_jaccard_neardup(spark, sf_dir).select("d1", "d2")
+    src = docs.select("doc_id", "source")
+    tagged = (
+        pairs.join(src.withColumnRenamed("source", "sa"), F.col("d1") == F.col("doc_id"))
+        .drop("doc_id")
+        .join(src.withColumnRenamed("source", "sb"), F.col("d2") == F.col("doc_id"))
+        .drop("doc_id")
+    )
+    cells = (
+        tagged.select(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    counts = docs.groupBy("source").agg(F.count("*").alias("n"))
+    ca = counts.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    possible = F.when(
+        F.col("src_a") == F.col("src_b"),
+        F.expr("na * (na - 1) div 2"),
+    ).otherwise(F.col("na") * F.col("nb"))
+    return (
+        cells.join(F.broadcast(ca), "src_a")
+        .join(F.broadcast(cb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            possible.cast("bigint").alias("possible_pairs"),
+            F.round(F.col("n_pairs") * F.lit(1.0) / possible, 8).alias("pair_rate"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# q_k76 — cleaning-yield funnel report (exact dedup × Gopher screens)
+# --------------------------------------------------------------------------
+@register(
+    "q_k76_cleaning_yield",
+    family="K",
+    bench=True,  # realistic composed workload: dedup agg + rule battery
+    doc="K-76 cleaning-yield funnel: per source, documents and tokens "
+    "surviving (a) q_k1's exact keep-first dedup (keeper = min doc_id "
+    "per md5(text) group), (b) q_k71's conjunctive Gopher keep, and "
+    "(c) both — the 'what did cleaning cost' report every curation "
+    "pipeline publishes before training. All counters are exact "
+    "integer sums; the dedup keeper comes from the same hash-grouped "
+    "aggregate as q_k1 (fixed-width 32-byte shuffle key, no corpus "
+    "window), and the Gopher flags reuse the registered q_k71 "
+    "callable verbatim.",
+    oracle=f"""
+        WITH gp AS (SELECT doc_id, keep FROM ({K71_ORACLE}) k71),
+        keepers AS (
+            SELECT md5(text) AS h, MIN(doc_id) AS keep_id
+            FROM documents GROUP BY md5(text)
+        ),
+        base AS (
+            SELECT d.source, d.doc_id,
+                   len(string_split(d.text, ' ')) AS nt,
+                   (k.keep_id = d.doc_id) AS first_copy,
+                   gp.keep AS quality_keep
+            FROM documents d
+            JOIN keepers k ON k.h = md5(d.text)
+            JOIN gp ON gp.doc_id = d.doc_id
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN first_copy THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_exact_unique,
+               CAST(SUM(CASE WHEN quality_keep THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_quality_keep,
+               CAST(SUM(CASE WHEN first_copy AND quality_keep THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_surviving,
+               CAST(SUM(nt) AS BIGINT) AS tok_total,
+               CAST(SUM(CASE WHEN first_copy AND quality_keep THEN nt ELSE 0 END)
+                    AS BIGINT) AS tok_surviving
+        FROM base
+        GROUP BY source
+        ORDER BY source
+    """,
+)
+def q_k76_cleaning_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_publisher_spark.functions.text import words
+
+    docs = load(spark, sf_dir, "documents")
+    gp = q_k71_gopher_rules(spark, sf_dir).select("doc_id", "keep")
+    keepers = (
+        docs.select(F.md5("text").alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
+    base = (
+        docs.select(
+            "source",
+            "doc_id",
+            F.size(words(F.col("text"))).alias("nt"),
+            F.md5("text").alias("h"),
+        )
+        .join(keepers, "h")
+        .join(gp, "doc_id")
+        .select(
+            "source",
+            "nt",
+            (F.col("keep_id") == F.col("doc_id")).alias("first_copy"),
+            F.col("keep").alias("quality_keep"),
+        )
+    )
+    fc = F.col("first_copy")
+    qk = F.col("quality_keep")
+    return (
+        base.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(fc.cast("int")).cast("bigint").alias("n_exact_unique"),
+            F.sum(qk.cast("int")).cast("bigint").alias("n_quality_keep"),
+            F.sum((fc & qk).cast("int")).cast("bigint").alias("n_surviving"),
+            F.sum("nt").cast("bigint").alias("tok_total"),
+            F.sum(F.when(fc & qk, F.col("nt")).otherwise(0))
+            .cast("bigint")
+            .alias("tok_surviving"),
+        )
+        .orderBy("source")
     )

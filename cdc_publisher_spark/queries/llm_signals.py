@@ -303,18 +303,10 @@ def q_k70_idf_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q_k71 — Gopher quality rule battery
 # --------------------------------------------------------------------------
-@register(
-    "q_k71_gopher_rules",
-    family="K",
-    doc="K-71 Gopher rule battery (Rae 2021 Table A1 shape): word-count "
-    "bounds, mean-word-length window, minimum distinct stopwords, "
-    "type-token floor, top-word repetition cap — per-doc booleans plus "
-    "the conjunctive keep. Pure per-row expressions except the "
-    "top-word count (one (doc, word) groupBy, map-side combined); "
-    "every comparison runs on identical integer-derived doubles in "
-    "both engines so the booleans cannot straddle a boundary "
-    "differently.",
-    oracle=f"""
+#: q_k71's full oracle SQL, module-level so q_k76's cleaning-yield
+#: report (queries/llm_audit.py) can wrap the IDENTICAL rule-battery
+#: SQL as a subquery — one screen definition, two audits.
+K71_ORACLE = f"""
         WITH base AS (
             SELECT doc_id,
                    len(string_split(text, ' ')) AS nw,
@@ -346,7 +338,21 @@ def q_k70_idf_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
                wc_ok AND mwl_ok AND stop_ok AND ttr_ok AND rep_ok AS keep
         FROM flags
         ORDER BY doc_id
-    """,
+    """
+
+
+@register(
+    "q_k71_gopher_rules",
+    family="K",
+    doc="K-71 Gopher rule battery (Rae 2021 Table A1 shape): word-count "
+    "bounds, mean-word-length window, minimum distinct stopwords, "
+    "type-token floor, top-word repetition cap — per-doc booleans plus "
+    "the conjunctive keep. Pure per-row expressions except the "
+    "top-word count (one (doc, word) groupBy, map-side combined); "
+    "every comparison runs on identical integer-derived doubles in "
+    "both engines so the booleans cannot straddle a boundary "
+    "differently.",
+    oracle=K71_ORACLE,
 )
 def q_k71_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
