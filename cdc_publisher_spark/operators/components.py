@@ -66,6 +66,6 @@ def neardup_clusters(
     cc = connected_components(pairs, src=left, dst=right, max_iter=max_iter)
     sizes = cc.groupBy("cluster_id").agg(F.count("*").alias("csize"))
     return (
-        cc.join(F.broadcast(sizes), "cluster_id")
+        cc.join(sizes, "cluster_id")
         .select(F.col("id").alias("doc_id"), "cluster_id", "csize")
     )

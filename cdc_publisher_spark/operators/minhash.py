@@ -111,9 +111,11 @@ def minhash_near_duplicates(
         .groupBy("d1", "d2")
         .agg(F.count("*").alias("i"))
     )
+    # per-doc sizes join deliberately unhinted: AQE broadcasts while it
+    # fits, shuffle-joins at billion-doc scale (forced broadcast = OOM).
     return (
-        inter.join(F.broadcast(sizes).alias("s1"), F.col("d1") == F.col(f"s1.{id_col}"))
-        .join(F.broadcast(sizes).alias("s2"), F.col("d2") == F.col(f"s2.{id_col}"))
+        inter.join(sizes.alias("s1"), F.col("d1") == F.col(f"s1.{id_col}"))
+        .join(sizes.alias("s2"), F.col("d2") == F.col(f"s2.{id_col}"))
         .select(
             "d1",
             "d2",

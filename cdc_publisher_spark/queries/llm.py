@@ -96,9 +96,12 @@ def q_k2_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .agg(F.count("*").alias("i"))
     )
+    # sizes is per-doc (corpus cardinality): no broadcast hint — AQE
+    # broadcasts it while it fits and falls back to a shuffle join at
+    # billion-doc scale, where a forced broadcast would OOM the driver.
     jac = (
-        inter.join(F.broadcast(sizes).alias("s1"), F.col("d1") == F.col("s1.doc_id"))
-        .join(F.broadcast(sizes).alias("s2"), F.col("d2") == F.col("s2.doc_id"))
+        inter.join(sizes.alias("s1"), F.col("d1") == F.col("s1.doc_id"))
+        .join(sizes.alias("s2"), F.col("d2") == F.col("s2.doc_id"))
         .select(
             "d1",
             "d2",

@@ -113,8 +113,8 @@ def q_k22_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("i"))
     )
     pairs = (
-        inter.join(F.broadcast(sizes).alias("s1"), F.col("d1") == F.col("s1.doc_id"))
-        .join(F.broadcast(sizes).alias("s2"), F.col("d2") == F.col("s2.doc_id"))
+        inter.join(sizes.alias("s1"), F.col("d1") == F.col("s1.doc_id"))
+        .join(sizes.alias("s2"), F.col("d2") == F.col("s2.doc_id"))
         .filter(F.col("i") * 1.0 / (F.col("s1.n") + F.col("s2.n") - F.col("i")) >= 0.5)
         .select("d1", "d2")
     )

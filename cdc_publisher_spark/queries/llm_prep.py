@@ -191,8 +191,8 @@ def q_k25_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     near = (
         inter.alias("it")
-        .join(F.broadcast(sizes).alias("sb"), F.col("it.doc_id") == F.col("sb.doc_id"))
-        .join(F.broadcast(sizes).alias("sh2"), F.col("hist_id") == F.col("sh2.doc_id"))
+        .join(sizes.alias("sb"), F.col("it.doc_id") == F.col("sb.doc_id"))
+        .join(sizes.alias("sh2"), F.col("hist_id") == F.col("sh2.doc_id"))
         .filter(F.col("i") * 1.0 / (F.col("sb.n") + F.col("sh2.n") - F.col("i")) >= 0.5)
         .select(F.col("it.doc_id").alias("doc_id"))
         .distinct()
@@ -362,8 +362,8 @@ def q_k30_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("i"))
     )
     pairs = (
-        inter.join(F.broadcast(sizes).alias("s1"), F.col("d1") == F.col("s1.doc_id"))
-        .join(F.broadcast(sizes).alias("s2"), F.col("d2") == F.col("s2.doc_id"))
+        inter.join(sizes.alias("s1"), F.col("d1") == F.col("s1.doc_id"))
+        .join(sizes.alias("s2"), F.col("d2") == F.col("s2.doc_id"))
         .filter(F.col("i") * 1.0 / (F.col("s1.n") + F.col("s2.n") - F.col("i")) >= 0.5)
         .select("d1", "d2")
     )

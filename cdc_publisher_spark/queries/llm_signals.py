@@ -122,14 +122,14 @@ def q_k67_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("i"))
     )
     fwd = inter.join(
-        F.broadcast(sizes).alias("s1"), F.col("d1") == F.col("s1.doc_id")
+        sizes.alias("s1"), F.col("d1") == F.col("s1.doc_id")
     ).select(
         F.col("d1").alias("src_doc"),
         F.col("d2").alias("dst_doc"),
         (F.col("i") * 1.0 / F.col("s1.n")).alias("c"),
     )
     rev = inter.join(
-        F.broadcast(sizes).alias("s2"), F.col("d2") == F.col("s2.doc_id")
+        sizes.alias("s2"), F.col("d2") == F.col("s2.doc_id")
     ).select(
         F.col("d2").alias("src_doc"),
         F.col("d1").alias("dst_doc"),
