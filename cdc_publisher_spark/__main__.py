@@ -12,7 +12,9 @@ is the engine's equivalent surface, thin wrappers over the library:
                             run the CDC file->parquet pipeline (the
                             reference's publish loop; --once drains
                             available input then exits, otherwise runs
-                            until interrupted)
+                            until interrupted; metrics snapshots print
+                            to stderr every --metrics-period seconds,
+                            the reference's 10 s reporter cadence)
 
 Everything routes through the same registry / session / pipeline code
 the tests and the driver use — the CLI adds no second code path.
@@ -85,19 +87,49 @@ def cmd_oracle(args) -> int:
 
 def cmd_serve(args) -> int:
     from cdc_publisher_spark.sources.files import read_dml_stream
+    from cdc_publisher_spark.streaming.metrics import (
+        CdcMetricsListener,
+        MetricsReporter,
+    )
     from cdc_publisher_spark.streaming.pipeline import run_file_to_parquet
 
     spark = _session()
+    listener = CdcMetricsListener()
+    spark.streams.addListener(listener)
     stream = read_dml_stream(spark, args.src, args.max_files_per_trigger)
     q = run_file_to_parquet(stream, args.out, args.checkpoint)
-    if args.once:
-        q.processAllAvailable()
-        q.stop()
-        return 0
+    # the reference publishes its metrics registry every 10 s
+    # (main.clj:45-53); here the sink is stderr JSONL (swap for a
+    # Kafka producer send where a broker exists)
+    reporter = MetricsReporter(
+        listener,
+        lambda line: print(line, file=sys.stderr),
+        period_s=args.metrics_period,
+    )
+    if not args.once:
+        reporter.start()
     try:
+        if args.once:
+            q.processAllAvailable()
+            # listener events arrive on the async listener bus; give the
+            # final batch's progress callback a moment to land so the
+            # one-shot snapshot carries the drain's counters
+            import time as _time
+
+            deadline = _time.monotonic() + 5.0
+            while not listener.latest and _time.monotonic() < deadline:
+                _time.sleep(0.05)
+            q.stop()
+            reporter.publish_once()
+            return 0
         q.awaitTermination()
     except KeyboardInterrupt:
         q.stop()
+    finally:
+        reporter.stop()
+        # detach before the gateway tears down, or the listener-bus
+        # callback thread logs py4j noise at JVM shutdown
+        spark.streams.removeListener(listener)
     return 0
 
 
@@ -132,6 +164,12 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--checkpoint", required=True)
     sp.add_argument("--max-files-per-trigger", type=int, default=None)
     sp.add_argument("--once", action="store_true")
+    sp.add_argument(
+        "--metrics-period",
+        type=float,
+        default=10.0,
+        help="seconds between metrics snapshots on stderr (reference: 10)",
+    )
     sp.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)

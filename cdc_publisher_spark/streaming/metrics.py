@@ -8,18 +8,28 @@ live routes, reported every 10 s (main.clj:45-53). Spark equivalents:
 - a ``StreamingQueryListener`` turns each progress event into the
   reference's metric names, including rows/s (enqueue rate) and batch
   duration (enqueue latency, amortized per micro-batch);
-- the route gauge comes from RouteRegistry.live_count.
+- the route gauge comes from RouteRegistry.live_count;
+- :class:`MetricsReporter` publishes the listener's snapshot on the
+  reference's 10 s cadence to a pluggable sink (the reference wires a
+  Kafka metrics reporter at main.clj:45-53; here the sink is any
+  callable — a Kafka producer send where a broker exists, a JSONL
+  appender in this sandbox).
 """
 
 from __future__ import annotations
 
-from typing import Any
+import json
+import threading
+from typing import Any, Callable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQueryListener
 
 OBSERVATION_NAME = "cdc_metrics"
+
+#: The reference reports its metrics registry every 10 s (main.clj:53).
+DEFAULT_REPORT_PERIOD_S = 10.0
 
 
 def with_wire_metrics(wire_df: DataFrame) -> DataFrame:
@@ -70,3 +80,84 @@ class CdcMetricsListener(StreamingQueryListener):
 
     def onQueryIdle(self, event) -> None:  # noqa: N802
         pass
+
+
+class MetricsReporter:
+    """Periodic metrics publisher — the Spark twin of the reference's
+    ``init-metrics!`` (main.clj:45-53: metrics registry -> Kafka topic
+    via a reporter started with period 10 s).
+
+    Driver-side by design: the metric REGISTRY is driver state (listener
+    snapshots + gauges), so publishing it is a single tiny record per
+    period regardless of cluster size — nothing here touches executors.
+
+    ``publish`` is any callable taking the serialized JSON line; wire it
+    to a KafkaProducer send where a broker exists, or a file appender /
+    log emitter otherwise. ``gauges`` are zero-arg callables sampled at
+    publish time (e.g. RouteRegistry.live_count — the reference's
+    live-routes gauge).
+    """
+
+    def __init__(
+        self,
+        listener: CdcMetricsListener,
+        publish: Callable[[str], None],
+        period_s: float = DEFAULT_REPORT_PERIOD_S,
+        gauges: dict[str, Callable[[], Any]] | None = None,
+    ) -> None:
+        self._listener = listener
+        self._publish = publish
+        self._period = period_s
+        self._gauges = gauges or {}
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    def snapshot(self) -> dict[str, Any]:
+        """One reportable snapshot: per-query latest + running totals +
+        sampled gauges. Public so tests (and one-shot CLI callers) can
+        publish without the timer thread."""
+        return {
+            "latest": dict(self._listener.latest),
+            "totals": dict(self._listener.totals),
+            "gauges": {name: g() for name, g in self._gauges.items()},
+        }
+
+    def publish_once(self) -> str:
+        line = json.dumps(self.snapshot(), sort_keys=True, default=str)
+        self._publish(line)
+        return line
+
+    def start(self) -> "MetricsReporter":
+        if self._thread is not None:
+            raise RuntimeError("reporter already started")
+
+        def loop() -> None:
+            # publish-then-wait mirrors the reference reporter, which
+            # emits an initial report at startup and then every period
+            while not self._stop.is_set():
+                try:
+                    self.publish_once()
+                except Exception:
+                    # a failed publish must never kill the pipeline; the
+                    # next period retries (reference: reporter errors are
+                    # logged, the publisher keeps running)
+                    pass
+                self._stop.wait(self._period)
+
+        self._thread = threading.Thread(
+            target=loop, name="cdc-metrics-reporter", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+            self._thread = None
+
+    def __enter__(self) -> "MetricsReporter":
+        return self.start()
+
+    def __exit__(self, *exc: object) -> None:
+        self.stop()

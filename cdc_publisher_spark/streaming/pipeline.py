@@ -110,8 +110,12 @@ def run_file_to_parquet(
     to the checkpoint after each batch — the reference's
     commit-on-success dequeue contract (protocols/queue.clj:16-29) at
     micro-batch granularity."""
+    from cdc_publisher_spark.streaming.metrics import with_wire_metrics
+
     good, dead = split_wire(raw_stream, dead_topic=dead_topic)
-    wire = good.unionByName(dead)
+    # dead letters carry key=NULL on the wire, so the observed
+    # dequeue/enqueue/malformed counters (M1) ride this union for free
+    wire = with_wire_metrics(good.unionByName(dead))
     return (
         wire.writeStream.format("parquet")
         .option("path", out_dir)

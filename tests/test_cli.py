@@ -54,3 +54,29 @@ def test_cli_serve_once_drains_spool(spark, tmp_path):
     sunk = spark.read.parquet(out)
     assert sunk.count() == 5
     assert set(sunk.columns) >= {"key", "value", "topic"}
+
+
+def test_cli_serve_once_publishes_metrics_snapshot(spark, tmp_path, capsys):
+    """serve --once ends with one metrics snapshot on stderr — the
+    reference's 10 s Kafka metrics reporter (main.clj:45-53), one-shot
+    in drain mode."""
+    src = tmp_path / "src"
+    src.mkdir()
+    row = json.dumps(
+        {"id": {"k": 1}, "type": "insert", "table": "t",
+         "data": {"v": 1}, "info": {"user": "u", "timestamp": "2024-01-01T00:00:00"}},
+        separators=(",", ":"),
+    )
+    (src / "a.jsonl").write_text(row)
+    out, ckpt = str(tmp_path / "m_out"), str(tmp_path / "m_ckpt")
+    assert main(["serve", "--src", str(src), "--out", out,
+                 "--checkpoint", ckpt, "--once"]) == 0
+    err = capsys.readouterr().err
+    snaps = [json.loads(l[l.index("{"):]) for l in err.splitlines() if "{\"" in l]
+    assert snaps, f"no metrics snapshot on stderr: {err!r}"
+    assert set(snaps[-1]) == {"latest", "totals", "gauges"}
+    # the drain's counters made it into the one-shot snapshot
+    latest = snaps[-1]["latest"]
+    assert latest, "snapshot published before any progress event landed"
+    (m,) = latest.values()
+    assert m.get("dequeue_count") == 1

@@ -152,3 +152,71 @@ def test_live_broker_write_then_snapshot(spark):
     # partition layout (at least one partition holds >= 2 records only
     # if keys collide; >= 0 always; the k1 pair shares a partition).
     assert token.collect()[0]["resume_offset"] >= 1
+
+
+# ---------------------------------------------------------------------------
+# MetricsReporter — the reference publishes its metrics registry to a
+# Kafka topic every 10 s (main.clj:45-53). The Spark twin samples the
+# listener + gauges on the same cadence into a pluggable sink. Pure
+# driver-side: no Spark session needed to test the contract.
+# ---------------------------------------------------------------------------
+from cdc_publisher_spark.streaming.metrics import CdcMetricsListener, MetricsReporter
+
+
+def _primed_listener():
+    lst = CdcMetricsListener()
+    lst.latest["wire"] = {"dequeue_count": 7, "enqueue_count": 6, "batch_id": 3}
+    lst.totals["wire"] = {"dequeue_count": 120, "enqueue_count": 118}
+    return lst
+
+
+def test_metrics_reporter_snapshot_shape_and_gauges():
+    lines = []
+    rep = MetricsReporter(
+        _primed_listener(), lines.append, gauges={"active_routes": lambda: 4}
+    )
+    line = rep.publish_once()
+    snap = json.loads(line)
+    assert snap["latest"]["wire"]["dequeue_count"] == 7
+    assert snap["totals"]["wire"]["enqueue_count"] == 118
+    assert snap["gauges"]["active_routes"] == 4
+    assert lines == [line]
+
+
+def test_metrics_reporter_periodic_publish_and_stop():
+    lines = []
+    rep = MetricsReporter(_primed_listener(), lines.append, period_s=0.02)
+    with rep:
+        import time as _t
+
+        deadline = _t.monotonic() + 2.0
+        while len(lines) < 3 and _t.monotonic() < deadline:
+            _t.sleep(0.01)
+    assert len(lines) >= 3  # initial publish + >=2 periods
+    n_after_stop = len(lines)
+    import time as _t
+
+    _t.sleep(0.08)
+    assert len(lines) == n_after_stop  # stop() really stops the timer
+    # every published line is valid JSON with the stable top-level keys
+    for ln in lines:
+        assert set(json.loads(ln)) == {"latest", "totals", "gauges"}
+
+
+def test_metrics_reporter_survives_publish_errors():
+    seen = []
+
+    def flaky(line: str) -> None:
+        if len(seen) == 0:
+            seen.append("boom")
+            raise RuntimeError("sink down")
+        seen.append(line)
+
+    rep = MetricsReporter(_primed_listener(), flaky, period_s=0.02)
+    with rep:
+        import time as _t
+
+        deadline = _t.monotonic() + 2.0
+        while len(seen) < 2 and _t.monotonic() < deadline:
+            _t.sleep(0.01)
+    assert len(seen) >= 2  # first publish raised, loop kept going
