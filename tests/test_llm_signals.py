@@ -1,0 +1,144 @@
+"""Semantic tests for the round-5 corpus-signal and audit operators
+(queries/llm_signals.py, queries/llm_audit.py). Cross-engine exactness
+is covered by test_oracle_queries.py; these pin the *meaning* on
+crafted edge cases: containment must catch the subset pair Jaccard
+misses, novelty must hit 0 on a verbatim copy, entropy must hit its
+closed-form extremes, kNN purity must be 1.0 on clean clusters, and
+the cleaning funnel must obey its own algebra."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+
+from cdc_publisher_spark.queries.llm import q_k2_jaccard_neardup
+from cdc_publisher_spark.queries.llm_audit import (
+    q_k73_knn_label_purity,
+    q_k76_cleaning_yield,
+)
+from cdc_publisher_spark.queries.llm_signals import (
+    q_k67_containment_neardup,
+    q_k69_ngram_novelty,
+    q_k72_token_entropy,
+)
+
+_DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _write_docs(spark, d, rows):
+    df = spark.createDataFrame(rows, _DOC_SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(d), "documents.parquet")
+    )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def subset_corpus_dir(spark, tmp_path_factory):
+    """doc 1 is a verbatim prefix of doc 2 (one third of it): the
+    classic quote/subset duplication shape."""
+    short = " ".join(f"w{i}" for i in range(12))
+    long = " ".join(f"w{i}" for i in range(12)) + " " + " ".join(
+        f"x{i}" for i in range(24)
+    )
+    rows = [
+        (1, short, "en", "srcA", len(short)),
+        (2, long, "en", "srcB", len(long)),
+    ]
+    return _write_docs(spark, tmp_path_factory.mktemp("subset"), rows)
+
+
+def test_containment_catches_subset_pair_jaccard_misses(spark, subset_corpus_dir):
+    jac = q_k2_jaccard_neardup(spark, subset_corpus_dir).collect()
+    assert jac == []  # 10 shared trigrams / 44 total < 0.5 — invisible to K-2
+    cont = {
+        (r.src_doc, r.dst_doc): r.containment
+        for r in q_k67_containment_neardup(spark, subset_corpus_dir).collect()
+    }
+    # every trigram of the short doc occurs in the long one -> 1.0, one
+    # direction only (the long doc is NOT contained in the short one)
+    assert cont == {(1, 2): 1.0}
+
+
+def test_novelty_zero_for_verbatim_copy(spark, tmp_path_factory):
+    a = " ".join(f"t{i}" for i in range(10))
+    half_new = " ".join(f"t{i}" for i in range(5, 15))  # 8 grams: 3 old, 5 new
+    rows = [
+        (1, a, "en", "s", len(a)),
+        (2, a, "en", "s", len(a)),  # verbatim copy, later doc_id
+        (3, half_new, "en", "s", len(half_new)),
+    ]
+    d = _write_docs(spark, tmp_path_factory.mktemp("novel"), rows)
+    out = {r.doc_id: r for r in q_k69_ngram_novelty(spark, d).collect()}
+    assert out[1].novelty == 1.0  # first doc: everything first-seen
+    assert out[2].novelty == 0.0  # copy: nothing first-seen here
+    assert out[2].n_grams == out[1].n_grams
+    # doc 3: grams t5..t12-start = 8 distinct trigrams, 3 overlap doc 1
+    assert out[3].n_novel == 5 and out[3].n_grams == 8
+
+
+def test_token_entropy_closed_form_extremes(spark, tmp_path_factory):
+    uniform = " ".join(f"u{i}" for i in range(16))  # 16 distinct, once each
+    constant = " ".join(["same"] * 16)
+    rows = [
+        (1, uniform, "en", "s", len(uniform)),
+        (2, constant, "en", "s", len(constant)),
+    ]
+    d = _write_docs(spark, tmp_path_factory.mktemp("entropy"), rows)
+    out = {r.doc_id: r.entropy for r in q_k72_token_entropy(spark, d).collect()}
+    assert out[1] == pytest.approx(math.log(16), abs=1e-3)  # nats, uniform max
+    assert out[2] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_knn_purity_is_one_on_clean_clusters(spark, tmp_path_factory):
+    """3 tight clusters of 6 on orthogonal axes: every probe's 5 nearest
+    neighbors share its label."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = []
+    vid = 0
+    for lbl, axis in ((0, 0), (1, 21), (2, 42)):
+        for _ in range(6):
+            v = np.zeros(64, dtype=np.float64)
+            v[axis : axis + 3] = 1.0
+            v += rng.uniform(-0.01, 0.01, 64)
+            rows.append((vid, [float(x) for x in v], lbl))
+            vid += 1
+    d = tmp_path_factory.mktemp("knn")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(d), "embeddings.parquet")
+    )
+    out = q_k73_knn_label_purity(spark, str(d)).collect()
+    assert {r.label for r in out} == {0, 1, 2}
+    for r in out:
+        assert r.n_probes == 6  # KNN_PROBES=100 > corpus: all probed
+        assert r.purity == 1.0
+
+
+def test_cleaning_yield_funnel_algebra(spark, tmp_path_factory):
+    """Exact duplicate across sources: only the lower doc_id survives
+    dedup, and the funnel's counters obey n_surviving <= min(unique,
+    quality) and tok_surviving <= tok_total."""
+    good = " ".join(
+        ["the a of and to"]
+        + [f"word{i:02d}" for i in range(55)]
+    )  # 60 words, mwl ~5.6, 60 distinct, passes every Gopher screen
+    rows = [
+        (1, good, "en", "srcA", len(good)),
+        (2, good, "en", "srcB", len(good)),  # exact dup, different source
+        (3, "tiny doc", "en", "srcB", 8),  # fails the word-count screen
+    ]
+    d = _write_docs(spark, tmp_path_factory.mktemp("yield"), rows)
+    out = {r.source: r for r in q_k76_cleaning_yield(spark, d).collect()}
+    a, b = out["srcA"], out["srcB"]
+    assert (a.n_docs, a.n_exact_unique, a.n_quality_keep, a.n_surviving) == (1, 1, 1, 1)
+    # srcB: doc 2 is a non-first copy (dropped by dedup), doc 3 fails quality
+    assert (b.n_docs, b.n_exact_unique, b.n_quality_keep, b.n_surviving) == (2, 1, 1, 0)
+    for r in out.values():
+        assert r.n_surviving <= min(r.n_exact_unique, r.n_quality_keep)
+        assert r.tok_surviving <= r.tok_total
