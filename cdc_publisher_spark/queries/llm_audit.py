@@ -20,6 +20,14 @@
   exact dedup (q_k1 keeper rule) × the Gopher screens (q_k71) — the
   "what did cleaning cost" report a curation pipeline publishes
   before training.
+- q_k77 rule-drop attribution: per Gopher screen, how many documents
+  fail it and for how many it is the SOLE blocker — the report that
+  says which threshold to revisit when the funnel drops too much.
+- q_k78 token-budget allocation: exact integer water-filling of a
+  40%-of-corpus token budget across sources (small sources fully
+  served, large ones levelled), the allocator behind "sample B tokens
+  without letting one feed dominate". All decisions happen on the
+  per-source aggregate (dimension-sized), never on the corpus.
 
 Scale shape:
 
@@ -386,6 +394,208 @@ def q_k76_cleaning_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(fc & qk, F.col("nt")).otherwise(0))
             .cast("bigint")
             .alias("tok_surviving"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q_k77 — per-rule drop attribution over the Gopher screens
+# --------------------------------------------------------------------------
+_GOPHER_RULES = ("wc_ok", "mwl_ok", "stop_ok", "ttr_ok", "rep_ok")
+
+
+@register(
+    "q_k77_rule_attribution",
+    family="K",
+    doc="K-77 rule-drop attribution: for each Gopher screen, the number "
+    "of documents failing it and the number for which it is the SOLE "
+    "blocker (every other screen passes) — sole-blocker counts are "
+    "what say which single threshold to revisit when the funnel drops "
+    "too much. One aggregate over q_k71's per-doc flags (reused "
+    "verbatim), unpivoted to a 5-row report; fractions are single "
+    "divisions of exact integers.",
+    oracle=f"""
+        WITH flags AS (SELECT * FROM ({K71_ORACLE}) k71),
+        n AS (SELECT COUNT(*) AS n_docs FROM flags),
+        agg AS (
+            SELECT
+              SUM(CASE WHEN NOT wc_ok THEN 1 ELSE 0 END) AS f_wc,
+              SUM(CASE WHEN NOT wc_ok AND mwl_ok AND stop_ok AND ttr_ok AND rep_ok THEN 1 ELSE 0 END) AS s_wc,
+              SUM(CASE WHEN NOT mwl_ok THEN 1 ELSE 0 END) AS f_mwl,
+              SUM(CASE WHEN NOT mwl_ok AND wc_ok AND stop_ok AND ttr_ok AND rep_ok THEN 1 ELSE 0 END) AS s_mwl,
+              SUM(CASE WHEN NOT stop_ok THEN 1 ELSE 0 END) AS f_stop,
+              SUM(CASE WHEN NOT stop_ok AND wc_ok AND mwl_ok AND ttr_ok AND rep_ok THEN 1 ELSE 0 END) AS s_stop,
+              SUM(CASE WHEN NOT ttr_ok THEN 1 ELSE 0 END) AS f_ttr,
+              SUM(CASE WHEN NOT ttr_ok AND wc_ok AND mwl_ok AND stop_ok AND rep_ok THEN 1 ELSE 0 END) AS s_ttr,
+              SUM(CASE WHEN NOT rep_ok THEN 1 ELSE 0 END) AS f_rep,
+              SUM(CASE WHEN NOT rep_ok AND wc_ok AND mwl_ok AND stop_ok AND ttr_ok THEN 1 ELSE 0 END) AS s_rep
+            FROM flags
+        ),
+        long AS (
+            SELECT 'wc_ok' AS rule, f_wc AS n_fail, s_wc AS n_sole FROM agg
+            UNION ALL SELECT 'mwl_ok', f_mwl, s_mwl FROM agg
+            UNION ALL SELECT 'stop_ok', f_stop, s_stop FROM agg
+            UNION ALL SELECT 'ttr_ok', f_ttr, s_ttr FROM agg
+            UNION ALL SELECT 'rep_ok', f_rep, s_rep FROM agg
+        )
+        SELECT rule, CAST(n_fail AS BIGINT) AS n_fail,
+               CAST(n_sole AS BIGINT) AS n_sole_blocker,
+               ROUND(n_fail * 1.0 / n.n_docs, 4) AS fail_frac
+        FROM long CROSS JOIN n
+        ORDER BY rule
+    """,
+)
+def q_k77_rule_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flags = q_k71_gopher_rules(spark, sf_dir)
+    aggs = [F.count("*").cast("bigint").alias("n_docs")]
+    for r in _GOPHER_RULES:
+        others = [F.col(o) for o in _GOPHER_RULES if o != r]
+        sole = ~F.col(r)
+        for o in others:
+            sole = sole & o
+        aggs.append(F.sum((~F.col(r)).cast("int")).cast("bigint").alias(f"f_{r}"))
+        aggs.append(F.sum(sole.cast("int")).cast("bigint").alias(f"s_{r}"))
+    one = flags.agg(*aggs)
+    stack_args = ", ".join(f"'{r}', f_{r}, s_{r}" for r in _GOPHER_RULES)
+    return (
+        one.select(
+            "n_docs",
+            F.expr(
+                f"stack({len(_GOPHER_RULES)}, {stack_args}) "
+                "AS (rule, n_fail, n_sole_blocker)"
+            ),
+        )
+        .select(
+            "rule",
+            F.col("n_fail").cast("bigint").alias("n_fail"),
+            F.col("n_sole_blocker").cast("bigint").alias("n_sole_blocker"),
+            F.round(F.col("n_fail") * F.lit(1.0) / F.col("n_docs"), 4).alias(
+                "fail_frac"
+            ),
+        )
+        .orderBy("rule")
+    )
+
+
+# --------------------------------------------------------------------------
+# q_k78 — token-budget allocation across sources (exact water-filling)
+# --------------------------------------------------------------------------
+#: Budget as an exact fraction of total corpus tokens: num/den = 40%.
+BUDGET_NUM = 2
+BUDGET_DEN = 5
+
+
+@register(
+    "q_k78_token_budget_allocation",
+    family="K",
+    doc="K-78 deterministic token-budget allocator: water-fill a "
+    "40%-of-corpus budget across sources — every source smaller than "
+    "the water level is fully served (capped prefix of the "
+    "availability-ascending order; per-row test avail_i*(n-i+1) <= "
+    "B - p_(i-1) is monotone, so it marks exactly the maximal "
+    "prefix), the rest split the remainder as base = R div m plus +1 "
+    "for the first R mod m uncapped sources in name order. Pure "
+    "integer algebra end-to-end (no float water level), so the "
+    "allocation is bit-identical cross-engine. The only corpus pass "
+    "is the per-source token count; every window runs on that "
+    "dimension-sized aggregate.",
+    oracle=f"""
+        WITH avail AS (
+            SELECT source,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail_tok
+            FROM documents GROUP BY source
+        ),
+        ranked AS (
+            SELECT source, avail_tok,
+                   ROW_NUMBER() OVER (ORDER BY avail_tok, source) AS i,
+                   SUM(avail_tok) OVER (ORDER BY avail_tok, source
+                                        ROWS UNBOUNDED PRECEDING) AS p,
+                   COUNT(*) OVER () AS n,
+                   SUM(avail_tok) OVER () AS tot
+            FROM avail
+        ),
+        budgeted AS (
+            SELECT *, (tot * {BUDGET_NUM}) // {BUDGET_DEN} AS b,
+                   avail_tok * (n - i + 1) <= (tot * {BUDGET_NUM}) // {BUDGET_DEN}
+                       - (p - avail_tok) AS capped
+            FROM ranked
+        ),
+        sized AS (
+            SELECT *,
+                   SUM(CASE WHEN capped THEN avail_tok ELSE 0 END) OVER () AS c_tok,
+                   SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS n_capped,
+                   CASE WHEN capped THEN NULL ELSE
+                       ROW_NUMBER() OVER (PARTITION BY capped ORDER BY source)
+                   END AS uncapped_rank
+            FROM budgeted
+        )
+        SELECT source, avail_tok,
+               CAST(CASE WHEN capped THEN avail_tok
+                    ELSE (b - c_tok) // (n - n_capped)
+                         + CASE WHEN uncapped_rank <= (b - c_tok) % (n - n_capped)
+                                THEN 1 ELSE 0 END
+                    END AS BIGINT) AS alloc_tok,
+               capped
+        FROM sized
+        ORDER BY source
+    """,
+)
+def q_k78_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_publisher_spark.functions.text import words
+
+    docs = load(spark, sf_dir, "documents")
+    avail = (
+        docs.select("source", F.size(words(F.col("text"))).alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").cast("bigint").alias("avail_tok"))
+    )
+    # everything below operates on the per-source aggregate (bounded by
+    # the number of feeds, not the corpus) — unpartitioned windows here
+    # are dimension-sized by construction
+    w_asc = W.orderBy("avail_tok", "source")
+    w_all = W.partitionBy()
+    ranked = avail.select(
+        "source",
+        "avail_tok",
+        F.row_number().over(w_asc).alias("i"),
+        F.sum("avail_tok").over(w_asc.rowsBetween(W.unboundedPreceding, 0)).alias("p"),
+        F.count("*").over(w_all).alias("n"),
+        F.sum("avail_tok").over(w_all).alias("tot"),
+    )
+    b = F.expr(f"tot * {BUDGET_NUM} div {BUDGET_DEN}")
+    budgeted = ranked.select(
+        "*",
+        b.alias("b"),
+        (
+            F.col("avail_tok") * (F.col("n") - F.col("i") + 1)
+            <= b - (F.col("p") - F.col("avail_tok"))
+        ).alias("capped"),
+    )
+    sized = budgeted.select(
+        "*",
+        F.sum(F.when(F.col("capped"), F.col("avail_tok")).otherwise(0))
+        .over(w_all)
+        .alias("c_tok"),
+        F.sum(F.col("capped").cast("int")).over(w_all).alias("n_capped"),
+        F.when(
+            ~F.col("capped"),
+            F.row_number().over(W.partitionBy("capped").orderBy("source")),
+        ).alias("uncapped_rank"),
+    )
+    base = F.expr("(b - c_tok) div (n - n_capped)")
+    extra = F.when(
+        F.col("uncapped_rank") <= F.expr("(b - c_tok) % (n - n_capped)"), 1
+    ).otherwise(0)
+    return (
+        sized.select(
+            "source",
+            "avail_tok",
+            F.when(F.col("capped"), F.col("avail_tok"))
+            .otherwise(base + extra)
+            .cast("bigint")
+            .alias("alloc_tok"),
+            "capped",
         )
         .orderBy("source")
     )

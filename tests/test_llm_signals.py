@@ -142,3 +142,44 @@ def test_cleaning_yield_funnel_algebra(spark, tmp_path_factory):
     for r in out.values():
         assert r.n_surviving <= min(r.n_exact_unique, r.n_quality_keep)
         assert r.tok_surviving <= r.tok_total
+
+
+def test_rule_attribution_sole_blocker_accounting(spark, tmp_path_factory):
+    from cdc_publisher_spark.queries.llm_audit import q_k77_rule_attribution
+
+    good = " ".join(["the a of and to"] + [f"word{i:02d}" for i in range(55)])
+    only_wc = "the a " + " ".join(f"word{i:02d}" for i in range(18))  # 20 words
+    all_bad = " ".join(["z"] * 10)  # fails every screen at once
+    rows = [
+        (1, good, "en", "s", len(good)),
+        (2, only_wc, "en", "s", len(only_wc)),
+        (3, all_bad, "en", "s", len(all_bad)),
+    ]
+    d = _write_docs(spark, tmp_path_factory.mktemp("attr"), rows)
+    out = {r.rule: r for r in q_k77_rule_attribution(spark, d).collect()}
+    assert set(out) == {"wc_ok", "mwl_ok", "stop_ok", "ttr_ok", "rep_ok"}
+    assert (out["wc_ok"].n_fail, out["wc_ok"].n_sole_blocker) == (2, 1)
+    for r in ("mwl_ok", "stop_ok", "ttr_ok", "rep_ok"):
+        assert (out[r].n_fail, out[r].n_sole_blocker) == (1, 0), r
+
+
+def test_token_budget_waterfill_exact_allocation(spark, tmp_path_factory):
+    from cdc_publisher_spark.queries.llm_audit import q_k78_token_budget_allocation
+
+    rows = [
+        (1, " ".join(f"a{i}" for i in range(10)), "en", "tiny", 40),
+        (2, " ".join(f"b{i}" for i in range(50)), "en", "small", 200),
+    ]
+    # one huge source: 10 docs x 1000 tokens
+    for j in range(10):
+        rows.append((10 + j, " ".join(f"c{j}_{i}" for i in range(1000)), "en", "huge", 5000))
+    d = _write_docs(spark, tmp_path_factory.mktemp("budget"), rows)
+    out = {r.source: r for r in q_k78_token_budget_allocation(spark, d).collect()}
+    tot = 10 + 50 + 10_000
+    budget = tot * 2 // 5  # 4024
+    # small sources fully served; the huge one absorbs the remainder
+    assert (out["tiny"].alloc_tok, out["tiny"].capped) == (10, True)
+    assert (out["small"].alloc_tok, out["small"].capped) == (50, True)
+    assert (out["huge"].alloc_tok, out["huge"].capped) == (budget - 60, False)
+    assert sum(r.alloc_tok for r in out.values()) == budget
+    assert all(r.alloc_tok <= r.avail_tok for r in out.values())
