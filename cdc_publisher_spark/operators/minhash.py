@@ -49,13 +49,15 @@ def minhash_signatures(
     return exploded.groupBy(id_col).agg(F.count("*").alias("n_shingles"), *aggs)
 
 
-def lsh_candidate_pairs(
+def lsh_buckets(
     sig: DataFrame,
     id_col: str = "doc_id",
     n_hashes: int = DEFAULT_N_HASHES,
     bands: int = DEFAULT_BANDS,
 ) -> DataFrame:
-    """Distinct (d1, d2) candidate pairs, d1 < d2."""
+    """(id, band, bh) bucket rows — the LSH *index*. In an incremental
+    deployment this frame is the persisted state: new batches append
+    their bucket rows and probe the accumulated table."""
     rows_per_band = n_hashes // bands
     band_cols = [
         F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
@@ -64,12 +66,22 @@ def lsh_candidate_pairs(
         for b in range(bands)
     ]
     banded = sig.select(F.col(id_col), *band_cols)
-    buckets = banded.select(
+    return banded.select(
         id_col,
         F.explode(
             F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("bh")) for b in range(bands)])
         ).alias("bucket"),
     ).select(id_col, "bucket.band", "bucket.bh")
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = DEFAULT_N_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Distinct (d1, d2) candidate pairs, d1 < d2."""
+    buckets = lsh_buckets(sig, id_col, n_hashes, bands)
     a, b_ = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(b_, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
@@ -95,12 +107,22 @@ def minhash_near_duplicates(
     """
     sig = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_k)
     cands = lsh_candidate_pairs(sig, id_col, n_hashes, bands)
+    return verify_candidates(docs, cands, id_col, text_col, threshold, shingle_k)
 
+
+def verify_candidates(
+    docs: DataFrame,
+    cands: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact shingle-Jaccard verify restricted to a (d1, d2) candidate
+    frame: join candidate pairs to shingle sets via two semi-joins on
+    doc id, count shared shingles, threshold on the exact ratio."""
     tok = shingle_rows(docs, id_col, text_col, shingle_k, hashed=True)
     sizes = tok.groupBy(id_col).agg(F.count("*").alias("n"))
-
-    # exact verify restricted to candidates: join candidate pairs to
-    # shingle sets via two semi-joins on doc id, then count shared.
     inter = (
         tok.alias("ta")
         .join(cands, F.col(f"ta.{id_col}") == F.col("d1"))
@@ -124,6 +146,46 @@ def minhash_near_duplicates(
         .filter(F.col("j") >= threshold)
         .select("d1", "d2", F.round("j", 4).alias("jaccard"))
     )
+
+
+def incremental_near_duplicates(
+    docs: DataFrame,
+    new_ids: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    n_hashes: int = DEFAULT_N_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-dup pairs TOUCHING a new batch: only the new docs' bucket
+    rows probe the full LSH index, so candidate cost is O(new batch ×
+    bucket collisions) — never O(corpus²) and never a recompute of
+    history-vs-history pairs. This is the per-ingest production shape
+    at 100 TB: the bucket table (lsh_buckets) is persisted state, each
+    batch appends its rows and probes.
+
+    ``new_ids``: one-column frame of ids in the new batch. Output
+    (d1, d2, jaccard), d1 < d2, at least one side new, exact-verified
+    at ``threshold``.
+    """
+    sig = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_k)
+    buckets = lsh_buckets(sig, id_col, n_hashes, bands)
+    probe = buckets.join(new_ids, id_col, "semi")
+    cands = (
+        probe.alias("a")
+        .join(
+            buckets.alias("b"),
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")),
+        )
+        .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("d1"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("d2"),
+        )
+        .distinct()
+    )
+    return verify_candidates(docs, cands, id_col, text_col, threshold, shingle_k)
 
 
 def estimated_jaccard(sig: DataFrame, id_col: str = "doc_id", n_hashes: int = DEFAULT_N_HASHES) -> DataFrame:

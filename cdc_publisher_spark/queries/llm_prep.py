@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from cdc_publisher_spark.functions import text as TX
 from cdc_publisher_spark.operators.chunk import chunk_documents
 from cdc_publisher_spark.operators.redact import pii_hits, redact
+from cdc_publisher_spark.queries.llm import K2_ORACLE
 from cdc_publisher_spark.registry import register
 from cdc_publisher_spark.tables import load
 
@@ -211,6 +212,37 @@ def q_k25_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: q_k79 new-batch boundary — same convention as q_k25 (doc_id >= 450
+#: is "this ingest", the rest is accumulated history).
+INCR_NEW_FROM = 450
+
+
+@register(
+    "q_k79_incremental_neardup_lsh",
+    family="K",
+    doc="K-79 incremental LSH near-dup: the per-ingest production "
+    "pattern — only the new batch's bucket rows probe the corpus LSH "
+    "index (operators/minhash.py lsh_buckets, the persistable state), "
+    "so candidate cost is O(batch × collisions) and history-vs-history "
+    "pairs are never recomputed. Output = exact-verified Jaccard>=0.5 "
+    "pairs touching the batch (vs history AND within-batch — the half "
+    "q_k25's history-only check doesn't see). Same oracle-exactness "
+    "contract as q_k3: the banded probe nominates, the exact shingle "
+    "verify decides.",
+    oracle=f"""
+        SELECT d1, d2, jaccard FROM ({K2_ORACLE}) k2
+        WHERE d1 >= {INCR_NEW_FROM} OR d2 >= {INCR_NEW_FROM}
+        ORDER BY d1, d2
+    """,
+)
+def q_k79_incremental_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_publisher_spark.operators.minhash import incremental_near_duplicates
+
+    docs = load(spark, sf_dir, "documents")
+    new_ids = docs.filter(F.col("doc_id") >= INCR_NEW_FROM).select("doc_id")
+    return incremental_near_duplicates(docs, new_ids).orderBy("d1", "d2")
 
 
 @register(

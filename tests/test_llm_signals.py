@@ -183,3 +183,30 @@ def test_token_budget_waterfill_exact_allocation(spark, tmp_path_factory):
     assert (out["huge"].alloc_tok, out["huge"].capped) == (budget - 60, False)
     assert sum(r.alloc_tok for r in out.values()) == budget
     assert all(r.alloc_tok <= r.avail_tok for r in out.values())
+
+
+def test_incremental_lsh_neardup_scopes_to_new_batch(spark, tmp_path_factory):
+    """Pairs touching the new batch appear (history-vs-new AND
+    within-batch); history-vs-history pairs are never emitted."""
+    from cdc_publisher_spark.operators.minhash import incremental_near_duplicates
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    variant = " ".join(f"tok{i}" for i in range(28)) + " zz yy"
+    rows = [
+        (1, base, "en", "s", len(base)),        # history
+        (2, variant, "en", "s", len(variant)),  # history, near-dup of 1
+        (500, base, "en", "s", len(base)),      # new, dup of history 1
+        (501, base + " aa", "en", "s", 5),      # new, near-dup of 500
+        (502, " ".join(f"other{i}" for i in range(30)), "en", "s", 5),  # new, unique
+    ]
+    d = _write_docs(spark, tmp_path_factory.mktemp("incr"), rows)
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+    new_ids = docs.filter(F.col("doc_id") >= 500).select("doc_id")
+    got = {(r.d1, r.d2) for r in incremental_near_duplicates(docs, new_ids).collect()}
+    assert (1, 2) not in got          # history-vs-history never recomputed
+    assert (1, 500) in got            # history-vs-new
+    assert (2, 500) in got            # history-vs-new (transitive variant)
+    assert (500, 501) in got          # within-batch
+    assert all(a >= 500 or b >= 500 for a, b in got)
