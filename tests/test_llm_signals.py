@@ -210,3 +210,51 @@ def test_incremental_lsh_neardup_scopes_to_new_batch(spark, tmp_path_factory):
     assert (2, 500) in got            # history-vs-new (transitive variant)
     assert (500, 501) in got          # within-batch
     assert all(a >= 500 or b >= 500 for a, b in got)
+
+
+def test_stream_neardup_union_equals_batch(spark, tmp_path):
+    """Streaming incremental dedup: the union of per-batch pair
+    emissions over a 3-batch split equals the full-corpus batch result,
+    and every pair is emitted exactly once (in the later doc's batch)."""
+    import json as _json
+
+    from cdc_publisher_spark.operators.minhash import minhash_near_duplicates
+    from cdc_publisher_spark.streaming.incremental_dedup import stream_neardup_pairs
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    other = " ".join(f"oth{i}" for i in range(30))
+    docs = [
+        (1, base), (2, other),                    # batch 1
+        (3, base + " aa"), (4, " ".join(f"x{i}" for i in range(30))),  # batch 2
+        (5, base), (6, other + " bb zz"),         # batch 3
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for fi, chunk in enumerate([docs[0:2], docs[2:4], docs[4:6]]):
+        (src / f"{fi}.jsonl").write_text(
+            "\n".join(_json.dumps({"doc_id": i, "text": t}) for i, t in chunk)
+        )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    corpus_dir = str(tmp_path / "corpus")
+    pairs_dir = str(tmp_path / "pairs")
+    q = stream_neardup_pairs(
+        stream, corpus_dir, pairs_dir, str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = spark.read.parquet(pairs_dir)
+    got = {(r.d1, r.d2): r.jaccard for r in streamed.collect()}
+    # exactly-once: no (d1, d2) appears under two batch_ids
+    assert streamed.count() == len(got)
+    full = spark.createDataFrame(docs, "doc_id long, text string")
+    want = {
+        (r.d1, r.d2): r.jaccard for r in minhash_near_duplicates(full).collect()
+    }
+    assert got == want
+    assert (1, 5) in got and (1, 3) in got  # cross-batch dups found
