@@ -120,8 +120,20 @@ def verify_candidates(
 ) -> DataFrame:
     """Exact shingle-Jaccard verify restricted to a (d1, d2) candidate
     frame: join candidate pairs to shingle sets via two semi-joins on
-    doc id, count shared shingles, threshold on the exact ratio."""
-    tok = shingle_rows(docs, id_col, text_col, shingle_k, hashed=True)
+    doc id, count shared shingles, threshold on the exact ratio.
+
+    Only documents that appear in ``cands`` are shingled: the semi-join
+    below prunes the corpus scan to candidate-touching docs BEFORE the
+    explode, so verify cost follows the candidate set, not the corpus —
+    the property the incremental path depends on (a micro-batch's
+    verify must not re-shingle 100 TB of history)."""
+    touched = (
+        cands.select(F.col("d1").alias(id_col))
+        .unionByName(cands.select(F.col("d2").alias(id_col)))
+        .distinct()
+    )
+    docs_needed = docs.join(touched, id_col, "semi")
+    tok = shingle_rows(docs_needed, id_col, text_col, shingle_k, hashed=True)
     sizes = tok.groupBy(id_col).agg(F.count("*").alias("n"))
     inter = (
         tok.alias("ta")
@@ -157,21 +169,39 @@ def incremental_near_duplicates(
     n_hashes: int = DEFAULT_N_HASHES,
     bands: int = DEFAULT_BANDS,
     shingle_k: int = 3,
+    history_index: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs TOUCHING a new batch: only the new docs' bucket
-    rows probe the full LSH index, so candidate cost is O(new batch ×
+    rows probe the LSH index, so candidate cost is O(new batch ×
     bucket collisions) — never O(corpus²) and never a recompute of
-    history-vs-history pairs. This is the per-ingest production shape
-    at 100 TB: the bucket table (lsh_buckets) is persisted state, each
-    batch appends its rows and probes.
+    history-vs-history pairs.
+
+    ``history_index``: the persisted ``lsh_buckets`` frame for the
+    docs OUTSIDE the new batch. When provided, ONLY the new batch is
+    shingled and signed — the per-ingest cost is O(batch) + the probe
+    join, regardless of corpus size; this is the production shape at
+    100 TB (the streaming twin maintains this frame per batch,
+    streaming/incremental_dedup.py). When None, the index is derived
+    from ``docs`` — the convenient form for bounded corpora and the
+    oracle-checked q_k79.
+
+    Either way, the exact verify re-reads text ONLY for candidate-
+    touching docs (verify_candidates prunes with a semi-join before
+    shingling).
 
     ``new_ids``: one-column frame of ids in the new batch. Output
     (d1, d2, jaccard), d1 < d2, at least one side new, exact-verified
     at ``threshold``.
     """
-    sig = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_k)
-    buckets = lsh_buckets(sig, id_col, n_hashes, bands)
-    probe = buckets.join(new_ids, id_col, "semi")
+    if history_index is None:
+        sig = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_k)
+        buckets = lsh_buckets(sig, id_col, n_hashes, bands)
+        probe = buckets.join(new_ids, id_col, "semi")
+    else:
+        new_docs = docs.join(new_ids, id_col, "semi")
+        new_sig = minhash_signatures(new_docs, id_col, text_col, n_hashes, shingle_k)
+        probe = lsh_buckets(new_sig, id_col, n_hashes, bands)
+        buckets = history_index.select(id_col, "band", "bh").unionByName(probe)
     cands = (
         probe.alias("a")
         .join(

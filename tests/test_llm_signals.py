@@ -258,3 +258,6 @@ def test_stream_neardup_union_equals_batch(spark, tmp_path):
     }
     assert got == want
     assert (1, 5) in got and (1, 3) in got  # cross-batch dups found
+    # the persisted LSH index accumulated one bucket-row set per doc
+    idx = spark.read.parquet(str(tmp_path / "lsh_index"))
+    assert idx.select("doc_id").distinct().count() == len(docs)
