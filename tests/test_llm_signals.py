@@ -261,3 +261,57 @@ def test_stream_neardup_union_equals_batch(spark, tmp_path):
     # the persisted LSH index accumulated one bucket-row set per doc
     idx = spark.read.parquet(str(tmp_path / "lsh_index"))
     assert idx.select("doc_id").distinct().count() == len(docs)
+
+
+def test_stream_neardup_resumes_from_checkpoint(spark, tmp_path):
+    """Stop the dedup stream, add data, restart with the same
+    checkpoint + state dirs: no re-emission of earlier batches' pairs,
+    and the final union still equals the batch result."""
+    import json as _json
+
+    from cdc_publisher_spark.operators.minhash import minhash_near_duplicates
+    from cdc_publisher_spark.streaming.incremental_dedup import stream_neardup_pairs
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    first = [(1, base), (2, " ".join(f"o{i}" for i in range(30)))]
+    later = [(3, base + " aa"), (4, base)]
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "0.jsonl").write_text(
+        "\n".join(_json.dumps({"doc_id": i, "text": t}) for i, t in first)
+    )
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = stream_neardup_pairs(
+            stream,
+            str(tmp_path / "corpus"),
+            str(tmp_path / "pairs"),
+            str(tmp_path / "ckpt"),
+            index_dir=str(tmp_path / "idx"),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()  # first session: only batch 0 exists, no pairs yet
+    (src / "1.jsonl").write_text(
+        "\n".join(_json.dumps({"doc_id": i, "text": t}) for i, t in later)
+    )
+    run_once()  # second session resumes from the checkpoint
+    streamed = spark.read.parquet(str(tmp_path / "pairs"))
+    got = {(r.d1, r.d2): r.jaccard for r in streamed.collect()}
+    assert streamed.count() == len(got)  # batch 0 was not re-processed
+    full = spark.createDataFrame(first + later, "doc_id long, text string")
+    want = {
+        (r.d1, r.d2): r.jaccard for r in minhash_near_duplicates(full).collect()
+    }
+    assert got == want
+    # the restarted session saw the first session's index state
+    idx = spark.read.parquet(str(tmp_path / "idx"))
+    assert idx.select("doc_id").distinct().count() == 4
