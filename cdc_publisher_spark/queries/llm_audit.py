@@ -28,6 +28,11 @@
   served, large ones levelled), the allocator behind "sample B tokens
   without letting one feed dominate". All decisions happen on the
   per-source aggregate (dimension-sized), never on the corpus.
+- q_k80 budget-enforced sample: materialize q_k78's allocation as an
+  actual document selection — per source, an md5-ordered greedy
+  prefix of documents whose running token total stays within the
+  source's allocation. The end-to-end "give me a B-token corpus
+  respecting the caps" operator.
 
 Scale shape:
 
@@ -486,21 +491,9 @@ BUDGET_NUM = 2
 BUDGET_DEN = 5
 
 
-@register(
-    "q_k78_token_budget_allocation",
-    family="K",
-    doc="K-78 deterministic token-budget allocator: water-fill a "
-    "40%-of-corpus budget across sources — every source smaller than "
-    "the water level is fully served (capped prefix of the "
-    "availability-ascending order; per-row test avail_i*(n-i+1) <= "
-    "B - p_(i-1) is monotone, so it marks exactly the maximal "
-    "prefix), the rest split the remainder as base = R div m plus +1 "
-    "for the first R mod m uncapped sources in name order. Pure "
-    "integer algebra end-to-end (no float water level), so the "
-    "allocation is bit-identical cross-engine. The only corpus pass "
-    "is the per-source token count; every window runs on that "
-    "dimension-sized aggregate.",
-    oracle=f"""
+#: q_k78's full oracle SQL, module-level so q_k80's budget-enforced
+#: sample can wrap the IDENTICAL allocation as a subquery.
+K78_ORACLE = f"""
         WITH avail AS (
             SELECT source,
                    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail_tok
@@ -539,7 +532,24 @@ BUDGET_DEN = 5
                capped
         FROM sized
         ORDER BY source
-    """,
+    """
+
+
+@register(
+    "q_k78_token_budget_allocation",
+    family="K",
+    doc="K-78 deterministic token-budget allocator: water-fill a "
+    "40%-of-corpus budget across sources — every source smaller than "
+    "the water level is fully served (capped prefix of the "
+    "availability-ascending order; per-row test avail_i*(n-i+1) <= "
+    "B - p_(i-1) is monotone, so it marks exactly the maximal "
+    "prefix), the rest split the remainder as base = R div m plus +1 "
+    "for the first R mod m uncapped sources in name order. Pure "
+    "integer algebra end-to-end (no float water level), so the "
+    "allocation is bit-identical cross-engine. The only corpus pass "
+    "is the per-source token count; every window runs on that "
+    "dimension-sized aggregate.",
+    oracle=K78_ORACLE,
 )
 def q_k78_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_publisher_spark.functions.text import words
@@ -598,4 +608,72 @@ def q_k78_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame
             "capped",
         )
         .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q_k80 — budget-enforced corpus sample (q_k78's allocation materialized)
+# --------------------------------------------------------------------------
+@register(
+    "q_k80_budget_enforced_sample",
+    family="K",
+    doc="K-80 budget-enforced sample: per source, documents are drawn "
+    "in md5('budget'||doc_id) order and kept while the source's "
+    "running token total stays within its q_k78 allocation — the "
+    "end-to-end 'hand me a B-token corpus respecting the caps' "
+    "selection. The draw window partitions per source (hash-"
+    "distributed, never a global sort); the allocation table joining "
+    "in is one row per source (broadcast). Greedy-prefix semantics: "
+    "kept = running total <= alloc, so the sample undershoots by at "
+    "most one document per source and is deterministic cross-engine "
+    "(integer cumsum over an md5 total order).",
+    oracle=f"""
+        WITH alloc AS (
+            SELECT source, alloc_tok FROM ({K78_ORACLE}) k78
+        ),
+        drawn AS (
+            SELECT d.doc_id, d.source,
+                   len(string_split(d.text, ' ')) AS n_tok,
+                   SUM(len(string_split(d.text, ' '))) OVER (
+                       PARTITION BY d.source
+                       ORDER BY md5('budget' || d.doc_id), d.doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum_tok
+            FROM documents d
+        )
+        SELECT drawn.doc_id, drawn.source,
+               CAST(n_tok AS BIGINT) AS n_tok,
+               CAST(cum_tok AS BIGINT) AS cum_tok
+        FROM drawn JOIN alloc ON alloc.source = drawn.source
+        WHERE cum_tok <= alloc.alloc_tok
+        ORDER BY drawn.doc_id
+    """,
+)
+def q_k80_budget_enforced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_publisher_spark.functions.text import words
+
+    docs = load(spark, sf_dir, "documents")
+    alloc = q_k78_token_budget_allocation(spark, sf_dir).select("source", "alloc_tok")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("budget"), F.col("doc_id").cast("string"))), "doc_id"
+    )
+    drawn = docs.select(
+        "doc_id",
+        "source",
+        F.size(words(F.col("text"))).alias("n_tok"),
+    ).select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.sum("n_tok").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("cum_tok"),
+    )
+    return (
+        drawn.join(F.broadcast(alloc), "source")
+        .filter(F.col("cum_tok") <= F.col("alloc_tok"))
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_tok").cast("bigint").alias("n_tok"),
+            F.col("cum_tok").cast("bigint").alias("cum_tok"),
+        )
+        .orderBy("doc_id")
     )

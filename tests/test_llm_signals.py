@@ -315,3 +315,35 @@ def test_stream_neardup_resumes_from_checkpoint(spark, tmp_path):
     # the restarted session saw the first session's index state
     idx = spark.read.parquet(str(tmp_path / "idx"))
     assert idx.select("doc_id").distinct().count() == 4
+
+
+def test_budget_sample_respects_allocation(spark, tmp_path_factory):
+    """Per-source sampled tokens never exceed the q_k78 allocation and
+    undershoot by at most one document's tokens."""
+    from cdc_publisher_spark.queries.llm_audit import (
+        q_k78_token_budget_allocation,
+        q_k80_budget_enforced_sample,
+    )
+
+    rows = []
+    did = 0
+    for src, n_docs, tok_per in (("tiny", 2, 5), ("mid", 6, 50), ("huge", 12, 500)):
+        for _ in range(n_docs):
+            rows.append((did, " ".join(f"{src}{did}_{i}" for i in range(tok_per)), "en", src, 0))
+            did += 1
+    d = _write_docs(spark, tmp_path_factory.mktemp("bsample"), rows)
+    alloc = {r.source: r.alloc_tok for r in q_k78_token_budget_allocation(spark, d).collect()}
+    sample = q_k80_budget_enforced_sample(spark, d).collect()
+    by_src = {}
+    max_doc = {}
+    for r in sample:
+        by_src[r.source] = by_src.get(r.source, 0) + r.n_tok
+        max_doc[r.source] = max(max_doc.get(r.source, 0), r.n_tok)
+    for src, a in alloc.items():
+        got = by_src.get(src, 0)
+        assert got <= a, (src, got, a)
+        # greedy prefix: adding one more doc would overshoot (or the
+        # source is exhausted)
+        total_avail = sum(tok for s2, n2, tok in (("tiny",2,5),("mid",6,50),("huge",12,500)) if s2 == src for _ in range(n2))
+        if got < a:
+            assert a - got < 500 or got == total_avail
