@@ -54,8 +54,8 @@ the sequential-fold cosine both engines compute identically from the
 same float32 payloads (q_k6 precedent).
 
 Reference parity: none of this exists in the reference (a CDC
-microservice, /root/reference/src/cdc_publisher/core.clj:1-22); both
-are declared LLM-data extension surface (SURVEY.md §2.2 K-73/K-74).
+microservice, /root/reference/src/cdc_publisher/core.clj:1-22); all
+are declared LLM-data extension surface (SURVEY.md §2.2 K-73..K-80).
 """
 
 from __future__ import annotations
