@@ -105,6 +105,12 @@ def main() -> None:
             _median_time(lambda: specs[name].spark(spark, sf_dir)), 3
         )
 
+    # the LAST registered query's track_persist caches only release when
+    # the NEXT registered query starts — drop them explicitly so the
+    # streaming bench doesn't run with stale blocks pinned in memory
+    from cdc_publisher_spark.registry import release_persisted
+
+    release_persisted()
     _session_gc(spark)
     streaming_rps, cdc_metrics = _bench_streaming(spark, sf_dir)
 
@@ -275,6 +281,9 @@ def write_scaling(path: str = "SCALING.md") -> None:
                 ),
                 3,
             )
+    from cdc_publisher_spark.registry import release_persisted
+
+    release_persisted()
     with open(path, "w") as fh:
         fh.write("# SCALING — wall clock vs scale factor (local[32])\n\n")
         fh.write(

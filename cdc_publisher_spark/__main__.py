@@ -113,11 +113,18 @@ def cmd_serve(args) -> int:
             q.processAllAvailable()
             # listener events arrive on the async listener bus; give the
             # final batch's progress callback a moment to land so the
-            # one-shot snapshot carries the drain's counters
+            # one-shot snapshot carries the drain's counters — but only
+            # when a batch actually ran (lastProgress set synchronously
+            # by the execution thread; an empty drain has none and would
+            # otherwise stall the full deadline)
             import time as _time
 
             deadline = _time.monotonic() + 5.0
-            while not listener.latest and _time.monotonic() < deadline:
+            while (
+                q.lastProgress is not None
+                and not listener.latest
+                and _time.monotonic() < deadline
+            ):
                 _time.sleep(0.05)
             q.stop()
             reporter.publish_once()

@@ -170,6 +170,7 @@ def incremental_near_duplicates(
     bands: int = DEFAULT_BANDS,
     shingle_k: int = 3,
     history_index: DataFrame | None = None,
+    probe_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs TOUCHING a new batch: only the new docs' bucket
     rows probe the LSH index, so candidate cost is O(new batch ×
@@ -185,6 +186,12 @@ def incremental_near_duplicates(
     from ``docs`` — the convenient form for bounded corpora and the
     oracle-checked q_k79.
 
+    ``probe_buckets``: the new batch's OWN bucket rows, if the caller
+    already computed them (the streaming twin signs the batch once for
+    its index append and passes the same frame here) — skips deriving
+    the batch and re-signing it from ``docs``. Only meaningful with
+    ``history_index``.
+
     Either way, the exact verify re-reads text ONLY for candidate-
     touching docs (verify_candidates prunes with a semi-join before
     shingling).
@@ -198,9 +205,14 @@ def incremental_near_duplicates(
         buckets = lsh_buckets(sig, id_col, n_hashes, bands)
         probe = buckets.join(new_ids, id_col, "semi")
     else:
-        new_docs = docs.join(new_ids, id_col, "semi")
-        new_sig = minhash_signatures(new_docs, id_col, text_col, n_hashes, shingle_k)
-        probe = lsh_buckets(new_sig, id_col, n_hashes, bands)
+        if probe_buckets is not None:
+            probe = probe_buckets.select(id_col, "band", "bh")
+        else:
+            new_docs = docs.join(new_ids, id_col, "semi")
+            new_sig = minhash_signatures(
+                new_docs, id_col, text_col, n_hashes, shingle_k
+            )
+            probe = lsh_buckets(new_sig, id_col, n_hashes, bands)
         buckets = history_index.select(id_col, "band", "bh").unionByName(probe)
     cands = (
         probe.alias("a")

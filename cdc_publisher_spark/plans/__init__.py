@@ -71,7 +71,16 @@ _FACT_SIGNATURE_COLS = (
 #: only BLOCKS the corpus-size taint when none of these appear in its
 #: grouping expressions (e.g. groupBy(n_tok) reduces to the distinct
 #: value table; groupBy(doc_id) does not reduce at all).
-_ROW_ID_COLS = _FACT_SIGNATURE_COLS + ("chunk_id", "user_id", "i#", "j#")
+_ROW_ID_COLS = _FACT_SIGNATURE_COLS + ("chunk_id", "user_id", "i", "j")
+
+
+def _attr_names(rendered: str) -> set[str]:
+    """Exact attribute names from a plan-rendered expression string:
+    ``sum(nt#12) AS roi#34`` -> {'nt', 'roi'}. Substring tests against
+    the raw string would false-match ('roi#' contains 'i#')."""
+    import re
+
+    return set(re.findall(r"([A-Za-z_][A-Za-z0-9_]*)#\d+", rendered))
 
 
 def unpartitioned_corpus_windows(df: DataFrame) -> list[str]:
@@ -94,13 +103,13 @@ def unpartitioned_corpus_windows(df: DataFrame) -> list[str]:
         if cls in ("GlobalLimit", "LocalLimit"):
             return False
         if cls == "Aggregate":
-            grouping = node.groupingExpressions().mkString(",")
-            if not any(c in grouping for c in _ROW_ID_COLS):
+            grouping = _attr_names(node.groupingExpressions().mkString(","))
+            if not grouping & set(_ROW_ID_COLS):
                 return False  # reduced to value/dimension cardinality
         kids = node.children()
         if kids.size() == 0:
-            out = node.output().mkString(",")
-            return any(c in out for c in _FACT_SIGNATURE_COLS)
+            out = _attr_names(node.output().mkString(","))
+            return bool(out & set(_FACT_SIGNATURE_COLS))
         return any(corpus_sized(kids.apply(i)) for i in range(kids.size()))
 
     def walk(node) -> None:

@@ -70,10 +70,20 @@ class CdcMetricsListener(StreamingQueryListener):
         }
         self.latest[str(name)] = snapshot
         if observed:
-            tot = self.totals.setdefault(str(name), {})
-            for k, v in observed.items():
-                if isinstance(v, int):
-                    tot[k] = tot.get(k, 0) + v
+            # replace-on-write, never mutate in place: MetricsReporter
+            # snapshots these dicts from another thread, and replacing
+            # the inner dict atomically means a concurrent reader sees
+            # either the old totals or the new — never a torn mix or a
+            # dict-changed-size-during-iteration error
+            old = self.totals.get(str(name), {})
+            self.totals[str(name)] = {
+                **old,
+                **{
+                    k: old.get(k, 0) + v
+                    for k, v in observed.items()
+                    if isinstance(v, int)
+                },
+            }
 
     def onQueryTerminated(self, event) -> None:  # noqa: N802
         pass
@@ -115,10 +125,14 @@ class MetricsReporter:
     def snapshot(self) -> dict[str, Any]:
         """One reportable snapshot: per-query latest + running totals +
         sampled gauges. Public so tests (and one-shot CLI callers) can
-        publish without the timer thread."""
+        publish without the timer thread.
+
+        Inner dicts are copied too: the listener replaces (never
+        mutates) them, so copying the outer-dict values here yields a
+        consistent snapshot without a lock."""
         return {
-            "latest": dict(self._listener.latest),
-            "totals": dict(self._listener.totals),
+            "latest": {k: dict(v) for k, v in self._listener.latest.items()},
+            "totals": {k: dict(v) for k, v in self._listener.totals.items()},
             "gauges": {name: g() for name, g in self._gauges.items()},
         }
 
@@ -130,6 +144,7 @@ class MetricsReporter:
     def start(self) -> "MetricsReporter":
         if self._thread is not None:
             raise RuntimeError("reporter already started")
+        self._stop.clear()  # allow stop() -> start() restart cycles
 
         def loop() -> None:
             # publish-then-wait mirrors the reference reporter, which
@@ -154,6 +169,8 @@ class MetricsReporter:
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=5)
+            if self._thread.is_alive():  # publish sink wedged: keep the
+                return  # handle so a retried stop() can re-join
             self._thread = None
 
     def __enter__(self) -> "MetricsReporter":

@@ -347,3 +347,31 @@ def test_budget_sample_respects_allocation(spark, tmp_path_factory):
         total_avail = sum(tok for s2, n2, tok in (("tiny",2,5),("mid",6,50),("huge",12,500)) if s2 == src for _ in range(n2))
         if got < a:
             assert a - got < 500 or got == total_avail
+
+
+def test_dedup_micro_batch_replay_is_idempotent(spark, tmp_path):
+    """Re-delivering a batch (foreachBatch at-least-once) rewrites its
+    own state partitions instead of appending duplicates, and emits the
+    same pairs."""
+    from cdc_publisher_spark.streaming.incremental_dedup import dedup_micro_batch
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    b0 = spark.createDataFrame([(1, base), (2, "q " * 25)], "doc_id long, text string")
+    b1 = spark.createDataFrame([(3, base + " aa")], "doc_id long, text string")
+    dirs = [str(tmp_path / d) for d in ("corpus", "idx", "pairs")]
+    dedup_micro_batch(b0, 0, *dirs)
+    dedup_micro_batch(b1, 1, *dirs)
+    first = sorted(
+        (r.d1, r.d2, r.jaccard) for r in spark.read.parquet(dirs[2]).collect()
+    )
+    # replay batch 1 (crash-after-writes scenario): state must not grow
+    dedup_micro_batch(b1, 1, *dirs)
+    corpus = spark.read.parquet(dirs[0])
+    assert corpus.count() == 3  # no duplicated doc rows
+    assert corpus.select("doc_id").distinct().count() == 3
+    replayed = sorted(
+        (r.d1, r.d2, r.jaccard) for r in spark.read.parquet(dirs[2]).collect()
+    )
+    assert replayed == first == [(1, 3, 1.0)] or (replayed == first and first)
+    idx = spark.read.parquet(dirs[1])
+    assert idx.count() == 3 * 16  # one bucket row set per doc, no dups

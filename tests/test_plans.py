@@ -282,3 +282,28 @@ def test_unpartitioned_window_detector_positive_control(spark, sf_oracle):
         .withColumn("rk", F.row_number().over(W.orderBy("n_c")))
     )
     assert not unpartitioned_corpus_windows(ok)
+
+
+def test_oracle_shingle_bounds_are_uniform_and_cover_gopher_max():
+    """Every DuckDB oracle caps shingle start positions with
+    generate_series(1, N). The N values must all agree (a mismatched
+    copy reproduces the q_k56/q_k61 class of silent oracle truncation
+    fixed in round 5) and must cover the longest document the Gopher
+    screens admit, so no in-bounds doc ever shingles differently in
+    the two engines."""
+    import pathlib
+    import re
+
+    from cdc_publisher_spark.queries.llm_signals import GOPHER_MAX_WORDS
+
+    qdir = pathlib.Path("cdc_publisher_spark/queries")
+    bounds = {}
+    for p in sorted(qdir.glob("*.py")):
+        for m in re.findall(r"generate_series\(1,\s*(\d+)\)", p.read_text()):
+            if int(m) >= 4096:  # shingle-position bounds; small literals
+                bounds.setdefault(int(m), []).append(p.name)  # are dim/salt fans
+
+    assert bounds, "expected shingle-bounded oracles in queries/"
+    assert len(bounds) == 1, f"diverging oracle shingle bounds: {bounds}"
+    (bound,) = bounds
+    assert bound >= GOPHER_MAX_WORDS
