@@ -83,6 +83,68 @@ def _attr_names(rendered: str) -> set[str]:
     return set(re.findall(r"([A-Za-z_][A-Za-z0-9_]*)#\d+", rendered))
 
 
+#: Dimension-typed (bounded-cardinality) column names: a Window whose
+#: partition keys are ONLY these funnels each group's full corpus share
+#: through one task — at 100 TB with 20 sources that is a multi-TB
+#: single-task sort. Value-typed keys (n_tok, ce, md5 buckets, doc_id
+#: ranges) are fine: their cardinality grows with the data.
+_DIMENSION_COLS = (
+    "source",
+    "lang",
+    "capped",
+    "band",
+    "third",
+    "bucket",
+    "role",
+    "split",
+    "event_type",
+    "o_orderstatus",
+    "o_orderpriority",
+    "l_returnflag",
+    "l_linestatus",
+    "l_shipmode",
+    "r_name",
+    "n_name",
+    "p_brand",
+    "p_container",
+)
+
+
+def _bare_attr(rendered: str) -> str | None:
+    """The attribute name iff ``rendered`` is a BARE reference like
+    ``doc_id#12`` / ``doc_id#12L`` (possibly type-annotated): grouping
+    by a bare row id keeps corpus cardinality, while any derived
+    expression over it — ``(doc_id#12L div 4096)``, ``substring(md5…)``
+    — buckets it down and does reduce."""
+    import re
+
+    m = re.fullmatch(r"([A-Za-z_][A-Za-z0-9_]*)#\d+L?(?::\s*\w+)?", rendered.strip())
+    return m.group(1) if m else None
+
+
+def _corpus_sized(node) -> bool:
+    """True when a fact-table leaf scan is reachable from ``node``
+    without passing a cardinality-reducing operator: a Limit, or an
+    Aggregate none of whose grouping expressions is a BARE per-row-id
+    attribute (bucketing expressions like ``doc_id div 4096`` reduce
+    by the bucket width; grouping by ``doc_id`` itself does not)."""
+    cls = node.getClass().getSimpleName()
+    if cls in ("GlobalLimit", "LocalLimit"):
+        return False
+    if cls == "Aggregate":
+        ges = node.groupingExpressions()
+        bare = {
+            _bare_attr(ges.apply(i).toString()) for i in range(ges.size())
+        } - {None}
+        if not bare & set(_ROW_ID_COLS):
+            return False  # reduced to value/dimension cardinality
+    kids = node.children()
+    if kids.size() == 0:
+        out = _attr_names(node.output().mkString(","))
+        return bool(out & set(_FACT_SIGNATURE_COLS))
+    return any(_corpus_sized(kids.apply(i)) for i in range(kids.size()))
+
+
 def unpartitioned_corpus_windows(df: DataFrame) -> list[str]:
     """Window nodes with an EMPTY partitionSpec whose input can still be
     corpus-sized — the single-partition scale-killer (every row of a
@@ -91,33 +153,63 @@ def unpartitioned_corpus_windows(df: DataFrame) -> list[str]:
     Walks the optimized logical plan: a Window with no partition
     expressions is flagged when some leaf scan of a fact table is
     reachable from it without passing through a cardinality-reducing
-    node (an Aggregate whose grouping keys contain no per-row id, or a
-    Limit). Returns human-readable descriptions of the offending
-    nodes; empty list == scale-clean.
+    node (see ``_corpus_sized``). Returns human-readable descriptions
+    of the offending nodes; empty list == scale-clean.
     """
     jplan = df._jdf.queryExecution().optimizedPlan()
     offenders: list[str] = []
-
-    def corpus_sized(node) -> bool:
-        cls = node.getClass().getSimpleName()
-        if cls in ("GlobalLimit", "LocalLimit"):
-            return False
-        if cls == "Aggregate":
-            grouping = _attr_names(node.groupingExpressions().mkString(","))
-            if not grouping & set(_ROW_ID_COLS):
-                return False  # reduced to value/dimension cardinality
-        kids = node.children()
-        if kids.size() == 0:
-            out = _attr_names(node.output().mkString(","))
-            return bool(out & set(_FACT_SIGNATURE_COLS))
-        return any(corpus_sized(kids.apply(i)) for i in range(kids.size()))
 
     def walk(node) -> None:
         cls = node.getClass().getSimpleName()
         if cls == "Window" and node.partitionSpec().isEmpty():
             kids = node.children()
-            if any(corpus_sized(kids.apply(i)) for i in range(kids.size())):
+            if any(_corpus_sized(kids.apply(i)) for i in range(kids.size())):
                 offenders.append(node.simpleString(120))
+        kids = node.children()
+        for i in range(kids.size()):
+            walk(kids.apply(i))
+
+    walk(jplan)
+    return offenders
+
+
+def low_cardinality_corpus_windows(df: DataFrame) -> list[str]:
+    """Window nodes whose partition keys are ALL dimension-typed
+    (``_DIMENSION_COLS`` — source, lang, flags, …) over a corpus-sized
+    input: the low-cardinality-key twin of the empty-partitionSpec
+    tripwire (VERDICT r5 ask #2). With 20 sources, ``partitionBy
+    ("source")`` over 100 TB funnels ~5 TB through ONE task's
+    sort+scan — same failure mode as a global window, just sliced.
+
+    Allowlisted: windows Spark compiled to ``WindowGroupLimit``
+    (rank-filter shapes, e.g. per-source top-k — q_k31): the physical
+    plan pre-limits each partition BEFORE the shuffle, so the per-task
+    input is k rows, not the group's corpus share. Detection matches
+    the WindowGroupLimit's partition attribute set against the
+    Window's in the initial physical plan (present pre-execution —
+    it's a planner rule, not AQE).
+    """
+    import re
+
+    jplan = df._jdf.queryExecution().optimizedPlan()
+    # partition-attr sets of every WindowGroupLimit in the physical plan
+    phys = plan_string(df, "simple")
+    grouplimit_keys: list[set[str]] = [
+        set(re.findall(r"([A-Za-z_][A-Za-z0-9_]*)#\d+", line.split("],")[0]))
+        for line in phys.splitlines()
+        if "WindowGroupLimit" in line
+    ]
+    offenders: list[str] = []
+
+    def walk(node) -> None:
+        cls = node.getClass().getSimpleName()
+        if cls == "Window" and not node.partitionSpec().isEmpty():
+            part_attrs = _attr_names(node.partitionSpec().mkString(","))
+            if part_attrs and part_attrs <= set(_DIMENSION_COLS):
+                if not any(part_attrs == ks for ks in grouplimit_keys):
+                    kids = node.children()
+                    if any(_corpus_sized(kids.apply(i)) for i in range(kids.size())):
+                        offenders.append(node.simpleString(120))
         kids = node.children()
         for i in range(kids.size()):
             walk(kids.apply(i))

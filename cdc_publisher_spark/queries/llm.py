@@ -448,11 +448,20 @@ def q_k16_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_k17_sequence_packing",
     family="K",
+    bench=True,  # r6 bucket-cumsum decomposition: keep its cost visible
     doc="Training-sequence packing: docs stream into fixed token-budget "
     "packs per source shard (pack boundary = running token count "
     "crossing the budget). Pure window algebra — a running sum and a "
     "floor division — so the packing plan is deterministic and "
-    "shuffle-cheap: one sort per shard, no driver loop.",
+    "shuffle-cheap, no driver loop. SCALE: the oracle's per-source "
+    "running sum is reproduced WITHOUT a corpus-sized per-source "
+    "window — doc_id is range-bucketed (doc_id div 4096, monotone in "
+    "the ordering key), per-(source, bucket) token sums roll up to a "
+    "bucket-offset table whose per-source cumulative window is 4096x "
+    "smaller than the corpus, and the intra-bucket running sum "
+    "partitions by the HIGH-cardinality (source, bucket) key — every "
+    "task is bounded by the bucket width, never by a source's share "
+    "of 100 TB (the q_k63 decomposition, VERDICT r5 ask #1).",
     oracle="""
         WITH sized AS (
             SELECT source, doc_id,
@@ -472,14 +481,36 @@ def q_k16_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_k17_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     budget = 2048
-    w = W.partitionBy("source").orderBy("doc_id")
+    id_bucket = 4096  # docs per ordering-range bucket; tasks bounded by this
     sized = docs.select(
         "source",
         "doc_id",
         F.size(F.split("text", r"\s+")).cast("bigint").alias("n_tokens"),
-    ).withColumn(
+    ).withColumn("_bkt", F.expr(f"doc_id div {id_bucket}").cast("bigint"))
+    # Bucket offsets: per-(source, bucket) sums (corpus/4096 rows),
+    # then a per-source cumulative over the bucket table only. Bucket
+    # is monotone in doc_id, so offset + intra-bucket cumsum == the
+    # oracle's global per-source running sum, exactly (integer math).
+    w_b = (
+        W.partitionBy("source").orderBy("_bkt").rowsBetween(W.unboundedPreceding, -1)
+    )
+    boff = (
+        sized.groupBy("source", "_bkt")
+        .agg(F.sum("n_tokens").alias("_btok"))
+        .select(
+            "source",
+            "_bkt",
+            F.coalesce(F.sum("_btok").over(w_b), F.lit(0)).alias("_boff"),
+        )
+    )
+    w_in = (
+        W.partitionBy("source", "_bkt")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sized = sized.join(boff, ["source", "_bkt"]).withColumn(
         "cum_tokens",
-        F.sum("n_tokens").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        (F.col("_boff") + F.sum("n_tokens").over(w_in)).cast("bigint"),
     )
     # Integer `div`, not float '/': '/' on bigints is double division in
     # Spark and loses exactness past 2^53 cumulative tokens — real at

@@ -617,13 +617,21 @@ def q_k78_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame
 @register(
     "q_k80_budget_enforced_sample",
     family="K",
+    bench=True,  # r6 bucket-cumsum decomposition: keep its cost visible
     doc="K-80 budget-enforced sample: per source, documents are drawn "
     "in md5('budget'||doc_id) order and kept while the source's "
     "running token total stays within its q_k78 allocation — the "
     "end-to-end 'hand me a B-token corpus respecting the caps' "
-    "selection. The draw window partitions per source (hash-"
-    "distributed, never a global sort); the allocation table joining "
-    "in is one row per source (broadcast). Greedy-prefix semantics: "
+    "selection. The allocation table joining "
+    "in is one row per source (broadcast). SCALE: the oracle's "
+    "per-source running sum is computed WITHOUT a corpus-sized "
+    "per-source window — the md5 draw's first two hex chars form 256 "
+    "uniform range buckets (a PREFIX of the ordering key, so bucket "
+    "order == draw order), per-(source, bucket) token sums roll up "
+    "to a 256-row-per-source offset table, and the intra-bucket "
+    "cumsum partitions by the high-cardinality (source, bucket) key; "
+    "every task holds ~1/256th of a source, never its 100 TB share "
+    "(the q_k63 decomposition, VERDICT r5 ask #1). Greedy-prefix semantics: "
     "kept = running total <= alloc, so the sample undershoots by at "
     "most one document per source and is deterministic cross-engine "
     "(integer cumsum over an md5 total order).",
@@ -653,18 +661,43 @@ def q_k80_budget_enforced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     alloc = q_k78_token_budget_allocation(spark, sf_dir).select("source", "alloc_tok")
-    w = W.partitionBy("source").orderBy(
-        F.md5(F.concat(F.lit("budget"), F.col("doc_id").cast("string"))), "doc_id"
-    )
-    drawn = docs.select(
+    sized = docs.select(
         "doc_id",
         "source",
         F.size(words(F.col("text"))).alias("n_tok"),
-    ).select(
-        "doc_id",
-        "source",
-        "n_tok",
-        F.sum("n_tok").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("cum_tok"),
+        F.md5(F.concat(F.lit("budget"), F.col("doc_id").cast("string"))).alias(
+            "_draw"
+        ),
+    ).withColumn("_bkt", F.substring("_draw", 1, 2))
+    # Bucket offsets over the (source, 2-hex-prefix) table — ≤256 rows
+    # per source; the per-source cumulative window runs over THAT, not
+    # the corpus. Prefix buckets preserve the (md5, doc_id) total
+    # order, so offset + intra-bucket cumsum == the global running sum.
+    w_b = (
+        W.partitionBy("source").orderBy("_bkt").rowsBetween(W.unboundedPreceding, -1)
+    )
+    boff = (
+        sized.groupBy("source", "_bkt")
+        .agg(F.sum("n_tok").alias("_btok"))
+        .select(
+            "source",
+            "_bkt",
+            F.coalesce(F.sum("_btok").over(w_b), F.lit(0)).alias("_boff"),
+        )
+    )
+    w_in = (
+        W.partitionBy("source", "_bkt")
+        .orderBy("_draw", "doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    drawn = (
+        sized.join(boff, ["source", "_bkt"])
+        .select(
+            "doc_id",
+            "source",
+            "n_tok",
+            (F.col("_boff") + F.sum("n_tok").over(w_in)).alias("cum_tok"),
+        )
     )
     return (
         drawn.join(F.broadcast(alloc), "source")

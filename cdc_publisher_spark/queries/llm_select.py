@@ -753,8 +753,16 @@ def q_k61_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sort key bit-identical cross-engine and the doc_id tie-break "
     "makes the order total, so bucket membership hash-checks "
     "exactly. head = most-fluent third (lowest CE), the slice CCNet "
-    "keeps. One explode + one broadcast join + one per-language "
-    "window; no global sort.",
+    "keeps. SCALE: the oracle's per-language ntile(3) is reproduced "
+    "WITHOUT a corpus-sized per-language window — rank(ce, doc_id) "
+    "decomposes into a cumulative count over the distinct (lang, ce) "
+    "value table (ce is 4dp-rounded, so that table is value-sized; "
+    "its per-lang window runs over the value table only) plus a "
+    "row_number partitioned by the high-cardinality (lang, ce) tie "
+    "group, and ntile's bucket boundaries are pure integer algebra "
+    "on (rank, per-lang count): sizes n div 3 (+1 for the first "
+    "n%3 buckets) — bit-identical to the window ntile on both "
+    "engines (the q_k63 decomposition, VERDICT r5 ask #1).",
     oracle="""
         WITH tok AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
@@ -801,11 +809,40 @@ def q_k62_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("doc_id")
         .agg(F.round(-F.sum("lw") / F.count("*"), 4).alias("ce"))
     )
-    w = W.partitionBy("lang").orderBy(F.col("ce").asc(), F.col("doc_id"))
+    scored = docs.select("doc_id", "lang").join(ce, "doc_id")
+    # Per-lang rank(ce asc, doc_id) without a corpus-sized window:
+    # (count of same-lang rows with strictly smaller ce) — a running
+    # sum over the distinct (lang, ce) VALUE table — plus a row_number
+    # inside the (lang, ce) tie group.
+    vt = scored.groupBy("lang", "ce").agg(F.count("*").alias("_vc"))
+    w_vt = (
+        W.partitionBy("lang")
+        .orderBy(F.col("ce").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    vt = vt.select(
+        "lang", "ce", F.coalesce(F.sum("_vc").over(w_vt), F.lit(0)).alias("_cum_lt")
+    )
+    n_lang = scored.groupBy("lang").agg(F.count("*").alias("_n"))
+    w_tie = W.partitionBy("lang", "ce").orderBy("doc_id")
+    ranked = (
+        scored.join(F.broadcast(vt), ["lang", "ce"])
+        .withColumn("_rk", F.col("_cum_lt") + F.row_number().over(w_tie))
+        .join(F.broadcast(n_lang), "lang")
+    )
+    # ntile(3): first (n % 3) buckets hold (n div 3)+1 rows, the rest
+    # n div 3 — the exact window-ntile fill order, as integer algebra.
+    base = F.expr("_n div 3")
+    rem = F.col("_n") % 3
+    b1 = base + F.when(rem >= 1, 1).otherwise(0)
+    b2 = base + F.when(rem >= 2, 1).otherwise(0)
     return (
-        docs.select("doc_id", "lang")
-        .join(ce, "doc_id")
-        .withColumn("third", F.ntile(3).over(w))
+        ranked.withColumn(
+            "third",
+            F.when(F.col("_rk") <= b1, 1)
+            .when(F.col("_rk") <= b1 + b2, 2)
+            .otherwise(3),
+        )
         .select(
             "doc_id",
             "lang",

@@ -226,14 +226,23 @@ def test_q_b3_all_predicates_reach_the_scan(spark, sf_oracle):
 
 
 def test_no_unpartitioned_corpus_windows_anywhere(spark, sf_smoke):
-    """THE single-partition tripwire (VERDICT r4 ask #4): sweep every
-    registered query's optimized plan and flag any Window with an empty
-    partitionSpec whose input can still be corpus-sized — at 100 TB
-    such a window funnels the whole table through one task. Windows
+    """THE single-partition tripwire (VERDICT r4 ask #4) plus its
+    low-cardinality-key twin (VERDICT r5 ask #2): sweep every
+    registered query's optimized plan and flag (a) any Window with an
+    empty partitionSpec whose input can still be corpus-sized — at
+    100 TB such a window funnels the whole table through one task —
+    and (b) any Window whose partition keys are ALL dimension-typed
+    (source, lang, flags: ~20 groups over 100 TB = multi-TB
+    single-task sorts, the q_k17/q_k62/q_k80 round-5 shape). Windows
     over dimension-sized aggregates (distinct value tables, vocab
-    top-k, per-band source dims) pass: an Aggregate that drops per-row
-    ids blocks the corpus-size taint."""
-    from cdc_publisher_spark.plans import unpartitioned_corpus_windows
+    top-k, per-band source dims) pass: an Aggregate that drops
+    per-row ids blocks the corpus-size taint; rank-filter windows
+    Spark compiles to WindowGroupLimit (q_k31) are allowlisted by the
+    detector itself."""
+    from cdc_publisher_spark.plans import (
+        low_cardinality_corpus_windows,
+        unpartitioned_corpus_windows,
+    )
     from cdc_publisher_spark.registry import all_specs
 
     # Declared-global-semantics exceptions would go here; currently none
@@ -244,10 +253,68 @@ def test_no_unpartitioned_corpus_windows_anywhere(spark, sf_smoke):
     for name, spec in sorted(all_specs().items()):
         if name in allow:
             continue
-        offs = unpartitioned_corpus_windows(spec.spark(spark, sf_smoke))
+        df = spec.spark(spark, sf_smoke)
+        offs = unpartitioned_corpus_windows(df) + low_cardinality_corpus_windows(df)
         if offs:
             offenders[name] = offs[0][:160]
     assert not offenders, offenders
+
+
+def test_low_cardinality_window_detector_controls(spark, sf_oracle):
+    """The low-cardinality detector must fire on round 5's exact weak
+    shape (a per-source running sum over the raw corpus), stay quiet
+    on the bucket-decomposed replacement (partition keys include a
+    value-typed bucket), stay quiet on a window over a per-source
+    AGGREGATE, and honor the WindowGroupLimit allowlist (per-source
+    rank<=k compiles to a pre-shuffle group limit — q_k31's shape)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from cdc_publisher_spark.plans import low_cardinality_corpus_windows
+    from cdc_publisher_spark.tables import load
+
+    docs = load(spark, sf_oracle, "documents")
+    w_src = W.partitionBy("source").orderBy("doc_id")
+
+    # (1) round-5 q_k17 shape: flagged
+    bad = docs.withColumn(
+        "cum", F.sum("n_chars").over(w_src.rowsBetween(W.unboundedPreceding, 0))
+    )
+    assert low_cardinality_corpus_windows(bad)
+
+    # (2) bucket-decomposed twin: (source, doc_id div 4096) keys pass
+    w_bkt = W.partitionBy("source", "_bkt").orderBy("doc_id")
+    ok = docs.withColumn("_bkt", F.expr("doc_id div 4096")).withColumn(
+        "cum", F.sum("n_chars").over(w_bkt.rowsBetween(W.unboundedPreceding, 0))
+    )
+    assert not low_cardinality_corpus_windows(ok)
+
+    # (3) same keys over a value-table aggregate: the bucketing
+    # groupBy((source, doc_id div 4096)) blocks the corpus taint even
+    # for a source-only window above it
+    agg_ok = (
+        docs.groupBy("source", F.expr("doc_id div 4096").alias("_bkt"))
+        .agg(F.sum("n_chars").alias("s"))
+        .withColumn(
+            "cum",
+            F.sum("s").over(
+                W.partitionBy("source").orderBy("_bkt").rowsBetween(
+                    W.unboundedPreceding, 0
+                )
+            ),
+        )
+    )
+    assert not low_cardinality_corpus_windows(agg_ok)
+
+    # (4) rank-filtered per-source top-k compiles to WindowGroupLimit
+    # and is allowlisted; the same window WITHOUT the rank filter is not
+    topk = docs.withColumn("rk", F.row_number().over(w_src)).filter(F.col("rk") <= 5)
+    from cdc_publisher_spark.plans import plan_string
+
+    assert "WindowGroupLimit" in plan_string(topk, "simple")
+    assert not low_cardinality_corpus_windows(topk)
+    no_filter = docs.withColumn("rk", F.row_number().over(w_src))
+    assert low_cardinality_corpus_windows(no_filter)
 
 
 def test_unpartitioned_window_detector_positive_control(spark, sf_oracle):
