@@ -214,7 +214,19 @@ def incremental_near_duplicates(
             )
             probe = lsh_buckets(new_sig, id_col, n_hashes, bands)
         buckets = history_index.select(id_col, "band", "bh").unionByName(probe)
-    cands = (
+    cands = probe_candidate_pairs(probe, buckets, id_col)
+    return verify_candidates(docs, cands, id_col, text_col, threshold, shingle_k)
+
+
+def probe_candidate_pairs(
+    probe: DataFrame, buckets: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct (d1, d2) pairs (d1 < d2) whose LSH bucket collision
+    touches a probe row: the candidate join of the incremental path,
+    exposed so callers that manage their own state (the streaming twin)
+    can materialize candidates FIRST and prune the corpus read to the
+    candidate-touching partitions before the exact verify."""
+    return (
         probe.alias("a")
         .join(
             buckets.alias("b"),
@@ -227,7 +239,6 @@ def incremental_near_duplicates(
         )
         .distinct()
     )
-    return verify_candidates(docs, cands, id_col, text_col, threshold, shingle_k)
 
 
 def estimated_jaccard(sig: DataFrame, id_col: str = "doc_id", n_hashes: int = DEFAULT_N_HASHES) -> DataFrame:

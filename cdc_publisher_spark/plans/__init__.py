@@ -48,6 +48,31 @@ def codegen_stage_count(df: DataFrame) -> int:
     return len(set(re.findall(r"\*\((\d+)\)", plan)))
 
 
+def scan_file_counts(df: DataFrame) -> list[int]:
+    """The ``numFiles`` metric of every file scan in the EXECUTED plan
+    (runs the query): the ground truth for partition-pruning tests —
+    unlike ``df.inputFiles()``, which lists the relation's files
+    without applying pushed filters."""
+    df.collect()
+
+    out: list[int] = []
+
+    def walk(n) -> None:
+        if "Scan" in n.nodeName():
+            m = n.metrics()
+            if m.contains("numFiles"):
+                out.append(m.apply("numFiles").value())
+        for i in range(n.children().size()):
+            walk(n.children().apply(i))
+        try:  # AdaptiveSparkPlanExec hides the real tree post-execution
+            walk(n.finalPhysicalPlan())
+        except Exception:
+            pass
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
 def scan_read_schema(df: DataFrame) -> str:
     """ReadSchema fragments — check column pruning reached the scan."""
     return "\n".join(

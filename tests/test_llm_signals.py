@@ -375,3 +375,145 @@ def test_dedup_micro_batch_replay_is_idempotent(spark, tmp_path):
     assert replayed == first == [(1, 3, 1.0)] or (replayed == first and first)
     idx = spark.read.parquet(dirs[1])
     assert idx.count() == 3 * 16  # one bucket row set per doc, no dups
+
+
+def test_dedup_probe_index_read_prunes_to_touched_buckets(spark, tmp_path):
+    """VERDICT r5 ask #3 done-criterion: a micro-batch's index read
+    touches only the (band, bhm) partition directories its probe
+    hashes into — the scanned file count equals the files under the
+    matching directories and is a small fraction of the total index,
+    no matter how many history batches exist."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from cdc_publisher_spark.operators.minhash import (
+        lsh_buckets,
+        minhash_signatures,
+    )
+    from cdc_publisher_spark.plans import scan_file_counts
+    from cdc_publisher_spark.streaming import incremental_dedup as inc
+
+    dirs = [str(tmp_path / d) for d in ("corpus", "idx", "pairs")]
+    for b in range(5):
+        rows = [
+            (b * 100 + i, " ".join(f"w{b}_{i}_{j}" for j in range(30)))
+            for i in range(8)
+        ]
+        bdf = spark.createDataFrame(rows, "doc_id long, text string")
+        inc.dedup_micro_batch(bdf, b, *dirs)
+
+    probe_doc = spark.createDataFrame(
+        [(999, " ".join(f"p{j}" for j in range(30)))], "doc_id long, text string"
+    )
+    buckets = lsh_buckets(minhash_signatures(probe_doc)).withColumn(
+        "bhm", F.pmod(F.col("bh"), F.lit(inc.BH_MOD)).cast("int")
+    )
+    touched = {(r.band, r.bhm) for r in buckets.select("band", "bhm").distinct().collect()}
+    pred = None
+    for band, bhm in sorted(touched):
+        leg = (F.col("band") == band) & (F.col("bhm") == bhm)
+        pred = leg if pred is None else (pred | leg)
+
+    pruned = inc._read_state(spark, dirs[1], part_filter=pred)
+    scanned = sum(scan_file_counts(pruned))
+    matching = sum(
+        len(glob.glob(f"{dirs[1]}/batch=*/band={b}/bhm={m}/*.parquet"))
+        for b, m in touched
+    )
+    total = len(glob.glob(f"{dirs[1]}/batch=*/band=*/bhm=*/*.parquet"))
+    assert scanned == matching, (scanned, matching)
+    assert scanned < total / 4, (scanned, total)
+
+
+def test_dedup_state_compaction_preserves_pairs_and_vacuums(spark, tmp_path):
+    """Compaction interleaved with processing and replay: the unified
+    pair set never changes, batch dirs at or below the watermark are
+    vacuumed, a post-compaction batch probes compact + live state, and
+    a replayed pre-watermark batch is invisible to readers."""
+    from cdc_publisher_spark.operators.minhash import minhash_near_duplicates
+    from cdc_publisher_spark.streaming.incremental_dedup import (
+        _batch_dirs,
+        compact_dedup_state,
+        dedup_micro_batch,
+        read_dedup_state,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    batches = {
+        0: [(1, base), (2, "q " * 25)],
+        1: [(3, base + " aa")],
+        2: [(4, " ".join(f"z{i}" for i in range(30)))],
+        3: [(5, base)],
+    }
+    dirs = [str(tmp_path / d) for d in ("corpus", "idx", "pairs")]
+    for b, rows in batches.items():
+        dedup_micro_batch(
+            spark.createDataFrame(rows, "doc_id long, text string"), b, *dirs
+        )
+    before = {
+        (r.d1, r.d2, r.jaccard) for r in read_dedup_state(spark, dirs[2]).collect()
+    }
+
+    compact_dedup_state(spark, *dirs, upto_batch=2)
+    for d in dirs:
+        assert all(k > 2 for k, _ in _batch_dirs(spark, d)), d  # vacuumed
+    after = {
+        (r.d1, r.d2, r.jaccard) for r in read_dedup_state(spark, dirs[2]).collect()
+    }
+    assert after == before
+
+    # replay batch 1 post-compaction: its rewritten batch dir is below
+    # the watermark, so readers ignore it — state unchanged
+    dedup_micro_batch(
+        spark.createDataFrame(batches[1], "doc_id long, text string"), 1, *dirs
+    )
+    corpus = read_dedup_state(spark, dirs[0])
+    assert corpus.select("doc_id").distinct().count() == 5
+    assert corpus.count() == 5
+
+    # new batch after compaction: probes compact index + live dirs
+    dedup_micro_batch(
+        spark.createDataFrame([(6, base + " cc")], "doc_id long, text string"),
+        4,
+        *dirs,
+    )
+    got = {
+        (r.d1, r.d2): r.jaccard for r in read_dedup_state(spark, dirs[2]).collect()
+    }
+    all_docs = [r for rows in batches.values() for r in rows] + [(6, base + " cc")]
+    full = spark.createDataFrame(all_docs, "doc_id long, text string")
+    want = {(r.d1, r.d2): r.jaccard for r in minhash_near_duplicates(full).collect()}
+    assert got == want
+
+    # compaction is idempotent and can advance
+    compact_dedup_state(spark, *dirs, upto_batch=4)
+    final = {
+        (r.d1, r.d2): r.jaccard for r in read_dedup_state(spark, dirs[2]).collect()
+    }
+    assert final == want
+
+
+def test_dedup_cross_batch_guard_drops_redelivered_ids(spark, tmp_path):
+    """guard_cross_batch=True: a doc_id re-delivered under a DIFFERENT
+    batch id (at-least-once across batch boundaries) is anti-joined
+    away instead of accumulating a duplicate corpus row."""
+    from cdc_publisher_spark.streaming.incremental_dedup import (
+        dedup_micro_batch,
+        read_dedup_state,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    dirs = [str(tmp_path / d) for d in ("corpus", "idx", "pairs")]
+    b0 = spark.createDataFrame([(1, base), (2, "q " * 25)], "doc_id long, text string")
+    dedup_micro_batch(b0, 0, *dirs, guard_cross_batch=True)
+    # batch 5 re-delivers doc 1 (same payload, new batch id) + a new doc
+    b5 = spark.createDataFrame(
+        [(1, base), (7, base + " aa")], "doc_id long, text string"
+    )
+    dedup_micro_batch(b5, 5, *dirs, guard_cross_batch=True)
+    corpus = read_dedup_state(spark, dirs[0])
+    assert corpus.count() == 3
+    assert corpus.select("doc_id").distinct().count() == 3
+    pairs = {(r.d1, r.d2) for r in read_dedup_state(spark, dirs[2]).collect()}
+    assert pairs == {(1, 7)}  # no self-pair from the redelivered copy
