@@ -112,19 +112,27 @@ def cmd_serve(args) -> int:
         if args.once:
             q.processAllAvailable()
             # listener events arrive on the async listener bus; give the
-            # final batch's progress callback a moment to land so the
-            # one-shot snapshot carries the drain's counters — but only
-            # when a batch actually ran (lastProgress set synchronously
-            # by the execution thread; an empty drain has none and would
-            # otherwise stall the full deadline)
+            # FINAL batch's progress callback a moment to land so the
+            # one-shot snapshot carries the drain's counters — non-empty
+            # isn't enough for a multi-batch drain (an earlier batch's
+            # event would satisfy it while the last batch is in flight),
+            # so wait until the listener has caught up to lastProgress's
+            # batchId. Only when a batch actually ran (lastProgress set
+            # synchronously by the execution thread; an empty drain has
+            # none and would otherwise stall the full deadline).
             import time as _time
 
+            def _drained() -> bool:
+                last = q.lastProgress
+                if last is None:
+                    return True
+                want = last["batchId"]
+                return any(
+                    m.get("batch_id") == want for m in list(listener.latest.values())
+                )
+
             deadline = _time.monotonic() + 5.0
-            while (
-                q.lastProgress is not None
-                and not listener.latest
-                and _time.monotonic() < deadline
-            ):
+            while not _drained() and _time.monotonic() < deadline:
                 _time.sleep(0.05)
             q.stop()
             reporter.publish_once()

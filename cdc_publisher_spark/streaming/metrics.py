@@ -129,10 +129,13 @@ class MetricsReporter:
 
         Inner dicts are copied too: the listener replaces (never
         mutates) them, so copying the outer-dict values here yields a
-        consistent snapshot without a lock."""
+        consistent snapshot without a lock. The outer dicts are
+        list()-snapshotted first: the listener-bus thread may INSERT a
+        new query name mid-iteration, and a resize during items() would
+        raise RuntimeError."""
         return {
-            "latest": {k: dict(v) for k, v in self._listener.latest.items()},
-            "totals": {k: dict(v) for k, v in self._listener.totals.items()},
+            "latest": {k: dict(v) for k, v in list(self._listener.latest.items())},
+            "totals": {k: dict(v) for k, v in list(self._listener.totals.items())},
             "gauges": {name: g() for name, g in self._gauges.items()},
         }
 
@@ -143,7 +146,14 @@ class MetricsReporter:
 
     def start(self) -> "MetricsReporter":
         if self._thread is not None:
-            raise RuntimeError("reporter already started")
+            # a stop() against a wedged publish sink leaves the handle
+            # set so a retried stop() can re-join; once that old loop
+            # HAS exited (stop flag was set), the reporter must be
+            # restartable — only a still-live loop blocks start()
+            if self._thread.is_alive():
+                raise RuntimeError("reporter already started")
+            self._thread.join(timeout=0)
+            self._thread = None
         self._stop.clear()  # allow stop() -> start() restart cycles
 
         def loop() -> None:

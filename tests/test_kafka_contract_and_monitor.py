@@ -220,3 +220,69 @@ def test_metrics_reporter_survives_publish_errors():
         while len(seen) < 2 and _t.monotonic() < deadline:
             _t.sleep(0.01)
     assert len(seen) >= 2  # first publish raised, loop kept going
+
+
+def test_metrics_reporter_restartable_after_wedged_stop():
+    """A stop() racing a blocked publish keeps the thread handle so a
+    retried stop() can re-join — but once the old loop HAS exited, a
+    fresh start() must succeed instead of 'reporter already started'."""
+    import threading
+    import time as _t
+
+    gate = threading.Event()
+
+    def blocking(line: str) -> None:
+        gate.wait(10)  # wedged sink: first publish blocks
+
+    rep = MetricsReporter(_primed_listener(), blocking, period_s=0.02)
+    rep.start()
+    _t.sleep(0.05)  # let the loop enter the blocked publish
+    rep.stop()  # join times out: handle retained
+    assert rep._thread is not None and rep._thread.is_alive()
+    gate.set()  # sink unblocks; stop flag already set -> loop exits
+    rep._thread.join(timeout=2)
+    assert not rep._thread.is_alive()
+
+    lines = []
+    rep._publish = lines.append
+    rep.start()  # must NOT raise: old loop is dead
+    deadline = _t.monotonic() + 2.0
+    while not lines and _t.monotonic() < deadline:
+        _t.sleep(0.01)
+    rep.stop()
+    assert lines  # restarted loop publishes again
+
+
+def test_metrics_reporter_snapshot_tolerates_concurrent_inserts():
+    """snapshot() must list()-snapshot the outer dicts: a listener-bus
+    thread inserting NEW query names mid-iteration would otherwise
+    resize the dict under items() and raise RuntimeError."""
+    import threading
+
+    listener = _primed_listener()
+    rep = MetricsReporter(listener, lambda line: None)
+    stop = threading.Event()
+
+    def churn() -> None:
+        # rotate a bounded window of keys: every lap inserts NEW names
+        # (forcing rehash/resize) and evicts old ones, so the dicts
+        # keep changing size without growing unboundedly (an unbounded
+        # dict would make each snapshot copy O(n) and the test O(n^2))
+        i = 0
+        while not stop.is_set():
+            listener.latest[f"q{i}"] = {"batch_id": i}
+            listener.totals[f"q{i}"] = {"dequeue_count": i}
+            if i >= 64:
+                listener.latest.pop(f"q{i - 64}", None)
+                listener.totals.pop(f"q{i - 64}", None)
+            i += 1
+
+    t = threading.Thread(target=churn, daemon=True)
+    t.start()
+    try:
+        for _ in range(300):
+            snap = rep.snapshot()  # must never raise
+            assert "latest" in snap and "totals" in snap
+    finally:
+        stop.set()
+        t.join(timeout=2)
