@@ -265,10 +265,23 @@ def write_scaling(path: str = "SCALING.md") -> None:
     # ANN — shows its wall-clock-vs-sf curve, not just a hand-picked
     # subset
     reps = sorted(n for n, s in specs.items() if s.bench)
-    sfs = [s for s in ("0.001", "0.01", "0.1") if os.path.isdir(f"/root/testdata/sf{s}")]
+    # driver-shipped sfs plus locally generated decades (tools/gen_sf.py
+    # writes .localdata/sf1 etc. — same schemas/distributions, one more
+    # decade of scale evidence than the read-only /root/testdata)
+    local = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".localdata")
+    sf_dirs = {
+        s: f"/root/testdata/sf{s}"
+        for s in ("0.001", "0.01", "0.1")
+        if os.path.isdir(f"/root/testdata/sf{s}")
+    }
+    if os.path.isdir(local):
+        for d in sorted(os.listdir(local)):
+            if d.startswith("sf") and os.path.isdir(os.path.join(local, d)):
+                sf_dirs.setdefault(d[2:], os.path.join(local, d))
+    sfs = sorted(sf_dirs, key=float)
     # warm every shape at the smallest sf first (same rationale as main())
     for name in reps:
-        specs[name].spark(spark, f"/root/testdata/sf{sfs[0]}").write.format(
+        specs[name].spark(spark, sf_dirs[sfs[0]]).write.format(
             "noop"
         ).mode("overwrite").save()
     table: dict[str, dict[str, float]] = {n: {} for n in reps}
@@ -277,7 +290,7 @@ def write_scaling(path: str = "SCALING.md") -> None:
             _session_gc(spark)
             table[name][s] = round(
                 _median_time(
-                    lambda: specs[name].spark(spark, f"/root/testdata/sf{s}")
+                    lambda: specs[name].spark(spark, sf_dirs[s])
                 ),
                 3,
             )

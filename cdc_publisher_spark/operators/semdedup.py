@@ -15,9 +15,11 @@ Pipeline, all DataFrame ops:
 
 1. ``build_ivf`` assigns every vector a ``list_id`` (one k-means fit +
    one projection; the centroid table is tiny and broadcast).
-2. Within-cluster candidate pairs: self equi-join on ``list_id`` with
-   ``id < id`` — shuffle keys are small ints, pair scoring is the
-   fold-expression cosine (JVM-side, no UDF).
+2. Within-cluster pair scoring: ``groupBy(list_id).applyInPandas`` —
+   one Arrow-batched (n_c x n_c) BLAS gram matrix per cluster, each
+   vector shuffled exactly once. ``n_lists`` scales with the corpus
+   (TARGET_LIST_ROWS) so per-cluster work stays constant as data
+   grows.
 3. Transitive closure via ``connected_components`` (hash-to-min), so a
    chain a~b~c collapses to ONE keeper even when cos(a,c) < threshold.
 4. Keeper = min vec_id per component (deterministic; SemDeDup's
@@ -36,9 +38,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cdc_publisher_spark.functions.vectors import cosine_with_norms
 from cdc_publisher_spark.operators.components import neardup_clusters
 from cdc_publisher_spark.operators.ivf import build_ivf
+
+#: Adaptive cluster-count target: n_lists defaults to ~corpus/this, so
+#: average cluster size — and with it the within-cluster pair count
+#: (n x target/2) and the self-join's shuffle-key cardinality — stays
+#: FIXED as the corpus grows. A constant n_lists is the quadratic trap:
+#: at 10x the data each cluster is 10x bigger, pair work 100x, all of
+#: it funneled through n_lists shuffle keys.
+TARGET_LIST_ROWS = 256
+
+#: Centroid-table ceiling: the k-means fit and the broadcast centroid
+#: matrix stay driver-bounded. Past this, pair work grows linearly
+#: again (corpus/4096 rows per cluster) — the signal to shard the
+#: corpus and run one SemDeDup per shard, as the paper does.
+MAX_LISTS = 4096
+
+
+def _adaptive_lists(n: int) -> int:
+    return max(8, min(MAX_LISTS, -(-n // TARGET_LIST_ROWS)))
 
 
 def semantic_dedup_pairs(
@@ -46,40 +65,68 @@ def semantic_dedup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_lists: int = 8,
+    n_lists: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """(i, j, cosine) near-dup pairs with cosine >= threshold, scored
-    within k-means clusters only. i < j; cosines are exact."""
-    if corpus.limit(1).count() == 0:  # k-means cannot fit on zero rows
+    within k-means clusters only. i < j; cosines are exact.
+
+    ``n_lists=None`` (default) scales the cluster count with the
+    corpus (see TARGET_LIST_ROWS) so pair work stays ~n x constant."""
+    n = corpus.count()
+    if n == 0:  # k-means cannot fit on zero rows
         return corpus.sparkSession.createDataFrame(
             [], "i bigint, j bigint, cosine double"
         )
+    if n_lists is None:
+        n_lists = _adaptive_lists(n)
     index = build_ivf(corpus, id_col=id_col, vec_col=vec_col, n_lists=n_lists, seed=seed)
-    c = index.corpus  # id, vec, norm, list_id
-    a = c.select(
-        F.col("list_id"),
-        F.col(id_col).alias("i"),
-        F.col(vec_col).alias("av"),
-        F.col("norm").alias("an"),
-    )
-    b = c.select(
-        F.col("list_id"),
-        F.col(id_col).alias("j"),
-        F.col(vec_col).alias("bv"),
-        F.col("norm").alias("bn"),
-    )
-    return (
-        a.join(b, "list_id")
-        .filter(F.col("i") < F.col("j"))
-        .select(
-            "i",
-            "j",
-            cosine_with_norms(F.col("av"), F.col("bv"), F.col("an"), F.col("bn")).alias(
-                "cosine"
-            ),
+    return _within_cluster_pairs(index.corpus, threshold, id_col, vec_col)
+
+
+def _within_cluster_pairs(
+    indexed: DataFrame, threshold: float, id_col: str, vec_col: str
+) -> DataFrame:
+    """(i, j, cosine) with cosine >= threshold and i < j, scored inside
+    each list only: groupBy(list_id).applyInPandas, ONE (n_c x n_c)
+    BLAS gram matrix per cluster. The shuffle moves each vector once
+    (key = list_id, ~TARGET_LIST_ROWS rows per task by construction);
+    the previous formulation — a self equi-join scoring every pair via
+    a fold-expression cosine — moved the same bytes but paid an
+    interpreted k x dim higher-order-function walk PER PAIR, ~100x the
+    arithmetic cost of the matmul and concentrated on n_lists shuffle
+    keys. numpy float64 matches the expression cosine's double
+    arithmetic to FP-noise (q_k35's independent 4 dp re-score audits
+    exactly this)."""
+    import numpy as np
+    import pandas as pd
+
+    def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n_c = len(pdf)
+        if n_c < 2:
+            return pd.DataFrame({"i": [], "j": [], "cosine": []}).astype(
+                {"i": "int64", "j": "int64", "cosine": "float64"}
+            )
+        ids = pdf[id_col].to_numpy()
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        norms = pdf["norm"].to_numpy(dtype=np.float64)
+        sims = (mat @ mat.T) / np.outer(norms, norms)
+        iu, ju = np.triu_indices(n_c, 1)
+        keep = sims[iu, ju] >= threshold
+        iu, ju = iu[keep], ju[keep]
+        a, b = ids[iu], ids[ju]
+        return pd.DataFrame(
+            {
+                "i": np.minimum(a, b),
+                "j": np.maximum(a, b),
+                "cosine": sims[iu, ju],
+            }
         )
-        .filter(F.col("cosine") >= threshold)
+
+    return (
+        indexed.select("list_id", F.col(id_col), F.col(vec_col), "norm")
+        .groupBy("list_id")
+        .applyInPandas(score, "i bigint, j bigint, cosine double")
     )
 
 
@@ -88,7 +135,7 @@ def semantic_dedup(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_lists: int = 8,
+    n_lists: int | None = None,
     seed: int = 42,
     pairs: DataFrame | None = None,
 ) -> DataFrame:
@@ -124,7 +171,7 @@ def diversity_sample(
     per_cluster: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_lists: int = 8,
+    n_lists: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """Cluster-balanced subsampling: k-means-quantize the corpus, keep
@@ -136,10 +183,13 @@ def diversity_sample(
     row_number; no global ordering anywhere."""
     from pyspark.sql import Window as W
 
-    if corpus.limit(1).count() == 0:
+    n = corpus.count()
+    if n == 0:
         return corpus.sparkSession.createDataFrame(
             [], f"{id_col} bigint, list_id int, keep boolean"
         )
+    if n_lists is None:
+        n_lists = _adaptive_lists(n)
     index = build_ivf(corpus, id_col=id_col, vec_col=vec_col, n_lists=n_lists, seed=seed)
     w = W.partitionBy("list_id").orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
     return (
