@@ -317,6 +317,24 @@ def write_scaling(path: str = "SCALING.md") -> None:
             "taxes whoever runs last. The harness now forces a JVM GC "
             "between timed queries and pins periodicGC.interval=1min, "
             "making timings run-position-independent.\n\n"
+            "sf1 provenance: /root/testdata ships sf0.001-0.1 "
+            "(read-only); the sf1 column comes from locally generated "
+            "fixtures (tools/gen_sf.py — same schemas, key ranges and "
+            "value distributions, measured from the driver's sf0.1 "
+            "tables; deterministic seed). Reading the sf1 ratios: "
+            "x(0.1->1) of ~10 is linear, and most scale paths land at "
+            "2-6x (fixed overheads still amortizing). Expected "
+            "exceptions: q_k21/q_k2 are the DECLARED exact-quadratic "
+            "diagnostic twins of the LSH/cluster scale paths (their "
+            "contract is all-pairs ground truth, and sf1 is where the "
+            "divergence from q_k3/q_k35 becomes visible — 26-114x vs "
+            "4.5x/1.3x); q_k32/q_k65/q_k66 are gram-collision-bound, "
+            "and the synthetic 31-word vocabulary makes collision "
+            "density GROW with corpus size (3.1M shingles over a 29M "
+            "5-gram space at sf1) where a real corpus vocabulary "
+            "(100k+ types) keeps it flat — their 9-13x is a fixture "
+            "artifact, not a plan defect (plans are candidate-bounded "
+            "equi-joins).\n\n"
         )
         hdr = " | ".join(f"sf{s}" for s in sfs)
         ratios_hdr = " | ".join(f"x({a}->{b})" for a, b in zip(sfs, sfs[1:]))

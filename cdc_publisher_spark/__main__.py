@@ -15,6 +15,9 @@ is the engine's equivalent surface, thin wrappers over the library:
                             until interrupted; metrics snapshots print
                             to stderr every --metrics-period seconds,
                             the reference's 10 s reporter cadence)
+  compact --corpus D --index D --pairs D --upto-batch N
+                            compact incremental-dedup state dirs to a
+                            batch watermark (idempotent, crash-safe)
 
 Everything routes through the same registry / session / pipeline code
 the tests and the driver use — the CLI adds no second code path.
@@ -148,6 +151,26 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    from cdc_publisher_spark.streaming.incremental_dedup import (
+        compact_dedup_state,
+        read_dedup_state,
+    )
+
+    spark = _session()
+    compact_dedup_state(
+        spark,
+        args.corpus,
+        args.index,
+        args.pairs,
+        upto_batch=args.upto_batch,
+        vacuum=not args.keep_batches,
+    )
+    for label, d in (("corpus", args.corpus), ("index", args.index), ("pairs", args.pairs)):
+        print(f"{label}: {read_dedup_state(spark, d).count()} rows")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="python -m cdc_publisher_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -186,6 +209,22 @@ def main(argv: list[str] | None = None) -> int:
         help="seconds between metrics snapshots on stderr (reference: 10)",
     )
     sp.set_defaults(fn=cmd_serve)
+
+    sp = sub.add_parser(
+        "compact",
+        help="compact incremental-dedup state dirs up to a batch watermark "
+        "(crash-safe manifest flip; see streaming/incremental_dedup.py)",
+    )
+    sp.add_argument("--corpus", required=True)
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--pairs", required=True)
+    sp.add_argument("--upto-batch", type=int, required=True)
+    sp.add_argument(
+        "--keep-batches",
+        action="store_true",
+        help="keep compacted per-batch dirs on disk (skip the vacuum)",
+    )
+    sp.set_defaults(fn=cmd_compact)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -17,6 +17,7 @@ from cdc_publisher_spark.queries import (  # noqa: F401
     llm_quality,
     llm_select,
     llm_signals,
+    llm_sketch,
     llm_spans,
     operators_reg,
     retrieval,

@@ -374,3 +374,21 @@ def test_oracle_shingle_bounds_are_uniform_and_cover_gopher_max():
     assert len(bounds) == 1, f"diverging oracle shingle bounds: {bounds}"
     (bound,) = bounds
     assert bound >= GOPHER_MAX_WORDS
+
+
+def test_q_k82_reservoir_is_take_ordered(spark, sf_oracle):
+    """A-ES weighted sampling must be TakeOrderedAndProject: per-
+    partition top-K + one K-row driver merge — a global Sort here
+    would shuffle the whole corpus to rank 20 rows."""
+    plan = plan_string(_df(spark, sf_oracle, "q_k82_weighted_reservoir"), "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_q_k83_kmv_bottom_k_is_window_group_limit(spark, sf_oracle):
+    """The per-source bottom-K sketch build must compile to
+    WindowGroupLimit (q_k31 shape): each partition pre-limits to K
+    rows BEFORE the source-keyed shuffle, so no task ever sorts a
+    source's full shingle share."""
+    plan = plan_string(_df(spark, sf_oracle, "q_k83_kmv_source_overlap"), "simple")
+    assert "WindowGroupLimit" in plan
