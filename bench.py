@@ -334,7 +334,12 @@ def write_scaling(path: str = "SCALING.md") -> None:
             "5-gram space at sf1) where a real corpus vocabulary "
             "(100k+ types) keeps it flat — their 9-13x is a fixture "
             "artifact, not a plan defect (plans are candidate-bounded "
-            "equi-joins).\n\n"
+            "equi-joins); q_c14 counts events within a fixed +-60 s "
+            "window over a fixture whose 30-day span does NOT grow "
+            "with sf, so event density — and the true answer's pair "
+            "count — rises linearly with data, making the OUTPUT "
+            "quadratic by definition (a production timeline grows its "
+            "span with its data, restoring linearity).\n\n"
         )
         hdr = " | ".join(f"sf{s}" for s in sfs)
         ratios_hdr = " | ".join(f"x({a}->{b})" for a, b in zip(sfs, sfs[1:]))

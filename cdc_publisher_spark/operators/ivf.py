@@ -208,6 +208,32 @@ def build_ivf(
     return IvfIndex(corpus=indexed, centroids=centroids, id_col=id_col, vec_col=vec_col)
 
 
+def _probe_lists_arrow(vec_col, centroids: list[list[float]], nprobe: int):
+    """array<int> of the top-``nprobe`` centroid indices per query row:
+    one (batch x k) matmul per Arrow batch. Score ties resolve to the
+    HIGHEST index, bit-compatible with the expression path's
+    reverse(array_sort((score, idx))) ordering."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    c_t = np.asarray(centroids, dtype=np.float64).T  # dim x k
+    k = c_t.shape[1]
+    take = min(nprobe, k)
+
+    @pandas_udf("array<int>")
+    def probe(vecs):
+        if not len(vecs):
+            return pd.Series([], dtype="object")
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        scores = mat @ c_t[:, ::-1]  # reversed cols: stable argsort
+        order_rev = np.argsort(-scores, axis=1, kind="stable")[:, :take]
+        order = (k - 1 - order_rev).astype("int32")
+        return pd.Series(list(order))
+
+    return probe(vec_col)
+
+
 def ivf_topk(
     index: IvfIndex,
     queries: DataFrame,
@@ -217,16 +243,22 @@ def ivf_topk(
     nprobe: int = 4,
 ) -> DataFrame:
     """(query_id, cand_id, cosine, rk<=k) scanning only nprobe lists."""
-    scores = _centroid_scores(F.col(vec_col), index.centroids)
-    pairs = F.array(
-        *[F.struct(s.alias("score"), F.lit(i).alias("idx")) for i, s in enumerate(scores)]
-    )
-    probed = F.slice(F.reverse(F.array_sort(pairs)), 1, nprobe)
+    if len(index.centroids) <= EXPR_ASSIGN_MAX_LISTS:
+        scores = _centroid_scores(F.col(vec_col), index.centroids)
+        pairs = F.array(
+            *[F.struct(s.alias("score"), F.lit(i).alias("idx")) for i, s in enumerate(scores)]
+        )
+        probed = F.slice(F.reverse(F.array_sort(pairs)), 1, nprobe)
+        probed_ids = F.transform(probed, lambda p: p["idx"])
+    else:
+        # large-k indexes (adaptive SemDeDup-style lists): one Arrow
+        # matmul per batch, same tie order as the expression path
+        probed_ids = _probe_lists_arrow(F.col(vec_col), index.centroids, nprobe)
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).alias("qv"),
         l2_norm(F.col(vec_col)).alias("qn"),
-        F.explode(F.transform(probed, lambda p: p["idx"])).alias("list_id"),
+        F.explode(probed_ids).alias("list_id"),
     )
     c = index.corpus.select(
         F.col(index.id_col).alias("cand_id"),

@@ -1079,3 +1079,30 @@ def test_build_ivf_fit_is_bounded_and_deterministic(spark):
     lists = i1.corpus.select("list_id").distinct().collect()
     assert all(0 <= r.list_id < 4 for r in lists)
     assert i1.corpus.count() == n  # assignment covers the full corpus
+
+
+def test_ivf_arrow_and_expression_paths_agree(spark, sf_oracle, monkeypatch):
+    """Above EXPR_ASSIGN_MAX_LISTS centroids, assignment and probing
+    switch from fold-expressions to Arrow matmul kernels — both paths
+    must produce IDENTICAL assignments and top-k results (tie order
+    included) for the same centroid count."""
+    from cdc_publisher_spark.operators import ivf
+
+    e = load(spark, sf_oracle, "embeddings")
+    corpus = e.filter(F.col("vec_id") >= 5)
+    queries = e.filter(F.col("vec_id") < 5)
+
+    def run():
+        index = ivf.build_ivf(corpus, n_lists=20)
+        assigns = sorted(
+            (r["vec_id"], r["list_id"]) for r in index.corpus.collect()
+        )
+        top = sorted(
+            map(tuple, ivf.ivf_topk(index, queries, k=5, nprobe=4).collect())
+        )
+        return assigns, top
+
+    arrow = run()  # 20 > default threshold: Arrow kernels
+    monkeypatch.setattr(ivf, "EXPR_ASSIGN_MAX_LISTS", 64)
+    expr = run()  # same k, forced expression path
+    assert arrow == expr
