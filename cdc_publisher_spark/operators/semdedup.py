@@ -81,7 +81,56 @@ def semantic_dedup_pairs(
     if n_lists is None:
         n_lists = _adaptive_lists(n)
     index = build_ivf(corpus, id_col=id_col, vec_col=vec_col, n_lists=n_lists, seed=seed)
+    if n_lists <= SMALL_CORPUS_LISTS:
+        # small corpora (n <= ~SMALL_CORPUS_LISTS x TARGET_LIST_ROWS):
+        # the pure-JVM join+fold scorer beats the Arrow kernel's Python
+        # round-trip; pair volume is bounded so the interpreted cosine
+        # cost never dominates. Both scorers are pinned identical in
+        # tests/test_operators.py.
+        return _within_cluster_pairs_expr(index.corpus, threshold, id_col, vec_col)
     return _within_cluster_pairs(index.corpus, threshold, id_col, vec_col)
+
+
+#: At or below this many lists the within-cluster scorer stays
+#: expression-side (JVM join + fold cosine): with the adaptive default
+#: that means corpora up to ~16 x TARGET_LIST_ROWS vectors, where the
+#: Arrow kernel's worker round-trip costs more than it saves.
+SMALL_CORPUS_LISTS = 16
+
+
+def _within_cluster_pairs_expr(
+    indexed: DataFrame, threshold: float, id_col: str, vec_col: str
+) -> DataFrame:
+    """Small-corpus twin of :func:`_within_cluster_pairs`: self
+    equi-join on list_id with i < j, fold-expression cosine. Identical
+    output; chosen only when pair volume is bounded (see
+    SMALL_CORPUS_LISTS)."""
+    from cdc_publisher_spark.functions.vectors import cosine_with_norms
+
+    a = indexed.select(
+        F.col("list_id"),
+        F.col(id_col).alias("i"),
+        F.col(vec_col).alias("av"),
+        F.col("norm").alias("an"),
+    )
+    b = indexed.select(
+        F.col("list_id"),
+        F.col(id_col).alias("j"),
+        F.col(vec_col).alias("bv"),
+        F.col("norm").alias("bn"),
+    )
+    return (
+        a.join(b, "list_id")
+        .filter(F.col("i") < F.col("j"))
+        .select(
+            "i",
+            "j",
+            cosine_with_norms(F.col("av"), F.col("bv"), F.col("an"), F.col("bn")).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
 
 
 def _within_cluster_pairs(

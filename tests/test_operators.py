@@ -1106,3 +1106,27 @@ def test_ivf_arrow_and_expression_paths_agree(spark, sf_oracle, monkeypatch):
     monkeypatch.setattr(ivf, "EXPR_ASSIGN_MAX_LISTS", 64)
     expr = run()  # same k, forced expression path
     assert arrow == expr
+
+
+def test_semdedup_pair_scorers_agree(spark, sf_oracle):
+    """The JVM join+fold scorer (small corpora) and the Arrow
+    per-cluster gram-matrix scorer (scale path) must mine IDENTICAL
+    pair sets with 4 dp-identical cosines from the same index."""
+    from cdc_publisher_spark.operators import semdedup
+    from cdc_publisher_spark.operators.ivf import build_ivf
+
+    e = load(spark, sf_oracle, "embeddings")
+    index = build_ivf(e, n_lists=8)
+    expr = {
+        (r["i"], r["j"]): round(r["cosine"], 4)
+        for r in semdedup._within_cluster_pairs_expr(
+            index.corpus, 0.42, "vec_id", "embedding"
+        ).collect()
+    }
+    arrow = {
+        (r["i"], r["j"]): round(r["cosine"], 4)
+        for r in semdedup._within_cluster_pairs(
+            index.corpus, 0.42, "vec_id", "embedding"
+        ).collect()
+    }
+    assert expr and expr == arrow
