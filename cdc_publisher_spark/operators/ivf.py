@@ -155,6 +155,7 @@ def build_ivf(
     vec_col: str = "embedding",
     n_lists: int = 16,
     seed: int = 42,
+    n_rows: int | None = None,
 ) -> IvfIndex:
     """Fit centroids (seeded k-means++ on a hash-bounded sample of
     unit-normalized vectors) and assign each corpus vector to its list.
@@ -174,7 +175,9 @@ def build_ivf(
         F.col(vec_col),
         l2_norm(F.col(vec_col)).alias("_norm"),
     )
-    n = normed.count()
+    # n sizes the sample-thinning ratio only; callers that already
+    # counted (adaptive n_lists) pass it in to avoid a second scan
+    n = normed.count() if n_rows is None else n_rows
     train = normed.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     if n > MAX_FIT_ROWS:
         m = -(-n // MAX_FIT_ROWS)  # ceil
@@ -187,8 +190,12 @@ def build_ivf(
     tbl = train.orderBy("_id").toArrow()
     vec_arrow = tbl.column("_v").combine_chunks()
     flat = np.asarray(vec_arrow.flatten(), dtype=np.float64)
-    if len(tbl) and flat.size % len(tbl) == 0:
-        mat = flat.reshape(len(tbl), -1)
+    # fixed-width check via the actual list offsets — a divisibility
+    # test would pass ragged rows whose TOTAL happens to divide the row
+    # count (e.g. dims 63 and 65 among 64s) and scramble the reshape
+    lengths = np.diff(np.asarray(vec_arrow.offsets))
+    if len(tbl) and lengths.size and (lengths == lengths[0]).all() and lengths[0] > 0:
+        mat = flat.reshape(len(tbl), int(lengths[0]))
     else:  # ragged/null rows: fall back to per-row conversion
         mat = np.array([np.asarray(v, dtype=np.float64) for v in vec_arrow.to_pylist()])
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)

@@ -54,27 +54,39 @@ def quantile_filter(
         pr = F.when(F.col("_n") == 1, F.lit(0.0)).otherwise(
             F.col("_cum_lt").cast("double") / (F.col("_n") - 1).cast("double")
         )
+        # null-safe join: a NULL group is a real percent_rank partition
+        # and must pick up its _n like any other
+        n = n.withColumnRenamed(group_col, "_ng")
         thresholds = (
             vt.select(
                 group_col,
                 score_col,
                 F.coalesce(F.sum("_vc").over(w_vt), F.lit(0)).alias("_cum_lt"),
             )
-            .join(n, group_col)
+            .join(n, F.col(group_col).eqNullSafe(F.col("_ng")))
+            .drop("_ng")
             .filter(pr >= q)
             .groupBy(group_col)
             .agg(F.min(score_col).alias("_thr"))
         )
-        return (
-            df.join(F.broadcast(thresholds), group_col)
-            .filter(F.col(score_col) >= F.col("_thr"))
-            .drop("_thr")
-        )
+        return _apply_thresholds(df, thresholds, score_col, group_col)
     thresholds = df.groupBy(group_col).agg(
         F.percentile_approx(score_col, q, accuracy).alias("_thr")
     )
+    return _apply_thresholds(df, thresholds, score_col, group_col)
+
+
+def _apply_thresholds(
+    df: DataFrame, thresholds: DataFrame, score_col: str, group_col: str
+) -> DataFrame:
+    """Broadcast-join the per-group threshold back and keep rows at or
+    above it. NULL-SAFE on the group key: groupBy keeps a NULL group
+    (percent_rank's partitionBy semantics — NULL-group rows rank among
+    themselves), so the join back must match it too; a plain equi-join
+    would silently drop every NULL-group row regardless of score."""
+    thr = thresholds.withColumnRenamed(group_col, "_g")
     return (
-        df.join(F.broadcast(thresholds), group_col)
+        df.join(F.broadcast(thr), F.col(group_col).eqNullSafe(F.col("_g")))
         .filter(F.col(score_col) >= F.col("_thr"))
-        .drop("_thr")
+        .drop("_g", "_thr")
     )

@@ -80,7 +80,9 @@ def semantic_dedup_pairs(
         )
     if n_lists is None:
         n_lists = _adaptive_lists(n)
-    index = build_ivf(corpus, id_col=id_col, vec_col=vec_col, n_lists=n_lists, seed=seed)
+    index = build_ivf(
+        corpus, id_col=id_col, vec_col=vec_col, n_lists=n_lists, seed=seed, n_rows=n
+    )
     if n_lists <= SMALL_CORPUS_LISTS:
         # small corpora (n <= ~SMALL_CORPUS_LISTS x TARGET_LIST_ROWS):
         # the pure-JVM join+fold scorer beats the Arrow kernel's Python
@@ -239,7 +241,9 @@ def diversity_sample(
         )
     if n_lists is None:
         n_lists = _adaptive_lists(n)
-    index = build_ivf(corpus, id_col=id_col, vec_col=vec_col, n_lists=n_lists, seed=seed)
+    index = build_ivf(
+        corpus, id_col=id_col, vec_col=vec_col, n_lists=n_lists, seed=seed, n_rows=n
+    )
     w = W.partitionBy("list_id").orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
     return (
         index.corpus.withColumn("_rk", F.row_number().over(w))

@@ -487,31 +487,15 @@ def q_k17_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.split("text", r"\s+")).cast("bigint").alias("n_tokens"),
     ).withColumn("_bkt", F.expr(f"doc_id div {id_bucket}").cast("bigint"))
-    # Bucket offsets: per-(source, bucket) sums (corpus/4096 rows),
-    # then a per-source cumulative over the bucket table only. Bucket
-    # is monotone in doc_id, so offset + intra-bucket cumsum == the
-    # oracle's global per-source running sum, exactly (integer math).
-    w_b = (
-        W.partitionBy("source").orderBy("_bkt").rowsBetween(W.unboundedPreceding, -1)
-    )
-    boff = (
-        sized.groupBy("source", "_bkt")
-        .agg(F.sum("n_tokens").alias("_btok"))
-        .select(
-            "source",
-            "_bkt",
-            F.coalesce(F.sum("_btok").over(w_b), F.lit(0)).alias("_boff"),
-        )
-    )
-    w_in = (
-        W.partitionBy("source", "_bkt")
-        .orderBy("doc_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    sized = sized.join(boff, ["source", "_bkt"]).withColumn(
-        "cum_tokens",
-        (F.col("_boff") + F.sum("n_tokens").over(w_in)).cast("bigint"),
-    )
+    # The _bkt range bucket is monotone in doc_id, so the shared
+    # bucket-offset + intra-bucket-cumsum decomposition reproduces the
+    # oracle's global per-source running sum exactly (integer math),
+    # with no corpus-sized per-source window anywhere.
+    from cdc_publisher_spark.functions.windows import bucketed_running_sum
+
+    sized = bucketed_running_sum(
+        sized, "source", "_bkt", ["doc_id"], "n_tokens", "cum_tokens"
+    ).withColumn("cum_tokens", F.col("cum_tokens").cast("bigint"))
     # Integer `div`, not float '/': '/' on bigints is double division in
     # Spark and loses exactness past 2^53 cumulative tokens — real at
     # 100 TB token budgets (DuckDB's '//' oracle is exact integer math).

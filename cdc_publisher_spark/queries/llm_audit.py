@@ -669,36 +669,14 @@ def q_k80_budget_enforced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_draw"
         ),
     ).withColumn("_bkt", F.substring("_draw", 1, 2))
-    # Bucket offsets over the (source, 2-hex-prefix) table — ≤256 rows
-    # per source; the per-source cumulative window runs over THAT, not
-    # the corpus. Prefix buckets preserve the (md5, doc_id) total
-    # order, so offset + intra-bucket cumsum == the global running sum.
-    w_b = (
-        W.partitionBy("source").orderBy("_bkt").rowsBetween(W.unboundedPreceding, -1)
-    )
-    boff = (
-        sized.groupBy("source", "_bkt")
-        .agg(F.sum("n_tok").alias("_btok"))
-        .select(
-            "source",
-            "_bkt",
-            F.coalesce(F.sum("_btok").over(w_b), F.lit(0)).alias("_boff"),
-        )
-    )
-    w_in = (
-        W.partitionBy("source", "_bkt")
-        .orderBy("_draw", "doc_id")
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    drawn = (
-        sized.join(boff, ["source", "_bkt"])
-        .select(
-            "doc_id",
-            "source",
-            "n_tok",
-            (F.col("_boff") + F.sum("n_tok").over(w_in)).alias("cum_tok"),
-        )
-    )
+    # The 2-hex-prefix bucket preserves the (md5, doc_id) total order,
+    # so the shared bucket-offset + intra-bucket-cumsum decomposition
+    # (<=256 bucket rows per source) equals the global running sum.
+    from cdc_publisher_spark.functions.windows import bucketed_running_sum
+
+    drawn = bucketed_running_sum(
+        sized, "source", "_bkt", ["_draw", "doc_id"], "n_tok", "cum_tok"
+    ).select("doc_id", "source", "n_tok", "cum_tok")
     return (
         drawn.join(F.broadcast(alloc), "source")
         .filter(F.col("cum_tok") <= F.col("alloc_tok"))

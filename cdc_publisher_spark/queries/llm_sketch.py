@@ -138,7 +138,11 @@ def q_k81_bloom_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pos"),
         )
 
-    hist = docs.filter(F.col("doc_id") % 2 == 0).select(key.alias("k")).distinct()
+    # reused by the bloom build AND the exact-verdict join: cache the
+    # even-split distinct so the scan + md5 + distinct shuffle runs once
+    hist = track_persist(
+        docs.filter(F.col("doc_id") % 2 == 0).select(key.alias("k")).distinct()
+    )
     # the filter itself: bit positions packed into bigint words — the
     # groupBy's map-side combine merges per-partition partial filters
     bloom = (

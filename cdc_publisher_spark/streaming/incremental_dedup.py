@@ -92,7 +92,7 @@ from cdc_publisher_spark.operators.minhash import (
 BH_MOD = 64
 DOC_MOD = 64
 
-_MANIFEST = "_compacted"
+_MANIFEST_PREFIX = "_compacted_upto="
 
 
 # --------------------------------------------------------------------------
@@ -107,38 +107,41 @@ def _fs(spark: SparkSession, path: str):
 
 def _compacted_upto(spark: SparkSession, path: str) -> int | None:
     """The manifest's batch watermark: batches ≤ this live in
-    ``_compact/upto=N``; None when never compacted."""
-    fs, _ = _fs(spark, path)
-    jvm = spark._jvm
-    mpath = jvm.org.apache.hadoop.fs.Path(os.path.join(path, _MANIFEST))
-    if not fs.exists(mpath):
+    ``_compact/upto=N``; None when never compacted.
+
+    The manifest is the MAX over ``_compacted_upto=N`` marker files —
+    the value lives in the NAME, not the content, so a marker is valid
+    the instant its create() is visible. No delete-then-rename window
+    exists: the flip creates the new marker first (two markers for an
+    instant — max wins, which is the new, fully-written segment) and
+    removes older markers afterwards. A crash anywhere leaves at least
+    one valid marker covering a fully-written segment, so history
+    vacuumed under an older watermark can never become unreachable."""
+    fs, jpath = _fs(spark, path)
+    if not fs.exists(jpath):
         return None
-    stream = fs.open(mpath)
-    try:
-        reader = jvm.java.io.BufferedReader(jvm.java.io.InputStreamReader(stream))
-        line = reader.readLine()
-    finally:
-        stream.close()
-    return int(line.strip())
+    marks = [
+        int(st.getPath().getName()[len(_MANIFEST_PREFIX):])
+        for st in fs.listStatus(jpath)
+        if st.getPath().getName().startswith(_MANIFEST_PREFIX)
+    ]
+    return max(marks) if marks else None
 
 
 def _write_manifest(spark: SparkSession, path: str, upto: int) -> None:
-    """Atomic pointer flip: write ``_compacted.tmp``, rename over the
-    manifest. A crash between delete and rename leaves NO manifest —
-    readers fall back to the uncompacted per-batch view, which is
-    complete (old batch dirs are only vacuumed separately)."""
+    """Monotonic pointer flip: create ``_compacted_upto=<upto>``, then
+    drop older markers. See :func:`_compacted_upto` for why this is
+    crash-safe without an atomic rename."""
     fs, _ = _fs(spark, path)
     jvm = spark._jvm
-    tmp = jvm.org.apache.hadoop.fs.Path(os.path.join(path, _MANIFEST + ".tmp"))
-    dst = jvm.org.apache.hadoop.fs.Path(os.path.join(path, _MANIFEST))
-    out = fs.create(tmp, True)
-    try:
-        out.write(bytearray(str(upto).encode("ascii")))
-    finally:
-        out.close()
-    if fs.exists(dst):
-        fs.delete(dst, False)
-    fs.rename(tmp, dst)
+    mark = jvm.org.apache.hadoop.fs.Path(
+        os.path.join(path, f"{_MANIFEST_PREFIX}{upto}")
+    )
+    fs.create(mark, True).close()
+    for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(path)):
+        name = st.getPath().getName()
+        if name.startswith(_MANIFEST_PREFIX) and int(name[len(_MANIFEST_PREFIX):]) < upto:
+            fs.delete(st.getPath(), False)
 
 
 def _batch_dirs(spark: SparkSession, path: str) -> list[tuple[int, str]]:
@@ -242,6 +245,31 @@ def dedup_micro_batch(
         if seen is not None:
             # columnar id-only scan of history; opt-in (O(history))
             batch = batch.join(seen.select(id_col), id_col, "anti")
+    # the batch lineage (dedup shuffle + optional history anti-join)
+    # feeds four downstream jobs this trigger (existence probe, signing,
+    # verify union, corpus write) — cache it so the guard's O(history)
+    # scan and the dropDuplicates shuffle run once, not per consumer
+    batch = batch.persist()
+    try:
+        _dedup_micro_batch_body(
+            spark, batch, batch_id, corpus_dir, index_dir, pairs_dir,
+            id_col, text_col, threshold,
+        )
+    finally:
+        batch.unpersist()
+
+
+def _dedup_micro_batch_body(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    corpus_dir: str,
+    index_dir: str,
+    pairs_dir: str,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+) -> None:
     if not batch.take(1):
         return
     new_buckets = lsh_buckets(minhash_signatures(batch, id_col, text_col))
@@ -340,16 +368,20 @@ def compact_state(
 ) -> None:
     """Rewrite batches ≤ ``upto_batch`` (plus any previous compact
     segment) into ``_compact/upto=N`` with the same inner
-    partitioning, then flip the ``_compacted`` manifest atomically.
-    Idempotent: re-running overwrites the same segment and re-flips
-    the same pointer. Readers never see a partial view — the manifest
-    flip is the only visible transition, and until it happens the old
-    per-batch dirs answer reads."""
+    partitioning, then flip the manifest marker. Idempotent: a re-run
+    at the current watermark is a no-op (the segment is already live —
+    re-writing it would read from the path being overwritten), and a
+    re-run after a crash mid-``compact_dedup_state`` skips the dirs
+    that already flipped and compacts the rest. Readers never see a
+    partial view — the marker flip is the only visible transition, and
+    until it happens the old per-batch dirs answer reads."""
     prev = _compacted_upto(spark, state_dir)
     if prev is not None and prev > upto_batch:
         raise ValueError(
             f"cannot compact {state_dir} to {upto_batch}: already compacted to {prev}"
         )
+    if prev == upto_batch:
+        return  # already flipped to this watermark: nothing to do
     df = _read_state(spark, state_dir)
     if df is None:
         raise ValueError(f"no state at {state_dir}")
@@ -364,9 +396,18 @@ def compact_state(
 
 def vacuum_state(spark: SparkSession, state_dir: str) -> int:
     """Delete batch dirs at or below the compaction watermark and
-    superseded ``_compact/upto=M`` segments. Safe any time after the
-    manifest flip (readers select live dirs strictly above the
-    watermark). Returns the number of directories removed."""
+    superseded ``_compact/upto=M`` segments. Returns the number of
+    directories removed.
+
+    Concurrency contract: crash-safe against the WRITER (the stream's
+    foreachBatch) at any time, but an unsynchronized CONCURRENT reader
+    — a micro-batch that listed state dirs against the pre-flip
+    manifest and hasn't executed its scan yet — can hit deleted paths
+    mid-job. Run compaction+vacuum from the stream's own maintenance
+    cadence (between triggers), with the stream stopped, or compact
+    with ``vacuum=False`` / ``--keep-batches`` and vacuum at a quiet
+    point; superseded dirs are only garbage, so deferral costs disk,
+    not correctness."""
     upto = _compacted_upto(spark, state_dir)
     if upto is None:
         return 0

@@ -517,3 +517,50 @@ def test_dedup_cross_batch_guard_drops_redelivered_ids(spark, tmp_path):
     assert corpus.select("doc_id").distinct().count() == 3
     pairs = {(r.d1, r.d2) for r in read_dedup_state(spark, dirs[2]).collect()}
     assert pairs == {(1, 7)}  # no self-pair from the redelivered copy
+
+
+def test_dedup_compact_rerun_after_partial_crash_converges(spark, tmp_path):
+    """Crash-recovery: compact_dedup_state dies after compacting only
+    the corpus dir (index/pairs still uncompacted). A re-run at the
+    SAME watermark must skip the already-flipped dir (re-writing it
+    would read from the path being overwritten) and finish the rest;
+    the unified views never change."""
+    from cdc_publisher_spark.streaming.incremental_dedup import (
+        _compacted_upto,
+        compact_dedup_state,
+        compact_state,
+        dedup_micro_batch,
+        read_dedup_state,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    dirs = [str(tmp_path / d) for d in ("corpus", "idx", "pairs")]
+    for b, rows in enumerate(
+        [[(1, base), (2, "q " * 25)], [(3, base + " aa")], [(4, "z " * 28)]]
+    ):
+        dedup_micro_batch(
+            spark.createDataFrame(rows, "doc_id long, text string"), b, *dirs
+        )
+    before = {
+        d: sorted(map(tuple, read_dedup_state(spark, d).collect())) for d in dirs
+    }
+
+    # simulated crash: only the corpus dir compacted + flipped
+    compact_state(spark, dirs[0], upto_batch=1, partition_cols=("dh",))
+    assert _compacted_upto(spark, dirs[0]) == 1
+    assert _compacted_upto(spark, dirs[1]) is None
+
+    # recovery re-run at the same watermark: must not raise
+    compact_dedup_state(spark, *dirs, upto_batch=1)
+    for d in dirs:
+        assert _compacted_upto(spark, d) == 1
+        assert sorted(map(tuple, read_dedup_state(spark, d).collect())) == before[d]
+
+    # manifest markers are monotonic: advancing leaves exactly one
+    compact_dedup_state(spark, *dirs, upto_batch=2)
+    import glob
+
+    for d in dirs:
+        assert _compacted_upto(spark, d) == 2
+        assert len(glob.glob(f"{d}/_compacted_upto=*")) == 1
+        assert sorted(map(tuple, read_dedup_state(spark, d).collect())) == before[d]

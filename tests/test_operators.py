@@ -1130,3 +1130,26 @@ def test_semdedup_pair_scorers_agree(spark, sf_oracle):
         ).collect()
     }
     assert expr and expr == arrow
+
+
+def test_quantile_filter_keeps_null_group_rows(spark):
+    """NULL group_col rows form their own group (percent_rank
+    partitionBy semantics) in BOTH the exact and approx paths — an
+    equi-join back would silently drop them regardless of score."""
+    from cdc_publisher_spark.operators.quality_filter import quantile_filter
+
+    # en and NULL groups carry IDENTICAL score distributions, so a
+    # correct filter keeps the same score set in both — whatever the
+    # path's cutoff semantics at the quantile boundary
+    scores = [0.1, 0.3, 0.5, 0.7, 0.9]
+    rows = [(i, "en", s) for i, s in enumerate(scores)] + [
+        (10 + i, None, s) for i, s in enumerate(scores)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, score double")
+    for exact in (False, True):
+        out = quantile_filter(df, "score", "lang", q=0.4, exact=exact).collect()
+        en = sorted(r["score"] for r in out if r["lang"] == "en")
+        nulls = sorted(r["score"] for r in out if r["lang"] is None)
+        assert nulls == en, f"exact={exact}: NULL group diverged ({nulls} vs {en})"
+        assert nulls, f"exact={exact}: NULL-group rows all dropped"
+        assert 0.1 not in nulls, f"exact={exact}: bottom row survived the filter"
