@@ -58,6 +58,7 @@ KMV_K = 64
 @register(
     "q_k81_bloom_dedup_probe",
     family="K",
+    bench=True,  # broadcast-filter build + probe: the sketch scale path
     doc="Bloom-filter membership screen for incremental dedup: the "
     "even-doc_id history split's exact-dup keys (md5(text), the q_k1 "
     "identity) populate a 65536-bit filter — 4 md5-derived bit "
@@ -245,6 +246,7 @@ def q_k82_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_k83_kmv_source_overlap",
     family="K",
+    bench=True,  # WindowGroupLimit sketch build + bitmap exact side
     doc="Source-overlap audit from KMV bottom-k sketches: per source, "
     "the 64 smallest md5 hashes of its distinct trigram shingles "
     "(rank <= K over a per-source window — compiles to "

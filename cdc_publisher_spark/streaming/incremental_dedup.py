@@ -60,7 +60,10 @@ shingling. For sources that cannot guarantee that,
 ``guard_cross_batch=True`` anti-joins each batch against the
 accumulated corpus ids first — an id-column scan of the corpus
 parquet (cheap columnar read, but O(history), so it is opt-in rather
-than the default).
+than the default). Where that scan matters, the q_k81 Bloom pattern
+(queries/llm_sketch.py) is the standard pre-screen: an O(m)-byte
+bit_or-aggregated filter over history ids, broadcast to the batch,
+with the exact anti-join run only on the maybe-dup remainder.
 
 foreachBatch (not a stateful operator): the per-key state primitives
 (``applyInPandasWithState``) hold state per GROUP, but dedup state is
