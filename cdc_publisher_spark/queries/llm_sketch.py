@@ -25,6 +25,28 @@ and each audited against the exact answer inside the same query:
   exact pairwise Jaccard comes from ONE bitmap aggregation (bit_or of
   per-source bits per shingle, then counts per bitmap value), not 190
   pairwise joins.
+- q_k84 HyperLogLog distinct-shingle cardinality (Flajolet et al.
+  2007): m=256 registers per source from ONE max() aggregate over
+  md5-derived (bucket, rho) pairs — no distinct, no count-distinct
+  shuffle; the register table is 256 rows per source at ANY corpus
+  size. The harmonic core is emitted as an EXACT integer
+  (sum of 2^(25-M), all dyadic, no float summation), the estimate
+  beside the exact distinct count it replaces.
+- q_k85 HDR-histogram quantiles (integer log-buckets, 3 significant
+  bits — Tene's HdrHistogram layout): per-source token-count
+  distribution compressed to <= ~8*4 integer buckets by pure integer
+  bit arithmetic; p50/p90/p99 read off the cumulative histogram
+  (dimension-sized window) and audited against the exact discrete
+  percentile computed via the q_k63 distinct-value decomposition —
+  no corpus-sized window anywhere, and the histogram is mergeable
+  (partial+final combine = sketch merge).
+- q_k86 MinHash estimator calibration: md5-permutation signatures
+  (P=16) -> banded LSH candidates (8x2) -> per-pair estimated
+  Jaccard (sig agreement / P) vs exact shingle Jaccard on the SAME
+  candidate set, bucketed by exact-Jaccard decile. The per-pair
+  error is carried as DECIMAL(10,4) so the decile means are
+  order-independent exact sums — the audit a data engineer runs
+  before trusting q_k3's threshold at a new corpus.
 
 Determinism: all randomness is md5-derived (DuckDB reproduces the
 exact bytes); q_k82's single ln() per row is rounded to 8 dp before
@@ -410,4 +432,526 @@ def q_k83_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(kmv_j - ex_j) <= 0.25).alias("err_ok"),
         )
         .orderBy("s1", "s2")
+    )
+
+
+# --------------------------------------------------------------------------
+# shared integer bit-arithmetic (engine-portable SQL text)
+# --------------------------------------------------------------------------
+def _bitlen_case(col: str, width: int) -> str:
+    """SQL CASE computing bit_length(col) for 0 <= col < 2**width.
+
+    Generated as plain integer comparisons so the SAME text runs in
+    Spark SQL and DuckDB with bit-identical results — no reliance on
+    bin()/log2() whose padding/rounding differ across engines.
+    """
+    whens = " ".join(f"WHEN {col} >= {1 << (p - 1)} THEN {p}" for p in range(width, 0, -1))
+    return f"(CASE {whens} ELSE 0 END)"
+
+
+HLL_M = 256  # 2^8 registers; sigma = 1.04/sqrt(m) ~ 6.5%
+HLL_RHO_MAX = 25  # 32-bit hash - 8 bucket bits -> rho in [1, 25]
+# alpha_256 from the HLL paper (0.7213 / (1 + 1.079/m)); inlined as the
+# same decimal literal on both engines so the float product is identical.
+HLL_ALPHA = repr(0.7213 / (1 + 1.079 / 256))
+_RHO_SQL = f"({HLL_RHO_MAX} - {_bitlen_case('rest', 24)})"
+
+
+# --------------------------------------------------------------------------
+# q_k84 — HyperLogLog distinct-shingle cardinality per source
+# --------------------------------------------------------------------------
+@register(
+    "q_k84_hll_distinct_shingles",
+    family="K",
+    doc="HyperLogLog distinct-cardinality sketch per source (Flajolet "
+    "2007): each shingle hashes to a 32-bit md5 value; low 8 bits pick "
+    "one of m=256 registers, the remaining 24 bits' leading-zero rank "
+    "rho (computed by a generated integer-CASE, engine-portable) is "
+    "max()-aggregated per register — duplicates are absorbed by max, "
+    "so there is NO distinct and NO count-distinct shuffle anywhere "
+    "on the sketch path. The harmonic denominator is emitted as an "
+    "EXACT integer (sum of 2^(25-M) over all 256 registers — dyadic "
+    "terms, no float summation), then the standard estimator with "
+    "small-range linear-counting correction. The exact distinct count "
+    "(the expensive thing the sketch replaces) is computed beside it "
+    "as the audit twin; err_ok checks |est-exact|/exact <= 0.2 "
+    "(~3 sigma at m=256). SCALE: registers are O(m) rows per source "
+    "at any corpus size and the aggregate's partial+final combine IS "
+    "the HLL merge — at 100 TB the sketch path is one linear scan "
+    "plus a 256-rows-per-source shuffle, vs the exact path's "
+    "corpus-wide distinct.",
+    oracle=f"""
+        WITH w AS (SELECT doc_id, source, string_split(text, ' ') ws FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id, source, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+            FROM w CROSS JOIN generate_series(1, 100000) g(i)
+            WHERE i + 2 <= len(ws)
+        ),
+        hv AS (
+            SELECT source, s,
+                   CAST(('0x' || substr(md5('hll' || s), 1, 8)) AS UBIGINT) AS h
+            FROM sh
+        ),
+        b AS (
+            SELECT source, CAST(h % {HLL_M} AS BIGINT) AS bucket,
+                   CAST(h // {HLL_M} AS BIGINT) AS rest
+            FROM hv
+        ),
+        regs AS (
+            SELECT source, bucket, MAX({_RHO_SQL}) AS M
+            FROM b GROUP BY 1, 2
+        ),
+        per AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_present,
+                   CAST(SUM(CAST(1 AS BIGINT) << ({HLL_RHO_MAX} - M)) AS BIGINT)
+                       AS z_present
+            FROM regs GROUP BY 1
+        ),
+        ex AS (
+            SELECT source, CAST(COUNT(DISTINCT s) AS BIGINT) AS exact_distinct
+            FROM sh GROUP BY 1
+        ),
+        calc AS (
+            SELECT per.source,
+                   ({HLL_M} - n_present) AS v_zero,
+                   z_present + ({HLL_M} - n_present) * {1 << HLL_RHO_MAX} AS z,
+                   exact_distinct
+            FROM per JOIN ex ON ex.source = per.source
+        ),
+        est AS (
+            SELECT source, v_zero, z, exact_distinct,
+                   CASE WHEN (CAST({HLL_ALPHA} AS DOUBLE) * {HLL_M * HLL_M}e0 * {1 << HLL_RHO_MAX}e0 / z)
+                             <= {2.5 * HLL_M} AND v_zero > 0
+                        THEN {HLL_M}e0 * ln({HLL_M}e0 / v_zero)
+                        ELSE CAST({HLL_ALPHA} AS DOUBLE) * {HLL_M * HLL_M}e0 * {1 << HLL_RHO_MAX}e0 / z
+                   END AS e
+            FROM calc
+        )
+        SELECT source,
+               CAST(v_zero AS BIGINT) AS n_zero_registers,
+               CAST(z AS BIGINT) AS harmonic_z,
+               ROUND(e, 4) AS hll_estimate,
+               exact_distinct,
+               ROUND(ABS(e - exact_distinct) / exact_distinct, 4) AS rel_err,
+               (ABS(e - exact_distinct) / exact_distinct <= 0.2) AS err_ok
+        FROM est
+        ORDER BY source
+    """,
+)
+def q_k84_hll_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    # per-doc distinct shingles joined to source; persisted because the
+    # sketch path and the exact audit twin both scan it
+    sh = track_persist(
+        TX.shingle_rows(docs, "doc_id", "text", 3)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "s")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("hll"), F.col("s"))), 1, 8), 16, 10
+    ).cast("bigint")
+    # NOTE: no .distinct() before the register aggregate — max() absorbs
+    # duplicate shingles, which is exactly why HLL needs no dedup pass.
+    buckets = sh.select(
+        "source",
+        (h % HLL_M).alias("bucket"),
+        F.floor(h / HLL_M).cast("bigint").alias("rest"),
+    )
+    regs = (
+        buckets.select("source", "bucket", F.expr(_RHO_SQL).alias("rho"))
+        .groupBy("source", "bucket")
+        .agg(F.max("rho").alias("M"))
+    )
+    per = (
+        regs.select(
+            "source",
+            F.expr(f"shiftleft(cast(1 as bigint), {HLL_RHO_MAX} - M)").alias("zterm"),
+        )
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_present"), F.sum("zterm").alias("z_present"))
+    )
+    exact = sh.distinct().groupBy("source").agg(
+        F.count("*").cast("long").alias("exact_distinct")
+    )
+    v_zero = (F.lit(HLL_M) - F.col("n_present")).cast("long")
+    z = (F.col("z_present") + v_zero * (1 << HLL_RHO_MAX)).cast("long")
+    calc = per.join(exact, "source").select(
+        "source", v_zero.alias("v_zero"), z.alias("z"), "exact_distinct"
+    )
+    e_raw = (
+        F.lit(float(HLL_ALPHA)) * F.lit(float(HLL_M * HLL_M)) * F.lit(float(1 << HLL_RHO_MAX))
+        / F.col("z")
+    )
+    e = F.when(
+        (e_raw <= 2.5 * HLL_M) & (F.col("v_zero") > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("v_zero")),
+    ).otherwise(e_raw)
+    rel = F.abs(e - F.col("exact_distinct")) / F.col("exact_distinct")
+    return calc.select(
+        "source",
+        F.col("v_zero").alias("n_zero_registers"),
+        F.col("z").alias("harmonic_z"),
+        F.round(e, 4).alias("hll_estimate"),
+        "exact_distinct",
+        F.round(rel, 4).alias("rel_err"),
+        (rel <= 0.2).alias("err_ok"),
+    ).orderBy("source")
+
+
+HDR_SIG_BITS = 3  # significant bits kept per bucket -> <=12.5% relative width
+_EB_SQL = _bitlen_case("n", 31)
+HDR_PS = (0.5, 0.9, 0.99)
+
+
+# --------------------------------------------------------------------------
+# q_k85 — HDR-histogram quantile sketch over token counts
+# --------------------------------------------------------------------------
+@register(
+    "q_k85_hdr_quantile_sketch",
+    family="K",
+    doc="HdrHistogram-style quantile sketch (Tene's layout: exponent + "
+    "3 significant bits, pure integer bit arithmetic) over per-doc "
+    "whitespace token counts, per source: each count maps to a bucket "
+    "id by generated integer-CASE bit-length + shifts (engine-portable, "
+    "no floats), the histogram is ONE groupBy (partial+final combine = "
+    "mergeable sketch; <= ~8*2^3 buckets per source at any corpus "
+    "size), and p50/p90/p99 are read off the cumulative histogram — a "
+    "window over the BUCKET table, never the corpus. The exact "
+    "discrete percentile (what the sketch replaces) is computed beside "
+    "it via the q_k63 distinct-value decomposition (distinct counts "
+    "per (source, n), cumulative over the distinct-value table). "
+    "in_bucket asserts the histogram invariant est_lo <= exact <= "
+    "est_hi — the 2^-sig_bits relative-error contract. SCALE: the "
+    "sketch state is O(buckets) per source; at 100 TB the quantile "
+    "query costs one scan + a few-hundred-row rollup, vs an exact "
+    "global sort.",
+    oracle=f"""
+        WITH t AS (
+            SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+            FROM documents
+        ),
+        e AS (SELECT source, n, {_EB_SQL} AS eb FROM t),
+        bkt AS (
+            SELECT source, n,
+                   CASE WHEN n < 8 THEN n
+                        ELSE eb * 8 + (n >> (eb - {HDR_SIG_BITS}))
+                   END AS bid,
+                   CASE WHEN n < 8 THEN n
+                        ELSE (n >> (eb - {HDR_SIG_BITS})) << (eb - {HDR_SIG_BITS})
+                   END AS lo,
+                   CASE WHEN n < 8 THEN n
+                        ELSE (((n >> (eb - {HDR_SIG_BITS})) + 1) << (eb - {HDR_SIG_BITS})) - 1
+                   END AS hi
+            FROM e
+        ),
+        hist AS (
+            SELECT source, bid, MIN(lo) AS lo, MIN(hi) AS hi,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM bkt GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT source, bid, lo, hi, c,
+                   SUM(c) OVER (PARTITION BY source ORDER BY bid) AS cum,
+                   SUM(c) OVER (PARTITION BY source) AS tot
+            FROM hist
+        ),
+        qs(p) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+                         (CAST(0.99 AS DOUBLE))),
+        pick AS (
+            SELECT source, p,
+                   MIN(bid) AS bid,
+                   ARG_MIN(lo, bid) AS est_lo,
+                   ARG_MIN(hi, bid) AS est_hi
+            FROM cum CROSS JOIN qs
+            WHERE cum >= CAST(CEIL(p * tot) AS BIGINT)
+            GROUP BY 1, 2
+        ),
+        nv AS (SELECT source, n, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1, 2),
+        nc AS (
+            SELECT source, n,
+                   SUM(c) OVER (PARTITION BY source ORDER BY n) AS cumn,
+                   SUM(c) OVER (PARTITION BY source) AS tot
+            FROM nv
+        ),
+        ex AS (
+            SELECT source, p, MIN(n) AS exact_q
+            FROM nc CROSS JOIN qs
+            WHERE cumn >= CAST(CEIL(p * tot) AS BIGINT)
+            GROUP BY 1, 2
+        )
+        SELECT pick.source, pick.p,
+               CAST(pick.bid AS BIGINT) AS bucket_id,
+               CAST(pick.est_lo AS BIGINT) AS est_lo,
+               CAST(pick.est_hi AS BIGINT) AS est_hi,
+               CAST(ex.exact_q AS BIGINT) AS exact_q,
+               (pick.est_lo <= ex.exact_q AND ex.exact_q <= pick.est_hi)
+                   AS in_bucket
+        FROM pick JOIN ex ON ex.source = pick.source AND ex.p = pick.p
+        ORDER BY pick.source, pick.p
+    """,
+)
+def q_k85_hdr_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = track_persist(
+        docs.select("source", TX.n_words(F.col("text")).cast("long").alias("n"))
+    )
+    sb = HDR_SIG_BITS
+    e = t.select("source", "n", F.expr(_EB_SQL).alias("eb"))
+    small = F.col("n") < 8
+    sub = F.expr(f"shiftright(n, eb - {sb})")
+    bkt = e.select(
+        "source",
+        "n",
+        F.when(small, F.col("n")).otherwise(F.col("eb") * 8 + sub).alias("bid"),
+        F.when(small, F.col("n"))
+        .otherwise(F.expr(f"shiftleft(shiftright(n, eb - {sb}), eb - {sb})"))
+        .alias("lo"),
+        F.when(small, F.col("n"))
+        .otherwise(
+            F.expr(f"shiftleft(shiftright(n, eb - {sb}) + 1, eb - {sb}) - 1")
+        )
+        .alias("hi"),
+    )
+    hist = bkt.groupBy("source", "bid").agg(
+        F.min("lo").alias("lo"),
+        F.min("hi").alias("hi"),
+        F.count("*").cast("long").alias("c"),
+    )
+    # windows over the BUCKET table (<= ~8*2^sig_bits rows per source),
+    # never the corpus — the q_k63 shape the plan tripwire allows
+    wcum = W.partitionBy("source").orderBy("bid").rowsBetween(W.unboundedPreceding, 0)
+    wtot = W.partitionBy("source")
+    cum = hist.select(
+        "source", "bid", "lo", "hi",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wtot).alias("tot"),
+    )
+    qs = spark.createDataFrame([(p,) for p in HDR_PS], "p double")
+    rank = F.ceil(F.col("p") * F.col("tot")).cast("long")
+    pick = (
+        cum.crossJoin(F.broadcast(qs))
+        .filter(F.col("cum") >= rank)
+        .groupBy("source", "p")
+        .agg(
+            F.min("bid").cast("long").alias("bucket_id"),
+            F.min_by("lo", "bid").cast("long").alias("est_lo"),
+            F.min_by("hi", "bid").cast("long").alias("est_hi"),
+        )
+    )
+    nv = t.groupBy("source", "n").agg(F.count("*").cast("long").alias("c"))
+    wncum = W.partitionBy("source").orderBy("n").rowsBetween(W.unboundedPreceding, 0)
+    nc = nv.select(
+        "source", "n",
+        F.sum("c").over(wncum).alias("cumn"),
+        F.sum("c").over(wtot).alias("tot"),
+    )
+    ex = (
+        nc.crossJoin(F.broadcast(qs))
+        .filter(F.col("cumn") >= rank)
+        .groupBy("source", "p")
+        .agg(F.min("n").cast("long").alias("exact_q"))
+    )
+    return (
+        pick.join(ex, ["source", "p"])
+        .select(
+            "source", "p", "bucket_id", "est_lo", "est_hi", "exact_q",
+            ((F.col("est_lo") <= F.col("exact_q"))
+             & (F.col("exact_q") <= F.col("est_hi"))).alias("in_bucket"),
+        )
+        .orderBy("source", "p")
+    )
+
+
+CAL_PERMS = 16  # md5 permutations per signature
+CAL_BANDS = 8  # 8 bands x 2 rows
+
+
+# --------------------------------------------------------------------------
+# q_k86 — MinHash estimator calibration (estimate vs exact, by decile)
+# --------------------------------------------------------------------------
+@register(
+    "q_k86_minhash_calibration",
+    family="K",
+    doc="MinHash estimator calibration audit — the check a data "
+    "engineer runs before trusting an LSH threshold on a new corpus: "
+    "P=16 md5-permutation signatures (min over each doc's distinct "
+    "trigram shingles; ONE hash aggregate computes all 16 mins), "
+    "banded 8x2 into LSH candidates (self-equi-join on (band, h1, "
+    "h2) — O(collisions), never O(docs^2)), then for every candidate "
+    "pair the estimated Jaccard (matching signature components / P) "
+    "meets the exact shingle Jaccard computed on the SAME pruned "
+    "pair set. Pairs bucket by exact-Jaccard decile; per-pair "
+    "est/exact are carried as DECIMAL(10,4) so the decile sums are "
+    "exact and order-independent (registry.py float canonicalization "
+    "policy), divided once into 4dp means. well_calibrated flags "
+    "mean |est-exact| <= 0.35 (sigma = sqrt(J(1-J)/16) <= 0.125; "
+    "generous 'is the estimator usable' bound for thin deciles). "
+    "SCALE: signatures are a linear scan, the band join's key is "
+    "uniform by construction, and the exact side touches only "
+    "candidate pairs — the audit costs what q_k3 costs, not an "
+    "all-pairs join.",
+    oracle=f"""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+            FROM w CROSS JOIN generate_series(1, 100000) g(i)
+            WHERE i + 2 <= len(ws)
+        ),
+        hv AS (
+            SELECT doc_id, g.i,
+                   MIN(CAST(('0x' || substr(md5('mh' || CAST(g.i AS VARCHAR)
+                                                || ':' || s), 1, 8)) AS UBIGINT)) AS h
+            FROM sh CROSS JOIN generate_series(0, {CAL_PERMS - 1}) g(i)
+            GROUP BY 1, 2
+        ),
+        bands AS (
+            SELECT a.doc_id, a.i // 2 AS band, a.h AS h1, b.h AS h2
+            FROM hv a JOIN hv b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+            WHERE a.i % 2 = 0
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+            FROM bands x JOIN bands y
+              ON x.band = y.band AND x.h1 = y.h1 AND x.h2 = y.h2
+             AND x.doc_id < y.doc_id
+        ),
+        m AS (
+            SELECT c.d1, c.d2,
+                   SUM(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END) AS nm
+            FROM cand c
+            JOIN hv ha ON ha.doc_id = c.d1
+            JOIN hv hb ON hb.doc_id = c.d2 AND hb.i = ha.i
+            GROUP BY 1, 2
+        ),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+            SELECT c.d1, c.d2, COUNT(*) AS i
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.d1
+            JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT m.d1, m.d2,
+                   CAST(ROUND(m.nm / {CAL_PERMS}e0, 4) AS DECIMAL(10,4)) AS est,
+                   CAST(ROUND(COALESCE(inter.i, 0) * 1.0
+                              / (s1.n + s2.n - COALESCE(inter.i, 0)), 4)
+                        AS DECIMAL(10,4)) AS ex
+            FROM m
+            LEFT JOIN inter ON inter.d1 = m.d1 AND inter.d2 = m.d2
+            JOIN sz s1 ON s1.doc_id = m.d1
+            JOIN sz s2 ON s2.doc_id = m.d2
+        ),
+        dec AS (
+            SELECT LEAST(CAST(FLOOR(ex * 10) AS INT), 9) AS decile, est, ex
+            FROM pairs
+        )
+        SELECT decile,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               ROUND(CAST(SUM(est) AS DOUBLE) / COUNT(*), 4) AS mean_est,
+               ROUND(CAST(SUM(ex) AS DOUBLE) / COUNT(*), 4) AS mean_exact,
+               ROUND(CAST(SUM(ABS(est - ex)) AS DOUBLE) / COUNT(*), 4)
+                   AS mean_abs_err,
+               (CAST(SUM(ABS(est - ex)) AS DOUBLE) / COUNT(*) <= 0.35)
+                   AS well_calibrated
+        FROM dec
+        GROUP BY 1
+        ORDER BY 1
+    """,
+)
+def q_k86_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sh = track_persist(TX.shingle_rows(docs, "doc_id", "text", 3))
+
+    def hcol(i: int):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"mh{i}:"), F.col("s"))), 1, 8), 16, 10
+        ).cast("bigint")
+
+    sig = track_persist(
+        sh.groupBy("doc_id").agg(
+            *[F.min(hcol(i)).alias(f"h{i}") for i in range(CAL_PERMS)]
+        )
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.col(f"h{2 * b}").alias("h1"),
+                        F.col(f"h{2 * b + 1}").alias("h2"),
+                    )
+                    for b in range(CAL_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.h1", "bk.h2")
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(y, ["band", "h1", "h2"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
+        .distinct()
+    )
+    sa, sb = sig.alias("sa"), sig.alias("sb")
+    nm = sum(
+        [
+            F.when(F.col(f"sa.h{i}") == F.col(f"sb.h{i}"), 1).otherwise(0)
+            for i in range(CAL_PERMS)
+        ],
+        F.lit(0),
+    )
+    m = (
+        cand.join(sa, F.col("d1") == F.col("sa.doc_id"))
+        .join(sb, F.col("d2") == F.col("sb.doc_id"))
+        .select("d1", "d2", nm.alias("nm"))
+    )
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # exact side pruned to candidates: semi-join the shingle table down
+    # to candidate ids before the pair join (the verify_candidates shape)
+    ids = cand.select(F.col("d1").alias("doc_id")).union(
+        cand.select(F.col("d2").alias("doc_id"))
+    ).distinct()
+    shc = sh.join(ids, "doc_id", "left_semi")
+    a, b_ = shc.alias("a"), shc.alias("b")
+    inter = (
+        cand.join(a, F.col("d1") == F.col("a.doc_id"))
+        .join(b_, (F.col("d2") == F.col("b.doc_id")) & (F.col("a.s") == F.col("b.s")))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("i"))
+    )
+    s1, s2 = sz.alias("s1"), sz.alias("s2")
+    iv = F.coalesce(F.col("i"), F.lit(0))
+    pairs = (
+        m.join(inter, ["d1", "d2"], "left")
+        .join(s1, F.col("d1") == F.col("s1.doc_id"))
+        .join(s2, F.col("d2") == F.col("s2.doc_id"))
+        .select(
+            F.round(F.col("nm") / F.lit(float(CAL_PERMS)), 4)
+            .cast("decimal(10,4)")
+            .alias("est"),
+            F.round(iv * 1.0 / (F.col("s1.n") + F.col("s2.n") - iv), 4)
+            .cast("decimal(10,4)")
+            .alias("ex"),
+        )
+    )
+    dec = pairs.select(
+        F.least(F.floor(F.col("ex") * 10).cast("int"), F.lit(9)).alias("decile"),
+        "est",
+        "ex",
+    )
+    mae = F.sum(F.abs(F.col("est") - F.col("ex"))).cast("double") / F.count("*")
+    return (
+        dec.groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(F.sum("est").cast("double") / F.count("*"), 4).alias("mean_est"),
+            F.round(F.sum("ex").cast("double") / F.count("*"), 4).alias("mean_exact"),
+            F.round(mae, 4).alias("mean_abs_err"),
+            (mae <= 0.35).alias("well_calibrated"),
+        )
+        .orderBy("decile")
     )
