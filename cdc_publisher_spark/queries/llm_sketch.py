@@ -890,7 +890,9 @@ def q_k86_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.h1", "bk.h2")
     x, y = bands.alias("x"), bands.alias("y")
-    cand = (
+    # persisted: the band self-join is the expensive probe and the pair
+    # set feeds THREE consumers (signature match, id prune, exact verify)
+    cand = track_persist(
         x.join(y, ["band", "h1", "h2"])
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
@@ -915,7 +917,7 @@ def q_k86_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = cand.select(F.col("d1").alias("doc_id")).union(
         cand.select(F.col("d2").alias("doc_id"))
     ).distinct()
-    shc = sh.join(ids, "doc_id", "left_semi")
+    shc = track_persist(sh.join(ids, "doc_id", "left_semi"))
     a, b_ = shc.alias("a"), shc.alias("b")
     inter = (
         cand.join(a, F.col("d1") == F.col("a.doc_id"))
