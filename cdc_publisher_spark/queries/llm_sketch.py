@@ -435,26 +435,19 @@ def q_k83_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------------------
-# shared integer bit-arithmetic (engine-portable SQL text)
-# --------------------------------------------------------------------------
-def _bitlen_case(col: str, width: int) -> str:
-    """SQL CASE computing bit_length(col) for 0 <= col < 2**width.
-
-    Generated as plain integer comparisons so the SAME text runs in
-    Spark SQL and DuckDB with bit-identical results — no reliance on
-    bin()/log2() whose padding/rounding differ across engines.
-    """
-    whens = " ".join(f"WHEN {col} >= {1 << (p - 1)} THEN {p}" for p in range(width, 0, -1))
-    return f"(CASE {whens} ELSE 0 END)"
-
-
-HLL_M = 256  # 2^8 registers; sigma = 1.04/sqrt(m) ~ 6.5%
-HLL_RHO_MAX = 25  # 32-bit hash - 8 bucket bits -> rho in [1, 25]
-# alpha_256 from the HLL paper (0.7213 / (1 + 1.079/m)); inlined as the
-# same decimal literal on both engines so the float product is identical.
-HLL_ALPHA = repr(0.7213 / (1 + 1.079 / 256))
-_RHO_SQL = f"({HLL_RHO_MAX} - {_bitlen_case('rest', 24)})"
+# Shared integer bit-arithmetic and HLL register machinery live in
+# operators/hll.py (the streaming monitor streaming/hll_monitor.py
+# reuses them); the oracle f-strings below interpolate the same
+# constants so both engines compute identical sketch bytes.
+from cdc_publisher_spark.operators.hll import (  # noqa: E402
+    HLL_ALPHA,
+    HLL_M,
+    HLL_RHO_MAX,
+    RHO_SQL as _RHO_SQL,
+    bitlen_case as _bitlen_case,
+    hll_estimate,
+    hll_registers,
+)
 
 
 # --------------------------------------------------------------------------
@@ -548,51 +541,18 @@ def q_k84_hll_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(docs.select("doc_id", "source"), "doc_id")
         .select("source", "s")
     )
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit("hll"), F.col("s"))), 1, 8), 16, 10
-    ).cast("bigint")
     # NOTE: no .distinct() before the register aggregate — max() absorbs
     # duplicate shingles, which is exactly why HLL needs no dedup pass.
-    buckets = sh.select(
-        "source",
-        (h % HLL_M).alias("bucket"),
-        F.floor(h / HLL_M).cast("bigint").alias("rest"),
-    )
-    regs = (
-        buckets.select("source", "bucket", F.expr(_RHO_SQL).alias("rho"))
-        .groupBy("source", "bucket")
-        .agg(F.max("rho").alias("M"))
-    )
-    per = (
-        regs.select(
-            "source",
-            F.expr(f"shiftleft(cast(1 as bigint), {HLL_RHO_MAX} - M)").alias("zterm"),
-        )
-        .groupBy("source")
-        .agg(F.count("*").cast("long").alias("n_present"), F.sum("zterm").alias("z_present"))
-    )
+    est = hll_estimate(hll_registers(sh, ["source"]), ["source"])
     exact = sh.distinct().groupBy("source").agg(
         F.count("*").cast("long").alias("exact_distinct")
     )
-    v_zero = (F.lit(HLL_M) - F.col("n_present")).cast("long")
-    z = (F.col("z_present") + v_zero * (1 << HLL_RHO_MAX)).cast("long")
-    calc = per.join(exact, "source").select(
-        "source", v_zero.alias("v_zero"), z.alias("z"), "exact_distinct"
-    )
-    e_raw = (
-        F.lit(float(HLL_ALPHA)) * F.lit(float(HLL_M * HLL_M)) * F.lit(float(1 << HLL_RHO_MAX))
-        / F.col("z")
-    )
-    e = F.when(
-        (e_raw <= 2.5 * HLL_M) & (F.col("v_zero") > 0),
-        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("v_zero")),
-    ).otherwise(e_raw)
-    rel = F.abs(e - F.col("exact_distinct")) / F.col("exact_distinct")
-    return calc.select(
+    rel = F.abs(F.col("hll_estimate") - F.col("exact_distinct")) / F.col("exact_distinct")
+    return est.join(exact, "source").select(
         "source",
-        F.col("v_zero").alias("n_zero_registers"),
-        F.col("z").alias("harmonic_z"),
-        F.round(e, 4).alias("hll_estimate"),
+        "n_zero_registers",
+        "harmonic_z",
+        F.round("hll_estimate", 4).alias("hll_estimate"),
         "exact_distinct",
         F.round(rel, 4).alias("rel_err"),
         (rel <= 0.2).alias("err_ok"),

@@ -5,4 +5,8 @@ pipeline.py            the reference's data plane: DML raw -> envelope
 latest_state_stream.py A1 streaming latest-per-key (stateful)
 routes.py              D1 dynamic fan-out control loop (driver-side)
 metrics.py             M1 observability (observe + query listener)
+incremental_dedup.py   K-79 streaming near-dup over an unbounded
+                       corpus (batch-addressed prunable state)
+hll_monitor.py         K-84 streaming twin: incremental HLL distinct-
+                       cardinality registers (idempotent max-merge)
 """
