@@ -18,6 +18,10 @@ is the engine's equivalent surface, thin wrappers over the library:
   compact --corpus D --index D --pairs D --upto-batch N
                             compact incremental-dedup state dirs to a
                             batch watermark (idempotent, crash-safe)
+  compact-hll --state D --upto-batch N [--group-col C]
+                            pre-merge HLL monitor register state to a
+                            batch watermark and print the per-group
+                            distinct estimates
 
 Everything routes through the same registry / session / pipeline code
 the tests and the driver use — the CLI adds no second code path.
@@ -171,6 +175,26 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_compact_hll(args) -> int:
+    from cdc_publisher_spark.streaming.hll_monitor import (
+        compact_hll_state,
+        hll_state_estimate,
+    )
+
+    spark = _session()
+    compact_hll_state(
+        spark,
+        args.state,
+        upto_batch=args.upto_batch,
+        group_col=args.group_col,
+        vacuum=not args.keep_batches,
+    )
+    est = hll_state_estimate(spark, args.state, args.group_col)
+    for r in est.orderBy(args.group_col).collect():
+        print(f"{r[args.group_col]}: ~{round(r['hll_estimate'], 1)} distinct")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="python -m cdc_publisher_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -225,6 +249,21 @@ def main(argv: list[str] | None = None) -> int:
         help="keep compacted per-batch dirs on disk (skip the vacuum)",
     )
     sp.set_defaults(fn=cmd_compact)
+
+    sp = sub.add_parser(
+        "compact-hll",
+        help="pre-merge HLL monitor register state up to a batch watermark "
+        "and print per-group distinct estimates (streaming/hll_monitor.py)",
+    )
+    sp.add_argument("--state", required=True)
+    sp.add_argument("--upto-batch", type=int, required=True)
+    sp.add_argument("--group-col", default="source")
+    sp.add_argument(
+        "--keep-batches",
+        action="store_true",
+        help="keep compacted per-batch dirs on disk (skip the vacuum)",
+    )
+    sp.set_defaults(fn=cmd_compact_hll)
 
     args = p.parse_args(argv)
     return args.fn(args)

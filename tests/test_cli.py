@@ -109,3 +109,28 @@ def test_cli_compact_dedup_state(spark, tmp_path, capsys):
     assert all(k > 1 for k, _ in _batch_dirs(spark, dirs[2]))
     after = sorted(map(tuple, read_dedup_state(spark, dirs[2]).collect()))
     assert after == before
+
+
+def test_cli_compact_hll_state(spark, tmp_path, capsys):
+    """compact-hll subcommand: register deltas fold into a pre-merged
+    segment, estimates print per group and survive the compaction."""
+    from pyspark.sql import functions as F
+
+    from cdc_publisher_spark.streaming.hll_monitor import (
+        hll_micro_batch,
+        read_hll_registers,
+    )
+
+    rows = spark.createDataFrame(
+        [("srcA", f"v{i}") for i in range(40)] + [("srcB", f"w{i}") for i in range(25)],
+        "source string, s string",
+    )
+    state = str(tmp_path / "hll")
+    for b in range(2):
+        hll_micro_batch(rows.filter(F.crc32("s") % 2 == b), b, state)
+    before = sorted((r.source, r.bucket, r.M) for r in read_hll_registers(spark, state).collect())
+    assert main(["compact-hll", "--state", state, "--upto-batch", "1"]) == 0
+    out = capsys.readouterr().out
+    assert "srcA: ~" in out and "srcB: ~" in out
+    after = sorted((r.source, r.bucket, r.M) for r in read_hll_registers(spark, state).collect())
+    assert after == before
