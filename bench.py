@@ -317,6 +317,17 @@ def write_scaling(path: str = "SCALING.md") -> None:
             "taxes whoever runs last. The harness now forces a JVM GC "
             "between timed queries and pins periodicGC.interval=1min, "
             "making timings run-position-independent.\n\n"
+            "Cross-round comparability (round-6 finding): absolute "
+            "wall-clock drifts with HOST state across rounds — "
+            "identical round-5 code re-benched on the round-6 host "
+            "measured 1.25x its recorded BENCH_r05 times uniformly "
+            "(24.3 s vs 19.4 s on the common-26 set, including "
+            "untouched TPC-H shapes), while round-6 code vs round-5 "
+            "code A/B'd on the SAME host at the same moment is 1.02x "
+            "with zero per-query regressions. The valid regression "
+            "check is a same-host A/B (git worktree at the prior "
+            "round's tag, bench both back-to-back); cross-round JSON "
+            "deltas within ~1.3x are host noise, not plan changes.\n\n"
             "sf1 provenance: /root/testdata ships sf0.001-0.1 "
             "(read-only); the sf1 column comes from locally generated "
             "fixtures (tools/gen_sf.py — same schemas, key ranges and "
