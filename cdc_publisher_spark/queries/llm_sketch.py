@@ -47,6 +47,12 @@ and each audited against the exact answer inside the same query:
   error is carried as DECIMAL(10,4) so the decile means are
   order-independent exact sums — the audit a data engineer runs
   before trusting q_k3's threshold at a new corpus.
+- q_k87 HLL inclusion-exclusion source intersection: the SECOND
+  estimator for the q_k83 overlap task — |A|+|B|-|A union B| where
+  the union sketch is just max() of the two register vectors (HLL's
+  lossless-union property). Runs off the same registers the q_k84
+  streaming monitor maintains, so at 100 TB the estimate never
+  touches documents; exact audit via the q_k83 bitmap aggregation.
 
 Determinism: all randomness is md5-derived (DuckDB reproduces the
 exact bytes); q_k82's single ln() per row is rounded to 8 dp before
@@ -916,4 +922,186 @@ def q_k86_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             (mae <= 0.35).alias("well_calibrated"),
         )
         .orderBy("decile")
+    )
+
+
+# Estimator CTE fragment for the k87 oracle: the q_k84 estimator over a
+# register table CTE named {src} with grouping column list {grp}.
+def _hll_est_sql(src: str, grp: str, out: str) -> str:
+    return f"""
+        {out}_per AS (
+            SELECT {grp},
+                   CAST(COUNT(*) AS BIGINT) AS n_present,
+                   CAST(SUM(CAST(1 AS BIGINT) << ({HLL_RHO_MAX} - M)) AS BIGINT)
+                       AS z_present
+            FROM {src} GROUP BY {grp}
+        ),
+        {out} AS (
+            SELECT {grp},
+                   CASE WHEN (CAST({HLL_ALPHA} AS DOUBLE) * {HLL_M * HLL_M}e0
+                              * {1 << HLL_RHO_MAX}e0
+                              / (z_present + ({HLL_M} - n_present) * {1 << HLL_RHO_MAX}))
+                             <= {2.5 * HLL_M} AND ({HLL_M} - n_present) > 0
+                        THEN {HLL_M}e0 * ln({HLL_M}e0 / ({HLL_M} - n_present))
+                        ELSE CAST({HLL_ALPHA} AS DOUBLE) * {HLL_M * HLL_M}e0
+                             * {1 << HLL_RHO_MAX}e0
+                             / (z_present + ({HLL_M} - n_present) * {1 << HLL_RHO_MAX})
+                   END AS e
+            FROM {out}_per
+        )"""
+
+
+# --------------------------------------------------------------------------
+# q_k87 — HLL inclusion-exclusion source overlap (second estimator for
+# the q_k83 task, from q_k84's registers alone)
+# --------------------------------------------------------------------------
+@register(
+    "q_k87_hll_source_intersection",
+    family="K",
+    doc="Source-pair distinct-shingle INTERSECTION estimated from HLL "
+    "registers alone (inclusion-exclusion: |A|+|B|-|A union B|, with "
+    "the union sketch being just max() of the two register vectors — "
+    "HLL's lossless union property). The second estimator for the "
+    "q_k83 overlap task: KMV estimates the Jaccard ratio, HLL the "
+    "absolute intersection cardinality, and both run from "
+    "O(sources x sketch) state with NO pairwise shingle join. Exact "
+    "intersection/union come from the same one-pass bitmap "
+    "aggregation as q_k83 (a table bounded by distinct bitmap "
+    "patterns, not corpus size). err_vs_union = |est - exact| / "
+    "union <= 0.3 (inclusion-exclusion compounds ~3 register-sketch "
+    "sigmas; 3 x 3sigma/sqrt(m) ~ 0.2, bound kept generous). SCALE: "
+    "the estimate stage touches sources x 256 register rows however "
+    "large the corpus; registers are the SAME state the q_k84 "
+    "streaming monitor maintains, so this query runs off live "
+    "monitor state without touching documents at all.",
+    oracle=f"""
+        WITH w AS (SELECT doc_id, source, string_split(text, ' ') ws FROM documents),
+        sh AS (
+            SELECT DISTINCT source, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+            FROM w CROSS JOIN generate_series(1, 100000) g(i)
+            WHERE i + 2 <= len(ws)
+        ),
+        hv AS (
+            SELECT source, CAST(('0x' || substr(md5('hll' || s), 1, 8)) AS UBIGINT) AS h
+            FROM sh
+        ),
+        regs AS (
+            SELECT source, CAST(h % {HLL_M} AS BIGINT) AS bucket,
+                   MAX({HLL_RHO_MAX} - {_bitlen_case(f"(CAST(h // {HLL_M} AS BIGINT))", 24)})
+                       AS M
+            FROM hv GROUP BY 1, 2
+        ),
+        srcs AS (SELECT DISTINCT source FROM documents),
+        prs AS (
+            SELECT a.source s1, b.source s2 FROM srcs a JOIN srcs b
+            ON a.source < b.source
+        ),
+        uregs AS (
+            SELECT p.s1, p.s2, r.bucket, MAX(r.M) AS M
+            FROM prs p JOIN regs r ON r.source IN (p.s1, p.s2)
+            GROUP BY 1, 2, 3
+        ),
+        {_hll_est_sql("regs", "source", "sest")},
+        {_hll_est_sql("uregs", "s1, s2", "uest")},
+        bm AS (
+            SELECT s, BIT_OR(CAST(1 AS BIGINT) <<
+                             CAST(substr(source, 4) AS INT)) AS b
+            FROM sh GROUP BY s
+        ),
+        bmc AS (SELECT b, COUNT(*) AS cnt FROM bm GROUP BY b),
+        exact AS (
+            SELECT p.s1, p.s2,
+                   CAST(SUM(CASE WHEN (bmc.b >> CAST(substr(p.s1, 4) AS INT)) % 2 = 1
+                             AND (bmc.b >> CAST(substr(p.s2, 4) AS INT)) % 2 = 1
+                            THEN bmc.cnt ELSE 0 END) AS BIGINT) AS i,
+                   CAST(SUM(CASE WHEN (bmc.b >> CAST(substr(p.s1, 4) AS INT)) % 2 = 1
+                             OR (bmc.b >> CAST(substr(p.s2, 4) AS INT)) % 2 = 1
+                            THEN bmc.cnt ELSE 0 END) AS BIGINT) AS u
+            FROM prs p CROSS JOIN bmc
+            GROUP BY 1, 2
+        ),
+        calc AS (
+            SELECT u.s1, u.s2,
+                   GREATEST(e1.e + e2.e - u.e, 0e0) AS inter_est,
+                   exact.i, exact.u
+            FROM uest u
+            JOIN sest e1 ON e1.source = u.s1
+            JOIN sest e2 ON e2.source = u.s2
+            JOIN exact ON exact.s1 = u.s1 AND exact.s2 = u.s2
+        )
+        SELECT s1, s2,
+               ROUND(inter_est, 4) AS hll_inter_est,
+               i AS exact_inter,
+               u AS exact_union,
+               ROUND(ABS(inter_est - i) / u, 4) AS err_vs_union,
+               (ABS(inter_est - i) / u <= 0.3) AS err_ok
+        FROM calc
+        ORDER BY s1, s2
+    """,
+)
+def q_k87_hll_source_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_publisher_spark.operators.hll import hll_merge
+
+    docs = load(spark, sf_dir, "documents")
+    sh = track_persist(
+        TX.shingle_rows(docs, "doc_id", "text", 3)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "s")
+        .distinct()
+    )
+    regs = track_persist(hll_registers(sh, ["source"]))
+    srcs = docs.select("source").distinct()
+    pairs = (
+        srcs.alias("a")
+        .join(srcs.alias("b"), F.col("a.source") < F.col("b.source"))
+        .select(F.col("a.source").alias("s1"), F.col("b.source").alias("s2"))
+    )
+    # union sketch per pair: max of the two register vectors — the
+    # input is sources x 256 register rows, never corpus-sized
+    uregs = (
+        F.broadcast(pairs)
+        .join(regs, (regs["source"] == F.col("s1")) | (regs["source"] == F.col("s2")))
+        .select("s1", "s2", "bucket", "M")
+    )
+    uest = hll_estimate(hll_merge(uregs, ["s1", "s2"]), ["s1", "s2"]).select(
+        "s1", "s2", F.col("hll_estimate").alias("eu")
+    )
+    sest = hll_estimate(regs, ["source"]).select("source", "hll_estimate")
+    e1 = sest.select(F.col("source").alias("s1"), F.col("hll_estimate").alias("e1"))
+    e2 = sest.select(F.col("source").alias("s2"), F.col("hll_estimate").alias("e2"))
+    # exact intersection/union: q_k83's one-pass bitmap aggregation
+    bm = sh.select(
+        "s",
+        F.expr(
+            "shiftleft(cast(1 as bigint), cast(substring(source, 4, 8) as int))"
+        ).alias("m"),
+    ).groupBy("s").agg(F.bit_or("m").alias("b"))
+    bmc = bm.groupBy("b").agg(F.count("*").alias("cnt"))
+    b1 = F.expr("shiftright(b, cast(substring(s1, 4, 8) as int)) % 2 = 1")
+    b2 = F.expr("shiftright(b, cast(substring(s2, 4, 8) as int)) % 2 = 1")
+    exact = (
+        F.broadcast(pairs)
+        .crossJoin(bmc)
+        .groupBy("s1", "s2")
+        .agg(
+            F.sum(F.when(b1 & b2, F.col("cnt")).otherwise(0)).cast("long").alias("i"),
+            F.sum(F.when(b1 | b2, F.col("cnt")).otherwise(0)).cast("long").alias("u"),
+        )
+    )
+    inter_est = F.greatest(F.col("e1") + F.col("e2") - F.col("eu"), F.lit(0.0))
+    err = F.abs(inter_est - F.col("i")) / F.col("u")
+    return (
+        uest.join(e1, "s1")
+        .join(e2, "s2")
+        .join(exact, ["s1", "s2"])
+        .select(
+            "s1",
+            "s2",
+            F.round(inter_est, 4).alias("hll_inter_est"),
+            F.col("i").alias("exact_inter"),
+            F.col("u").alias("exact_union"),
+            F.round(err, 4).alias("err_vs_union"),
+            (err <= 0.3).alias("err_ok"),
+        )
+        .orderBy("s1", "s2")
     )
