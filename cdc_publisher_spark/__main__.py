@@ -15,13 +15,17 @@ is the engine's equivalent surface, thin wrappers over the library:
                             until interrupted; metrics snapshots print
                             to stderr every --metrics-period seconds,
                             the reference's 10 s reporter cadence)
-  compact --corpus D --index D --pairs D --upto-batch N
+  compact --corpus D --index D --pairs D --upto-batch N [--vacuum]
                             compact incremental-dedup state dirs to a
-                            batch watermark (idempotent, crash-safe)
-  compact-hll --state D --upto-batch N [--group-col C]
+                            batch watermark (idempotent, crash-safe;
+                            superseded dirs deleted only with --vacuum)
+  compact-hll --state D --upto-batch N [--group-col C] [--vacuum]
                             pre-merge HLL monitor register state to a
                             batch watermark and print the per-group
                             distinct estimates
+  compact-cm --state D --upto-batch N [--group-cols C1,C2] [--vacuum]
+                            pre-sum count-min monitor counter state to
+                            a batch watermark and print cell totals
 
 Everything routes through the same registry / session / pipeline code
 the tests and the driver use — the CLI adds no second code path.
@@ -168,7 +172,7 @@ def cmd_compact(args) -> int:
         args.index,
         args.pairs,
         upto_batch=args.upto_batch,
-        vacuum=not args.keep_batches,
+        vacuum=args.vacuum,
     )
     for label, d in (("corpus", args.corpus), ("index", args.index), ("pairs", args.pairs)):
         print(f"{label}: {read_dedup_state(spark, d).count()} rows")
@@ -187,11 +191,34 @@ def cmd_compact_hll(args) -> int:
         args.state,
         upto_batch=args.upto_batch,
         group_col=args.group_col,
-        vacuum=not args.keep_batches,
+        vacuum=args.vacuum,
     )
     est = hll_state_estimate(spark, args.state, args.group_col)
     for r in est.orderBy(args.group_col).collect():
         print(f"{r[args.group_col]}: ~{round(r['hll_estimate'], 1)} distinct")
+    return 0
+
+
+def cmd_compact_cm(args) -> int:
+    from cdc_publisher_spark.streaming.cm_monitor import (
+        compact_cm_state,
+        read_cm_cells,
+    )
+
+    spark = _session()
+    gcols = args.group_cols.split(",") if args.group_cols else []
+    compact_cm_state(
+        spark,
+        args.state,
+        upto_batch=args.upto_batch,
+        group_cols=gcols,
+        vacuum=args.vacuum,
+    )
+    cells = read_cm_cells(spark, args.state, gcols)
+    from pyspark.sql import functions as F
+
+    (n_cells, total) = cells.agg(F.count("*"), F.sum("cnt")).first()
+    print(f"cells: {n_cells} rows, total count {total}")
     return 0
 
 
@@ -244,9 +271,11 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--pairs", required=True)
     sp.add_argument("--upto-batch", type=int, required=True)
     sp.add_argument(
-        "--keep-batches",
+        "--vacuum",
         action="store_true",
-        help="keep compacted per-batch dirs on disk (skip the vacuum)",
+        help="also delete superseded per-batch dirs (opt-in: unsafe only "
+        "against an unsynchronized concurrent reader — see "
+        "streaming/state.py vacuum_state)",
     )
     sp.set_defaults(fn=cmd_compact)
 
@@ -259,11 +288,32 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--upto-batch", type=int, required=True)
     sp.add_argument("--group-col", default="source")
     sp.add_argument(
-        "--keep-batches",
+        "--vacuum",
         action="store_true",
-        help="keep compacted per-batch dirs on disk (skip the vacuum)",
+        help="also delete superseded per-batch dirs (opt-in; see "
+        "streaming/state.py vacuum_state)",
     )
     sp.set_defaults(fn=cmd_compact_hll)
+
+    sp = sub.add_parser(
+        "compact-cm",
+        help="pre-sum count-min monitor counter state up to a batch "
+        "watermark and print the merged cell totals (streaming/cm_monitor.py)",
+    )
+    sp.add_argument("--state", required=True)
+    sp.add_argument("--upto-batch", type=int, required=True)
+    sp.add_argument(
+        "--group-cols",
+        default="",
+        help="comma-separated group columns the monitor was started with",
+    )
+    sp.add_argument(
+        "--vacuum",
+        action="store_true",
+        help="also delete superseded per-batch dirs (opt-in; see "
+        "streaming/state.py vacuum_state)",
+    )
+    sp.set_defaults(fn=cmd_compact_cm)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -44,28 +44,24 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_publisher_spark.functions.text import words
+
+# CM sketch primitives are shared with the streaming monitor
+# (streaming/cm_monitor.py) so stream cells == batch cells; the
+# md5_bucket hash also serves the DSIR bucketing below.
+from cdc_publisher_spark.operators.cm import (
+    CM_DEPTH,
+    CM_WIDTH,
+    cm_cells,
+    cm_point_estimates,
+    md5_bucket as _md5_bucket,
+)
 from cdc_publisher_spark.registry import register, track_persist
 from cdc_publisher_spark.tables import load
 
 DSIR_BUCKETS = 256
 DSIR_TARGET = "src0"
 DSIR_KEEP = 100
-CM_DEPTH = 4
-CM_WIDTH = 256
 CM_TOP = 20
-
-
-def _md5_bucket(g: Column, salt: str, width: int) -> Column:
-    """Deterministic bucket in [0, width): first 32 bits of md5(salt||g).
-
-    md5 (not xxhash64) so DuckDB reproduces the identical bucket from
-    the same bytes — the whole query stays oracle-hashable.
-    """
-    return (
-        F.conv(F.substring(F.md5(F.concat(F.lit(salt), g)), 1, 8), 16, 10)
-        .cast("bigint")
-        % F.lit(width)
-    )
 
 
 def _doc_grams(docs: DataFrame) -> DataFrame:
@@ -279,38 +275,18 @@ def q_k54_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_k57_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     tok = docs.select(F.explode(words(F.col("text"))).alias("g"))
-    rows = spark.range(CM_DEPTH).select(F.col("id").alias("r"))
-    # Sketch build: every token lands in one bucket per sketch row; the
+    # Sketch build (operators/cm.py, shared with the streaming
+    # monitor): every token lands in one bucket per sketch row; the
     # groupBy is the partial+final merge of per-partition sketches.
-    cells = (
-        tok.crossJoin(F.broadcast(rows))
-        .select(
-            "r",
-            _md5_bucket(
-                F.concat(F.lit("cm"), F.col("r").cast("string"), F.col("g")), "", CM_WIDTH
-            ).alias("b"),
-        )
-        .groupBy("r", "b")
-        .agg(F.count("*").alias("cnt"))
-    )
+    cells = cm_cells(tok)
     top = (
         tok.groupBy("g")
         .agg(F.count("*").alias("true_c"))
         .orderBy(F.col("true_c").desc(), F.col("g").asc())
         .limit(CM_TOP)
     )
-    probes = top.crossJoin(F.broadcast(rows)).select(
-        "g",
-        "true_c",
-        "r",
-        _md5_bucket(
-            F.concat(F.lit("cm"), F.col("r").cast("string"), F.col("g")), "", CM_WIDTH
-        ).alias("b"),
-    )
     return (
-        probes.join(cells, ["r", "b"])
-        .groupBy("g", "true_c")
-        .agg(F.min("cnt").alias("cm_est"))
+        cm_point_estimates(cells, top)
         .select(
             F.col("g").alias("token"),
             F.col("true_c").cast("long").alias("true_c"),

@@ -25,8 +25,8 @@ hard (streaming/incremental_dedup.py): the register merge is
 State layout: ``state_dir/batch=N/`` parquet of (group, bucket, M)
 register DELTAS — the registers of that batch alone, <= groups x 256
 rows regardless of batch size. The read side max-merges across
-batches. Compaction reuses the generic batch-addressed layer from
-incremental_dedup (manifest-marker flip, crash-safe); a compacted
+batches. Compaction reuses the generic batch-addressed layer
+(streaming/state.py — manifest-marker flip, crash-safe); a compacted
 segment is just the merged register rows under the watermark, which
 ``compact_hll_state`` pre-merges so the long-run state stays
 O(groups x 256) no matter how many batches ever ran.
@@ -45,13 +45,12 @@ from pyspark.sql import functions as F
 
 from cdc_publisher_spark.operators.hll import hll_estimate, hll_merge, hll_registers
 
-# The generic batch-addressed state layer (manifest compaction, FS
-# helpers) is defined with the dedup stream; reused here unchanged.
-from cdc_publisher_spark.streaming.incremental_dedup import (
-    _compacted_upto,
-    _read_state,
-    _write_manifest,
+# The generic batch-addressed state layer: manifest compaction, FS
+# helpers (streaming/state.py — shared with the dedup stream, the CM
+# monitor, and the CLI compaction subcommands).
+from cdc_publisher_spark.streaming.state import (
     compact_state,
+    read_state,
     vacuum_state,
 )
 
@@ -75,7 +74,7 @@ def read_hll_registers(
 ) -> DataFrame | None:
     """Merged (group, bucket, M) view of all state written so far;
     None when no state exists."""
-    df = _read_state(spark, state_dir)
+    df = read_state(spark, state_dir)
     if df is None:
         return None
     return hll_merge(df.select(group_col, "bucket", "M"), [group_col])
@@ -97,33 +96,25 @@ def compact_hll_state(
     state_dir: str,
     upto_batch: int,
     group_col: str = "source",
-    vacuum: bool = True,
+    vacuum: bool = False,
 ) -> None:
     """Compact batches <= ``upto_batch`` into a PRE-MERGED register
     segment (max per (group, bucket) — at most groups x 256 rows,
     however many batches are folded in), then flip the manifest.
     Unlike the dedup dirs, merging during compaction is lossless
-    because max() is the state's own merge operator.
+    because max() is the state's own merge operator. Vacuuming is
+    opt-in (ADVICE r6 — see state.vacuum_state's concurrency contract).
 
     The merged rows keep a ``batch`` column pinned to ``upto_batch``
     so the generic reader's replay row-filter semantics stay intact."""
-    prev = _compacted_upto(spark, state_dir)
-    if prev is not None and prev > upto_batch:
-        raise ValueError(
-            f"cannot compact {state_dir} to {upto_batch}: already compacted to {prev}"
-        )
-    if prev == upto_batch:
-        return
-    df = _read_state(spark, state_dir)
-    if df is None:
-        raise ValueError(f"no state at {state_dir}")
-    merged = hll_merge(
-        df.filter(F.col("batch") <= upto_batch).select(group_col, "bucket", "M"),
-        [group_col],
-    ).withColumn("batch", F.lit(upto_batch))
-    target = os.path.join(state_dir, "_compact", f"upto={upto_batch}")
-    merged.write.mode("overwrite").parquet(target)
-    _write_manifest(spark, state_dir, upto_batch)
+    compact_state(
+        spark,
+        state_dir,
+        upto_batch,
+        merge=lambda df: hll_merge(
+            df.select(group_col, "bucket", "M"), [group_col]
+        ).withColumn("batch", F.lit(upto_batch)),
+    )
     if vacuum:
         vacuum_state(spark, state_dir)
 

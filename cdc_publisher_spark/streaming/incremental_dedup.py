@@ -16,12 +16,11 @@ q_k2 pair set: the stream is a partition of the pairs, not an
 approximation.
 
 State layout (VERDICT r5 ask #3 — per-trigger I/O must follow the
-PROBE, not the corpus). Every write is an OVERWRITE of a
-batch-addressed subdirectory, so foreachBatch's at-least-once replay
-is idempotent: a re-delivered batch rewrites its own partition
-byte-for-byte instead of appending duplicates. WITHIN each batch
-directory the data is Hive-partitioned on the key the next trigger
-will prune by:
+PROBE, not the corpus) rides the batch-addressed layer in
+streaming/state.py: every write is an OVERWRITE of a ``batch=N``
+subdirectory (replay-idempotent), compaction flips a crash-safe
+manifest marker, and WITHIN each batch directory the data is
+Hive-partitioned on the key the next trigger will prune by:
 
 - ``index_dir/batch=N/band=B/bhm=M/`` — the persisted ``lsh_buckets``
   frame, sub-partitioned by band and ``bhm = pmod(bh, bh_mod)``. A
@@ -36,34 +35,34 @@ will prune by:
   are materialized first, their ≤ ``doc_mod`` distinct dh values
   collected (bounded by construction), and the corpus read prunes to
   those directories before verify_candidates' semi-join.
+- ``bloom_dir/batch=N/`` — an id Bloom filter DELTA: the batch's
+  doc_ids hashed into ``ID_BLOOM_BITS`` positions, packed into
+  (word, mask) bigint rows by one ``bit_or`` aggregate (≤
+  ``ID_BLOOM_BITS/64`` rows per batch however large the batch). The
+  read side bit_or-merges across batches — OR is idempotent, so the
+  filter is also replay-proof beyond the overwrite. This is the
+  cross-batch guard's pre-screen (below).
 - ``pairs_dir/batch=N/`` — (d1, d2, jaccard) rows, one dir per batch.
 
-Compaction (VERDICT r5 ask #6): after K batches each state dir holds
-K small partitions; ``compact_state(spark, dir, upto)`` rewrites
-batches ≤ upto into ``_compact/upto=N/`` (same inner partitioning)
-and flips the ``_compacted`` manifest with a write-tmp → rename, the
-same atomic-pointer pattern as the CDC snapshot applier
-(operators/cdc_apply.py SnapshotApplier). Underscore-prefixed names
-are invisible to Spark's partition discovery, so readers see compact
-data only through the manifest. Crash anywhere before the flip
-leaves the old view intact; a replayed batch b ≤ upto overwrites
-``batch=b`` which readers ignore (the live read selects only batch
-dirs > upto). ``vacuum_state`` deletes superseded dirs afterwards.
-
-Input contract: ``doc_id`` values must be unique ACROSS batches —
-the source is expected to deliver each document once (modulo replays
-of the same batch, which the batch-addressed overwrite absorbs).
+Input contract and the cross-batch guard (VERDICT r6 ask #1 — now
+DEFAULT-ON): ``doc_id`` values must be unique ACROSS batches — the
+source is expected to deliver each document once (modulo replays of
+the same batch, which the batch-addressed overwrite absorbs).
 Duplicates WITHIN a batch are dropped here (cheap dropDuplicates);
 cross-batch redelivery of the same doc_id under a different batch id
-would accumulate duplicate doc rows and corrupt downstream
-shingling. For sources that cannot guarantee that,
-``guard_cross_batch=True`` anti-joins each batch against the
-accumulated corpus ids first — an id-column scan of the corpus
-parquet (cheap columnar read, but O(history), so it is opt-in rather
-than the default). Where that scan matters, the q_k81 Bloom pattern
-(queries/llm_sketch.py) is the standard pre-screen: an O(m)-byte
-bit_or-aggregated filter over history ids, broadcast to the batch,
-with the exact anti-join run only on the maybe-dup remainder.
+would accumulate duplicate doc rows and corrupt downstream shingling.
+``guard_cross_batch=True`` (the default) enforces the contract at
+sketch cost: the accumulated id Bloom filter — O(ID_BLOOM_BITS/8)
+bytes at ANY corpus size — is broadcast to the batch, ids it cannot
+contain (no false negatives, pytest-pinned across compaction) pass
+straight through, and the exact anti-join runs ONLY on the
+Bloom-positive remainder, reading ONLY the corpus ``dh=`` partitions
+those maybe-dup ids hash into. Per-trigger guard cost is therefore
+O(batch + maybe_dups × touched_dh_dirs), never O(history) — the
+q_k81 pattern (queries/llm_sketch.py) wired in as infrastructure.
+Pre-Bloom state dirs (no ``bloom_dir`` on disk) fall back to the full
+id-column anti-join, so existing deployments keep the guarantee while
+their next batches grow the filter.
 
 foreachBatch (not a stateful operator): the per-key state primitives
 (``applyInPandasWithState``) hold state per GROUP, but dedup state is
@@ -86,6 +85,13 @@ from cdc_publisher_spark.operators.minhash import (
     probe_candidate_pairs,
     verify_candidates,
 )
+from cdc_publisher_spark.streaming.state import (
+    batch_dirs,
+    compact_state,
+    compacted_upto,
+    read_state,
+    vacuum_state,
+)
 
 #: Sub-partition fans. bh_mod bounds the probe's index read at
 #: bands × BH_MOD directories per trigger; doc_mod bounds the verify's
@@ -95,124 +101,155 @@ from cdc_publisher_spark.operators.minhash import (
 BH_MOD = 64
 DOC_MOD = 64
 
-_MANIFEST_PREFIX = "_compacted_upto="
-
-
-# --------------------------------------------------------------------------
-# Hadoop-FS helpers (work on HDFS/S3/local through the JVM FileSystem API —
-# no exception-message sniffing, VERDICT r5 advice)
-# --------------------------------------------------------------------------
-def _fs(spark: SparkSession, path: str):
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
-
-
-def _compacted_upto(spark: SparkSession, path: str) -> int | None:
-    """The manifest's batch watermark: batches ≤ this live in
-    ``_compact/upto=N``; None when never compacted.
-
-    The manifest is the MAX over ``_compacted_upto=N`` marker files —
-    the value lives in the NAME, not the content, so a marker is valid
-    the instant its create() is visible. No delete-then-rename window
-    exists: the flip creates the new marker first (two markers for an
-    instant — max wins, which is the new, fully-written segment) and
-    removes older markers afterwards. A crash anywhere leaves at least
-    one valid marker covering a fully-written segment, so history
-    vacuumed under an older watermark can never become unreachable."""
-    fs, jpath = _fs(spark, path)
-    if not fs.exists(jpath):
-        return None
-    marks = [
-        int(st.getPath().getName()[len(_MANIFEST_PREFIX):])
-        for st in fs.listStatus(jpath)
-        if st.getPath().getName().startswith(_MANIFEST_PREFIX)
-    ]
-    return max(marks) if marks else None
-
-
-def _write_manifest(spark: SparkSession, path: str, upto: int) -> None:
-    """Monotonic pointer flip: create ``_compacted_upto=<upto>``, then
-    drop older markers. See :func:`_compacted_upto` for why this is
-    crash-safe without an atomic rename."""
-    fs, _ = _fs(spark, path)
-    jvm = spark._jvm
-    mark = jvm.org.apache.hadoop.fs.Path(
-        os.path.join(path, f"{_MANIFEST_PREFIX}{upto}")
-    )
-    fs.create(mark, True).close()
-    for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(path)):
-        name = st.getPath().getName()
-        if name.startswith(_MANIFEST_PREFIX) and int(name[len(_MANIFEST_PREFIX):]) < upto:
-            fs.delete(st.getPath(), False)
-
-
-def _batch_dirs(spark: SparkSession, path: str) -> list[tuple[int, str]]:
-    """(batch_id, dir) for every ``batch=N`` child of ``path``; [] when
-    the dir doesn't exist (checked via FileSystem.exists — no reliance
-    on AnalysisException message text)."""
-    fs, jpath = _fs(spark, path)
-    if not fs.exists(jpath):
-        return []
-    out = []
-    for st in fs.listStatus(jpath):
-        name = st.getPath().getName()
-        if st.isDirectory() and name.startswith("batch="):
-            out.append((int(name.split("=", 1)[1]), st.getPath().toString()))
-    return sorted(out)
-
-
-def _read_state(
-    spark: SparkSession,
-    path: str,
-    exclude_batch: int | None = None,
-    part_filter: Column | None = None,
-) -> DataFrame | None:
-    """Read a batch-addressed state dir: the compacted segment (if the
-    manifest names one) unioned with the live ``batch=N`` dirs above
-    the compaction watermark. ``exclude_batch`` drops the current
-    batch everywhere (path-level for live dirs — no read at all — and
-    row-level for the compact segment, covering replay-after-compact).
-    ``part_filter`` is a predicate on inner partition columns (band/
-    bhm/dh): on the live read it prunes DIRECTORIES via partition
-    pruning, which is the whole point of the layout. None == state
-    absent."""
-    upto = _compacted_upto(spark, path)
-    live = [
-        d
-        for (k, d) in _batch_dirs(spark, path)
-        if (upto is None or k > upto) and k != exclude_batch
-    ]
-    parts: list[DataFrame] = []
-    if upto is not None:
-        parts.append(
-            spark.read.parquet(os.path.join(path, "_compact", f"upto={upto}"))
-        )
-    if live:
-        parts.append(spark.read.option("basePath", path).parquet(*live))
-    if not parts:
-        return None
-    df = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
-    if exclude_batch is not None:
-        df = df.filter(F.col("batch") != exclude_batch)
-    if part_filter is not None:
-        df = df.filter(part_filter)
-    return df
+#: Id-Bloom layout constants (the cross-batch guard's pre-screen).
+#: 2^20 bits = 128 KiB broadcast; at 10^5 history ids and 4 hashes the
+#: false-positive rate is ~2e-3 — and a false positive only costs one
+#: id's membership in the (partition-pruned) exact anti-join, never a
+#: correctness error. Like BH_MOD these are layout constants: resizing
+#: means rebuilding the bloom dir (one id-column scan).
+ID_BLOOM_BITS = 1 << 20
+ID_BLOOM_HASHES = 4
 
 
 def _dh(col: str | Column) -> Column:
     return F.pmod(F.xxhash64(col), F.lit(DOC_MOD)).cast("int")
 
 
+# --------------------------------------------------------------------------
+# Cross-batch id guard: Bloom pre-screen + pruned exact anti-join
+# --------------------------------------------------------------------------
+def _bloom_positions(df: DataFrame, id_col: str) -> DataFrame:
+    """One row per (input row, hash i) with the bloom word/mask the id
+    hashes into. xxhash64 with a per-hash salt keeps everything
+    JVM-side — no md5 string round-trip on the guard path."""
+    spark = df.sparkSession
+    hashes = F.broadcast(spark.range(ID_BLOOM_HASHES).select(F.col("id").alias("_h")))
+    pos = F.pmod(
+        F.xxhash64(
+            F.concat(F.lit("idb"), F.col("_h").cast("string"), F.col(id_col).cast("string"))
+        ),
+        F.lit(ID_BLOOM_BITS),
+    )
+    cols = df.columns
+    return (
+        df.crossJoin(hashes)
+        .withColumn("_pos", pos)
+        .select(
+            *cols,
+            (F.col("_pos") / 64).cast("int").alias("word"),
+            # shiftleft's bit-count arg must be a literal in the Python
+            # API; the SQL form accepts a column (same note as q_k81)
+            F.expr("shiftleft(cast(1 as bigint), cast(_pos % 64 as int))").alias("mask"),
+        )
+    )
+
+
+def id_bloom_delta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(word, mask) bloom rows for ``df``'s ids: one bit_or aggregate,
+    ≤ ID_BLOOM_BITS/64 rows whatever the batch size. The groupBy's
+    map-side combine merges per-partition partial filters."""
+    return (
+        _bloom_positions(df.select(id_col), id_col)
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("mask"))
+    )
+
+
+def bloom_flag(batch: DataFrame, bloom: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """``batch`` plus a ``maybe`` column: True iff ALL of the id's
+    bloom positions are set in ``bloom`` (broadcast) — i.e. the filter
+    cannot rule the id out. False ⇒ definitely not in history (the
+    no-false-negative direction, which is the correctness-bearing one)."""
+    cols = batch.columns
+    flagged = (
+        _bloom_positions(batch, id_col)
+        .join(F.broadcast(bloom.withColumnRenamed("mask", "_bmask")), "word", "left")
+        .groupBy(*cols)
+        .agg(
+            F.bool_and(
+                F.col("_bmask").isNotNull()
+                & (F.col("_bmask").bitwiseAND(F.col("mask")) != 0)
+            ).alias("maybe")
+        )
+    )
+    return flagged
+
+
+def _guard_parts(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    corpus_dir: str,
+    bloom_dir: str,
+    id_col: str,
+) -> tuple[DataFrame, DataFrame | None, DataFrame | None]:
+    """The guard's three-way split, exposed for the contract tests:
+    (clean, maybe, survivors) where ``clean`` ids the Bloom ruled out
+    of history (NO corpus read for them), ``maybe`` is the
+    Bloom-positive remainder — the ONLY rows the exact anti-join ever
+    sees — and ``survivors`` is ``maybe`` minus true history ids,
+    checked against a corpus read pruned to the maybe ids' dh
+    partitions. maybe/survivors are None when no bloom state exists
+    (fresh stream or pre-bloom dirs → caller falls back)."""
+    bloom = read_state(spark, bloom_dir, exclude_batch=batch_id)
+    if bloom is None:
+        return batch, None, None
+    merged = bloom.groupBy("word").agg(F.bit_or("mask").alias("mask"))
+    flagged = bloom_flag(batch, merged, id_col)
+    clean = flagged.filter(~F.col("maybe")).drop("maybe")
+    maybe = flagged.filter(F.col("maybe")).drop("maybe")
+    # ≤ DOC_MOD distinct dh values by construction — bounded collect;
+    # executing it also tells us whether any maybe rows exist at all
+    dhs = [r[0] for r in maybe.select(_dh(id_col).alias("_d")).distinct().collect()]
+    if not dhs:
+        return clean, maybe, maybe
+    seen = read_state(
+        spark,
+        corpus_dir,
+        exclude_batch=batch_id,
+        part_filter=F.col("dh").isin(dhs),
+    )
+    if seen is None:  # bloom exists but corpus vanished: nothing to dedup against
+        return clean, maybe, maybe
+    survivors = maybe.join(seen.select(id_col), id_col, "anti")
+    return clean, maybe, survivors
+
+
+def guarded_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    corpus_dir: str,
+    bloom_dir: str,
+    id_col: str,
+) -> DataFrame:
+    """``batch`` minus ids already in the accumulated corpus, at Bloom
+    pre-screen cost (see module docstring)."""
+    clean, maybe, survivors = _guard_parts(
+        spark, batch, batch_id, corpus_dir, bloom_dir, id_col
+    )
+    if maybe is None:
+        # no bloom state on disk: legacy full id-column anti-join
+        seen = read_state(spark, corpus_dir, exclude_batch=batch_id)
+        if seen is None:
+            return batch
+        return batch.join(seen.select(id_col), id_col, "anti")
+    return clean.unionByName(survivors)
+
+
+def default_bloom_dir(corpus_dir: str) -> str:
+    return os.path.join(os.path.dirname(corpus_dir.rstrip("/")), "id_bloom")
+
+
 def read_dedup_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
     """Public unified view of a dedup state dir (corpus / index /
-    pairs): compacted segment + live batch dirs. Downstream consumers
-    must use this instead of ``spark.read.parquet(state_dir)`` once
-    compaction runs — underscore-prefixed compact dirs are invisible
-    to plain partition discovery BY DESIGN (that is what keeps the
-    compact segment hidden from the per-batch readers until the
-    manifest names it)."""
-    return _read_state(spark, state_dir)
+    pairs / bloom): compacted segment + live batch dirs. Downstream
+    consumers must use this instead of ``spark.read.parquet(state_dir)``
+    once compaction runs — underscore-prefixed compact dirs are
+    invisible to plain partition discovery BY DESIGN (that is what
+    keeps the compact segment hidden from the per-batch readers until
+    the manifest names it)."""
+    return read_state(spark, state_dir)
 
 
 def dedup_micro_batch(
@@ -224,7 +261,8 @@ def dedup_micro_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
-    guard_cross_batch: bool = False,
+    guard_cross_batch: bool = True,
+    bloom_dir: str | None = None,
 ) -> None:
     """foreachBatch body: sign the batch once, probe the persisted
     index READING ONLY the (band, bhm) partitions the probe touches,
@@ -234,32 +272,34 @@ def dedup_micro_batch(
 
     Idempotence under replay: every write targets ``.../batch=N`` with
     mode("overwrite"), so a re-delivered batch (crash after any subset
-    of the three writes, before the checkpoint commit) rewrites the
-    same partitions and the state never accumulates duplicates. The
-    probe excludes this batch's partitions from history by
-    construction (live dirs are path-filtered, the compact segment
-    row-filtered), so a replayed probe sees exactly the pre-batch
-    state.
+    of the writes, before the checkpoint commit) rewrites the same
+    partitions and the state never accumulates duplicates. The probe
+    excludes this batch's partitions from history by construction
+    (live dirs are path-filtered, the compact segment row-filtered),
+    so a replayed probe sees exactly the pre-batch state.
     """
     spark = batch_df.sparkSession
-    batch = batch_df.select(id_col, text_col).dropDuplicates([id_col])
-    if guard_cross_batch:
-        seen = _read_state(spark, corpus_dir, exclude_batch=batch_id)
-        if seen is not None:
-            # columnar id-only scan of history; opt-in (O(history))
-            batch = batch.join(seen.select(id_col), id_col, "anti")
-    # the batch lineage (dedup shuffle + optional history anti-join)
-    # feeds four downstream jobs this trigger (existence probe, signing,
-    # verify union, corpus write) — cache it so the guard's O(history)
-    # scan and the dropDuplicates shuffle run once, not per consumer
-    batch = batch.persist()
+    bdir = bloom_dir or default_bloom_dir(corpus_dir)
+    # the deduped batch feeds the guard (whose dh-collect executes
+    # eagerly) and then five downstream jobs this trigger (existence
+    # probe, signing, verify union, corpus write, bloom delta) — cache
+    # both stages so the dropDuplicates shuffle and the guard's bloom
+    # probe run once, not per consumer
+    base = batch_df.select(id_col, text_col).dropDuplicates([id_col]).persist()
     try:
-        _dedup_micro_batch_body(
-            spark, batch, batch_id, corpus_dir, index_dir, pairs_dir,
-            id_col, text_col, threshold,
-        )
+        batch = base
+        if guard_cross_batch:
+            batch = guarded_batch(spark, base, batch_id, corpus_dir, bdir, id_col)
+        batch = batch.persist()
+        try:
+            _dedup_micro_batch_body(
+                spark, batch, batch_id, corpus_dir, index_dir, pairs_dir, bdir,
+                id_col, text_col, threshold,
+            )
+        finally:
+            batch.unpersist()
     finally:
-        batch.unpersist()
+        base.unpersist()
 
 
 def _dedup_micro_batch_body(
@@ -269,6 +309,7 @@ def _dedup_micro_batch_body(
     corpus_dir: str,
     index_dir: str,
     pairs_dir: str,
+    bloom_dir: str,
     id_col: str,
     text_col: str,
     threshold: float,
@@ -297,17 +338,17 @@ def _dedup_micro_batch_body(
         # metadata-only signal: manifest or any other batch dir present
         # (corpus is written before index each batch, so its presence
         # is the authoritative "history exists" marker)
-        history_exists = _compacted_upto(spark, corpus_dir) is not None or any(
-            k != batch_id for k, _ in _batch_dirs(spark, corpus_dir)
+        history_exists = compacted_upto(spark, corpus_dir) is not None or any(
+            k != batch_id for k, _ in batch_dirs(spark, corpus_dir)
         )
         if history_exists:
-            history_index = _read_state(
+            history_index = read_state(
                 spark, index_dir, exclude_batch=batch_id, part_filter=probe_pred
             )
             probe = new_buckets.select(id_col, "band", "bh")
             if history_index is None:
                 # index lost out-of-band: rebuild from the history docs
-                history_docs = _read_state(
+                history_docs = read_state(
                     spark, corpus_dir, exclude_batch=batch_id
                 ).select(id_col, text_col)
                 history_index = lsh_buckets(
@@ -327,7 +368,7 @@ def _dedup_micro_batch_body(
                     .distinct()
                     .collect()
                 ]
-                history_docs = _read_state(
+                history_docs = read_state(
                     spark,
                     corpus_dir,
                     exclude_batch=batch_id,
@@ -356,79 +397,18 @@ def _dedup_micro_batch_body(
         batch.withColumn("dh", _dh(id_col)).write.partitionBy("dh").mode(
             "overwrite"
         ).parquet(os.path.join(corpus_dir, f"batch={batch_id}"))
+        # bloom delta rides beside the corpus write: any batch whose
+        # offsets commit has both (replay rewrites both), so the filter
+        # covers exactly the committed corpus ids — the guard's
+        # no-false-negative invariant
+        id_bloom_delta(batch, id_col).write.mode("overwrite").parquet(
+            os.path.join(bloom_dir, f"batch={batch_id}")
+        )
         new_buckets.write.partitionBy("band", "bhm").mode("overwrite").parquet(
             os.path.join(index_dir, f"batch={batch_id}")
         )
     finally:
         new_buckets.unpersist()
-
-
-def compact_state(
-    spark: SparkSession,
-    state_dir: str,
-    upto_batch: int,
-    partition_cols: tuple[str, ...] = (),
-) -> None:
-    """Rewrite batches ≤ ``upto_batch`` (plus any previous compact
-    segment) into ``_compact/upto=N`` with the same inner
-    partitioning, then flip the manifest marker. Idempotent: a re-run
-    at the current watermark is a no-op (the segment is already live —
-    re-writing it would read from the path being overwritten), and a
-    re-run after a crash mid-``compact_dedup_state`` skips the dirs
-    that already flipped and compacts the rest. Readers never see a
-    partial view — the marker flip is the only visible transition, and
-    until it happens the old per-batch dirs answer reads."""
-    prev = _compacted_upto(spark, state_dir)
-    if prev is not None and prev > upto_batch:
-        raise ValueError(
-            f"cannot compact {state_dir} to {upto_batch}: already compacted to {prev}"
-        )
-    if prev == upto_batch:
-        return  # already flipped to this watermark: nothing to do
-    df = _read_state(spark, state_dir)
-    if df is None:
-        raise ValueError(f"no state at {state_dir}")
-    df = df.filter(F.col("batch") <= upto_batch)
-    target = os.path.join(state_dir, "_compact", f"upto={upto_batch}")
-    writer = df.write.mode("overwrite")
-    if partition_cols:
-        writer = writer.partitionBy(*partition_cols)
-    writer.parquet(target)
-    _write_manifest(spark, state_dir, upto_batch)
-
-
-def vacuum_state(spark: SparkSession, state_dir: str) -> int:
-    """Delete batch dirs at or below the compaction watermark and
-    superseded ``_compact/upto=M`` segments. Returns the number of
-    directories removed.
-
-    Concurrency contract: crash-safe against the WRITER (the stream's
-    foreachBatch) at any time, but an unsynchronized CONCURRENT reader
-    — a micro-batch that listed state dirs against the pre-flip
-    manifest and hasn't executed its scan yet — can hit deleted paths
-    mid-job. Run compaction+vacuum from the stream's own maintenance
-    cadence (between triggers), with the stream stopped, or compact
-    with ``vacuum=False`` / ``--keep-batches`` and vacuum at a quiet
-    point; superseded dirs are only garbage, so deferral costs disk,
-    not correctness."""
-    upto = _compacted_upto(spark, state_dir)
-    if upto is None:
-        return 0
-    fs, _ = _fs(spark, state_dir)
-    jvm = spark._jvm
-    removed = 0
-    for k, d in _batch_dirs(spark, state_dir):
-        if k <= upto:
-            fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
-            removed += 1
-    croot = jvm.org.apache.hadoop.fs.Path(os.path.join(state_dir, "_compact"))
-    if fs.exists(croot):
-        for st in fs.listStatus(croot):
-            name = st.getPath().getName()
-            if name.startswith("upto=") and int(name.split("=", 1)[1]) < upto:
-                fs.delete(st.getPath(), True)
-                removed += 1
-    return removed
 
 
 def compact_dedup_state(
@@ -437,15 +417,30 @@ def compact_dedup_state(
     index_dir: str,
     pairs_dir: str,
     upto_batch: int,
-    vacuum: bool = True,
+    vacuum: bool = False,
+    bloom_dir: str | None = None,
 ) -> None:
-    """Compact all three dedup state dirs to ``upto_batch``, keeping
-    each dir's prune key as its inner partitioning."""
+    """Compact all four dedup state dirs to ``upto_batch``, keeping
+    each dir's prune key as its inner partitioning; the bloom dir
+    pre-merges to one (word, mask) row set (bit_or is the filter's own
+    merge operator — lossless). Vacuuming superseded dirs is opt-in
+    (ADVICE r6: deleting them under an unsynchronized concurrent
+    reader is the one unsafe interleaving; see state.vacuum_state)."""
+    bdir = bloom_dir or default_bloom_dir(corpus_dir)
     compact_state(spark, corpus_dir, upto_batch, partition_cols=("dh",))
     compact_state(spark, index_dir, upto_batch, partition_cols=("band", "bhm"))
     compact_state(spark, pairs_dir, upto_batch)
+    if batch_dirs(spark, bdir) or compacted_upto(spark, bdir) is not None:
+        compact_state(
+            spark,
+            bdir,
+            upto_batch,
+            merge=lambda df: df.groupBy("word")
+            .agg(F.bit_or("mask").alias("mask"))
+            .withColumn("batch", F.lit(upto_batch)),
+        )
     if vacuum:
-        for d in (corpus_dir, index_dir, pairs_dir):
+        for d in (corpus_dir, index_dir, pairs_dir, bdir):
             vacuum_state(spark, d)
 
 
@@ -458,19 +453,21 @@ def stream_neardup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
-    guard_cross_batch: bool = False,
+    guard_cross_batch: bool = True,
+    bloom_dir: str | None = None,
 ):
     """Start the streaming dedup: documents in, near-dup pairs out.
 
     Returns the StreamingQuery. Offsets commit to ``checkpoint_dir``
     after each batch's writes — the commit-on-success contract the CDC
-    pipeline uses (streaming/pipeline.py). ``index_dir`` defaults to a
-    sibling of ``corpus_dir``. ``doc_id`` must be unique across
-    batches (see module docstring); set ``guard_cross_batch=True`` to
-    enforce it against the accumulated corpus at O(history-id-scan)
-    cost per trigger.
+    pipeline uses (streaming/pipeline.py). ``index_dir`` / ``bloom_dir``
+    default to siblings of ``corpus_dir``. ``doc_id`` must be unique
+    across batches (see module docstring); the default-on
+    ``guard_cross_batch`` enforces that at Bloom-pre-screen cost per
+    trigger — O(batch), never O(history).
     """
     idx = index_dir or os.path.join(os.path.dirname(corpus_dir.rstrip("/")), "lsh_index")
+    bdir = bloom_dir or default_bloom_dir(corpus_dir)
 
     def body(df: DataFrame, bid: int) -> None:
         dedup_micro_batch(
@@ -483,6 +480,7 @@ def stream_neardup_pairs(
             text_col,
             threshold,
             guard_cross_batch=guard_cross_batch,
+            bloom_dir=bdir,
         )
 
     return (

@@ -86,10 +86,10 @@ def test_cli_compact_dedup_state(spark, tmp_path, capsys):
     """compact subcommand: batch dirs at/below the watermark are folded
     into the compact segment with the unified pair set unchanged."""
     from cdc_publisher_spark.streaming.incremental_dedup import (
-        _batch_dirs,
         dedup_micro_batch,
         read_dedup_state,
     )
+    from cdc_publisher_spark.streaming.state import batch_dirs
 
     base = " ".join(f"tok{i}" for i in range(30))
     dirs = [str(tmp_path / d) for d in ("corpus", "idx", "pairs")]
@@ -102,11 +102,11 @@ def test_cli_compact_dedup_state(spark, tmp_path, capsys):
     )
     assert main([
         "compact", "--corpus", dirs[0], "--index", dirs[1],
-        "--pairs", dirs[2], "--upto-batch", "1",
+        "--pairs", dirs[2], "--upto-batch", "1", "--vacuum",
     ]) == 0
     out = capsys.readouterr().out
     assert "corpus: 3 rows" in out and "pairs:" in out
-    assert all(k > 1 for k, _ in _batch_dirs(spark, dirs[2]))
+    assert all(k > 1 for k, _ in batch_dirs(spark, dirs[2]))
     after = sorted(map(tuple, read_dedup_state(spark, dirs[2]).collect()))
     assert after == before
 

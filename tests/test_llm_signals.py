@@ -393,6 +393,7 @@ def test_dedup_probe_index_read_prunes_to_touched_buckets(spark, tmp_path):
     )
     from cdc_publisher_spark.plans import scan_file_counts
     from cdc_publisher_spark.streaming import incremental_dedup as inc
+    from cdc_publisher_spark.streaming.state import read_state
 
     dirs = [str(tmp_path / d) for d in ("corpus", "idx", "pairs")]
     for b in range(5):
@@ -415,7 +416,7 @@ def test_dedup_probe_index_read_prunes_to_touched_buckets(spark, tmp_path):
         leg = (F.col("band") == band) & (F.col("bhm") == bhm)
         pred = leg if pred is None else (pred | leg)
 
-    pruned = inc._read_state(spark, dirs[1], part_filter=pred)
+    pruned = read_state(spark, dirs[1], part_filter=pred)
     scanned = sum(scan_file_counts(pruned))
     matching = sum(
         len(glob.glob(f"{dirs[1]}/batch=*/band={b}/bhm={m}/*.parquet"))
@@ -433,11 +434,11 @@ def test_dedup_state_compaction_preserves_pairs_and_vacuums(spark, tmp_path):
     a replayed pre-watermark batch is invisible to readers."""
     from cdc_publisher_spark.operators.minhash import minhash_near_duplicates
     from cdc_publisher_spark.streaming.incremental_dedup import (
-        _batch_dirs,
         compact_dedup_state,
         dedup_micro_batch,
         read_dedup_state,
     )
+    from cdc_publisher_spark.streaming.state import batch_dirs, vacuum_state
 
     base = " ".join(f"tok{i}" for i in range(30))
     batches = {
@@ -455,9 +456,13 @@ def test_dedup_state_compaction_preserves_pairs_and_vacuums(spark, tmp_path):
         (r.d1, r.d2, r.jaccard) for r in read_dedup_state(spark, dirs[2]).collect()
     }
 
+    # vacuum is opt-in (ADVICE r6): without it the superseded batch
+    # dirs survive; an explicit vacuum deletes them
     compact_dedup_state(spark, *dirs, upto_batch=2)
+    assert any(k <= 2 for k, _ in batch_dirs(spark, dirs[0]))  # kept by default
     for d in dirs:
-        assert all(k > 2 for k, _ in _batch_dirs(spark, d)), d  # vacuumed
+        assert vacuum_state(spark, d) > 0, d
+        assert all(k > 2 for k, _ in batch_dirs(spark, d)), d  # vacuumed
     after = {
         (r.d1, r.d2, r.jaccard) for r in read_dedup_state(spark, dirs[2]).collect()
     }
@@ -526,11 +531,13 @@ def test_dedup_compact_rerun_after_partial_crash_converges(spark, tmp_path):
     would read from the path being overwritten) and finish the rest;
     the unified views never change."""
     from cdc_publisher_spark.streaming.incremental_dedup import (
-        _compacted_upto,
         compact_dedup_state,
-        compact_state,
         dedup_micro_batch,
         read_dedup_state,
+    )
+    from cdc_publisher_spark.streaming.state import (
+        compact_state,
+        compacted_upto as _compacted_upto,
     )
 
     base = " ".join(f"tok{i}" for i in range(30))
@@ -564,3 +571,125 @@ def test_dedup_compact_rerun_after_partial_crash_converges(spark, tmp_path):
         assert _compacted_upto(spark, d) == 2
         assert len(glob.glob(f"{d}/_compacted_upto=*")) == 1
         assert sorted(map(tuple, read_dedup_state(spark, d).collect())) == before[d]
+
+
+def test_cross_batch_guard_is_default_on(spark, tmp_path):
+    """VERDICT r6 ask #1: the guard no longer needs opting into — a
+    doc_id re-delivered under a new batch id is dropped by default."""
+    from cdc_publisher_spark.streaming.incremental_dedup import (
+        dedup_micro_batch,
+        read_dedup_state,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    dirs = [str(tmp_path / d) for d in ("corpus", "idx", "pairs")]
+    b0 = spark.createDataFrame([(1, base), (2, "q " * 25)], "doc_id long, text string")
+    dedup_micro_batch(b0, 0, *dirs)  # no guard flag anywhere
+    b5 = spark.createDataFrame(
+        [(1, base), (7, base + " aa")], "doc_id long, text string"
+    )
+    dedup_micro_batch(b5, 5, *dirs)
+    corpus = read_dedup_state(spark, dirs[0])
+    assert corpus.count() == 3
+    assert corpus.select("doc_id").distinct().count() == 3
+    pairs = {(r.d1, r.d2) for r in read_dedup_state(spark, dirs[2]).collect()}
+    assert pairs == {(1, 7)}
+    # and the bloom state dir accumulated one delta per batch
+    bloom = str(tmp_path / "id_bloom")
+    assert os.path.isdir(os.path.join(bloom, "batch=0"))
+    assert os.path.isdir(os.path.join(bloom, "batch=5"))
+
+
+def test_guard_exact_antijoin_sees_only_bloom_positive_remainder(spark, tmp_path):
+    """VERDICT r6 ask #1 done-criterion: the guard's three-way split —
+    ids the Bloom rules out bypass the exact anti-join entirely, the
+    Bloom-positive remainder is the ONLY exact-join input, and the
+    no-false-negative property (every true history id flags maybe)
+    holds both before and after bloom compaction."""
+    from pyspark.sql import functions as F
+
+    from cdc_publisher_spark.streaming import incremental_dedup as inc
+
+    dirs = [str(tmp_path / d) for d in ("corpus", "idx", "pairs")]
+    bloom_dir = str(tmp_path / "id_bloom")
+    for b in range(2):
+        rows = [
+            (b * 10 + i, " ".join(f"w{b}_{i}_{j}" for j in range(30)))
+            for i in range(1, 6)
+        ]
+        inc.dedup_micro_batch(
+            spark.createDataFrame(rows, "doc_id long, text string"), b, *dirs
+        )
+    history_ids = set(range(1, 6)) | set(range(11, 16))
+
+    def split(batch_id: int, redelivered: set[int], fresh: set[int]):
+        batch = spark.createDataFrame(
+            [(i, f"text {i}") for i in sorted(redelivered | fresh)],
+            "doc_id long, text string",
+        )
+        clean, maybe, survivors = inc._guard_parts(
+            spark, batch, batch_id, dirs[0], bloom_dir, "doc_id"
+        )
+        assert maybe is not None  # bloom state exists
+        c = {r.doc_id for r in clean.collect()}
+        m = {r.doc_id for r in maybe.collect()}
+        s = {r.doc_id for r in survivors.collect()}
+        # clean/maybe partition the batch
+        assert c | m == redelivered | fresh and not (c & m)
+        # no false negatives: every redelivered history id is maybe
+        assert redelivered <= m, (redelivered, m)
+        # clean ids never reach the exact anti-join (its input is maybe)
+        assert not (c & history_ids)
+        # survivors = maybe minus true history
+        assert s == m - history_ids
+        return c, m, s
+
+    redelivered, fresh = {3, 12}, {100, 101, 102, 103}
+    c1, m1, _ = split(9, redelivered, fresh)
+    # the pre-screen did real work: most fresh ids bypassed the join
+    assert len(m1 - redelivered) < len(fresh)
+
+    # compact (bloom pre-merges via bit_or) — property must survive
+    inc.compact_dedup_state(spark, *dirs, upto_batch=1, bloom_dir=bloom_dir)
+    from cdc_publisher_spark.streaming.state import compacted_upto
+
+    assert compacted_upto(spark, bloom_dir) == 1
+    split(10, redelivered, fresh)
+
+    # end-to-end: the guarded micro-batch adds only the fresh ids
+    batch = spark.createDataFrame(
+        [(i, " ".join(f"f{i}_{j}" for j in range(30))) for i in sorted(redelivered | fresh)],
+        "doc_id long, text string",
+    )
+    inc.dedup_micro_batch(batch, 11, *dirs)
+    corpus = inc.read_dedup_state(spark, dirs[0])
+    got = {r.doc_id for r in corpus.select("doc_id").collect()}
+    assert got == history_ids | fresh
+    assert corpus.count() == len(got)
+
+
+def test_vacuum_grace_margin_keeps_recent_superseded_dirs(spark, tmp_path):
+    """state.vacuum_state(grace_batches=N) retains the newest N
+    superseded batch dirs so an unsynchronized in-flight reader can
+    finish (ADVICE r6); a later full vacuum reclaims them."""
+    from cdc_publisher_spark.streaming.state import (
+        batch_dirs,
+        compact_state,
+        read_state,
+        vacuum_state,
+    )
+
+    state = str(tmp_path / "s")
+    for b in range(4):
+        spark.createDataFrame([(b, b * 10)], "batch_ignored int, v int").drop(
+            "batch_ignored"
+        ).write.mode("overwrite").parquet(os.path.join(state, f"batch={b}"))
+    before = sorted(r.v for r in read_state(spark, state).collect())
+    compact_state(spark, state, upto_batch=2)
+    removed = vacuum_state(spark, state, grace_batches=1)
+    assert removed == 2  # batches 0,1 gone; batch 2 kept as grace
+    assert [k for k, _ in batch_dirs(spark, state)] == [2, 3]
+    assert sorted(r.v for r in read_state(spark, state).collect()) == before
+    assert vacuum_state(spark, state) == 1  # full vacuum reclaims batch 2
+    assert [k for k, _ in batch_dirs(spark, state)] == [3]
+    assert sorted(r.v for r in read_state(spark, state).collect()) == before
