@@ -137,31 +137,113 @@ _DIMENSION_COLS = (
 
 def _bare_attr(rendered: str) -> str | None:
     """The attribute name iff ``rendered`` is a BARE reference like
-    ``doc_id#12`` / ``doc_id#12L`` (possibly type-annotated): grouping
-    by a bare row id keeps corpus cardinality, while any derived
-    expression over it — ``(doc_id#12L div 4096)``, ``substring(md5…)``
-    — buckets it down and does reduce."""
+    ``doc_id#12`` / ``doc_id#12L`` (possibly type-annotated)."""
     import re
 
     m = re.fullmatch(r"([A-Za-z_][A-Za-z0-9_]*)#\d+L?(?::\s*\w+)?", rendered.strip())
     return m.group(1) if m else None
 
 
+#: Rendered-expression fragments that actually SHRINK a per-row id's
+#: cardinality (ADVICE r6: a derived grouping is NOT automatically
+#: reducing — ``xxhash64(doc_id)`` or ``doc_id + 0`` keeps corpus
+#: cardinality; only bucketing shapes reduce): integer division /
+#: right-shift / modulo by a constant, and fixed-length substring
+#: prefixes (md5-hex bucketing).
+_REDUCING_FRAGMENTS = (" div ", " % ", " / ", "shiftright(", "pmod(", "substring(", "substr(")
+
+
+def _alias_defs(node) -> dict[str, str]:
+    """``name#id`` → rendered defining expression, collected from every
+    Alias in the subtree. The optimizer hoists derived grouping keys
+    into a Project below the Aggregate (``groupBy(xxhash64(doc_id))``
+    becomes Aggregate [h] over Project [xxhash64(doc_id) AS h]), so
+    judging a grouping attr needs its definition resolved."""
+    import re
+
+    defs: dict[str, str] = {}
+
+    def walk(n) -> None:
+        try:
+            exprs = n.expressions()
+            for i in range(exprs.size()):
+                e = exprs.apply(i)
+                if e.getClass().getSimpleName() != "Alias":
+                    continue
+                m = re.fullmatch(
+                    r"(.*) AS ([A-Za-z_][A-Za-z0-9_]*#\d+)L?", e.toString()
+                )
+                if m:
+                    defs[m.group(2)] = m.group(1)
+        except Exception:
+            pass  # node kind without expressions()
+        kids = n.children()
+        for i in range(kids.size()):
+            walk(kids.apply(i))
+
+    walk(node)
+    return defs
+
+
+def _expand_refs(rendered: str, defs: dict[str, str], depth: int = 10) -> str:
+    """Textually inline alias definitions into ``rendered`` until only
+    row-id refs, underived attrs, and literals remain (bounded depth)."""
+    import re
+
+    pat = re.compile(r"([A-Za-z_][A-Za-z0-9_]*#\d+)L?")
+    for _ in range(depth):
+        changed = False
+
+        def sub(m) -> str:
+            nonlocal changed
+            ref = m.group(1)
+            if ref.split("#")[0] in _ROW_ID_COLS:
+                return m.group(0)  # terminal: the thing we track
+            if ref in defs:
+                changed = True
+                return "(" + defs[ref] + ")"
+            return m.group(0)
+
+        rendered = pat.sub(sub, rendered)
+        if not changed:
+            break
+    return rendered
+
+
+def _grouping_keeps_row_cardinality(rendered: str, defs: dict[str, str]) -> bool:
+    """True when one grouping expression preserves per-row-id
+    cardinality: a bare row-id attribute, or ANY derived expression
+    over a row id that lacks a known bucketing shape (the hash/affine
+    trap ADVICE r6 names — ``xxhash64(doc_id)`` is a bijection-ish
+    rename, not a reduction). Aliased derivations are resolved through
+    the subtree's Projects first."""
+    expanded = _expand_refs(rendered, defs)
+    bare = _bare_attr(expanded)
+    if bare is not None:
+        return bare in _ROW_ID_COLS
+    if not (_attr_names(expanded) & set(_ROW_ID_COLS)):
+        return False  # derived over value/dimension columns only
+    return not any(f in expanded for f in _REDUCING_FRAGMENTS)
+
+
 def _corpus_sized(node) -> bool:
     """True when a fact-table leaf scan is reachable from ``node``
     without passing a cardinality-reducing operator: a Limit, or an
-    Aggregate none of whose grouping expressions is a BARE per-row-id
-    attribute (bucketing expressions like ``doc_id div 4096`` reduce
-    by the bucket width; grouping by ``doc_id`` itself does not)."""
+    Aggregate none of whose grouping expressions keeps per-row-id
+    cardinality (bucketing expressions like ``doc_id div 4096`` or
+    ``pmod(xxhash64(doc_id), 64)`` reduce by the bucket width;
+    ``doc_id`` itself — or a cardinality-preserving derivation like
+    ``xxhash64(doc_id)`` — does not)."""
     cls = node.getClass().getSimpleName()
     if cls in ("GlobalLimit", "LocalLimit"):
         return False
     if cls == "Aggregate":
         ges = node.groupingExpressions()
-        bare = {
-            _bare_attr(ges.apply(i).toString()) for i in range(ges.size())
-        } - {None}
-        if not bare & set(_ROW_ID_COLS):
+        defs = _alias_defs(node)
+        if not any(
+            _grouping_keeps_row_cardinality(ges.apply(i).toString(), defs)
+            for i in range(ges.size())
+        ):
             return False  # reduced to value/dimension cardinality
     kids = node.children()
     if kids.size() == 0:
@@ -241,3 +323,21 @@ def low_cardinality_corpus_windows(df: DataFrame) -> list[str]:
 
     walk(jplan)
     return offenders
+
+
+def corpus_sized_plan(df: DataFrame) -> str | None:
+    """The optimized-plan root's simpleString when corpus-size taint
+    reaches it UNREDUCED — no Limit, and no Aggregate whose grouping
+    drops per-row-id cardinality, on some path from a fact-table leaf
+    — else None.
+
+    This is the third tripwire shape (VERDICT r6 ask #4): a PERSISTED
+    frame with such a plan pins O(corpus) rows in the block manager —
+    fine as an sf0.1 audit, a memory-pressure trap at 100 TB (caches
+    spill, but a 100 TB spill IS the failure). The sweep in
+    tests/test_plans.py intercepts every ``persist()`` a registered
+    query issues and flags offenders; declared audit queries are
+    allowlisted BY NAME there so the exemption stays visible in code.
+    """
+    jplan = df._jdf.queryExecution().optimizedPlan()
+    return jplan.simpleString(160) if _corpus_sized(jplan) else None

@@ -283,13 +283,17 @@ def q_k82_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     "then estimates Jaccard from the merged bottom-K alone: of the K "
     "smallest hashes of the UNION, the fraction present in both "
     "sketches (membership via the sketches is exact for union-bottom-K "
-    "elements). The exact Jaccard comes from ONE bitmap aggregation — "
-    "bit_or of per-source bits per shingle, then counts per bitmap "
-    "value (a table bounded by distinct bitmap patterns, not corpus "
-    "size) — NOT 190 pairwise shingle joins. err_ok checks "
-    "|est - exact| <= 0.25 (K=64 => ~2.5 sigma at worst-case J). "
-    "SCALE: sketch bytes per source are O(K); the pair stage touches "
-    "only n_sources x K rows however large the corpus.",
+    "elements). The exact Jaccard (the audit side) comes from |A∩B| "
+    "via ONE shingle equi-self-join (sum over shingles of "
+    "C(sources_sharing_it, 2) pairs — co-occurrence mass, not doc x "
+    "doc) plus per-source distinct counts, with |A∪B| = n1 + n2 - i; "
+    "this survives ARBITRARY source counts and names (VERDICT r6 ask "
+    "#3 — the old single-bigint source bitmap silently corrupted past "
+    "64 sources or non-srcN naming; pytest-pinned at 70 sources). "
+    "err_ok checks |est - exact| <= 0.25 (K=64 => ~2.5 sigma at "
+    "worst-case J). SCALE: sketch bytes per source are O(K); the pair "
+    "stage touches only n_sources x K rows however large the corpus; "
+    "the audit join is linear in shingle co-occurrence.",
     oracle=f"""
         WITH w AS (SELECT source, string_split(text, ' ') ws FROM documents),
         sh AS (
@@ -332,22 +336,20 @@ def q_k82_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT s1, s2, SUM(in1 * in2) AS n_both, COUNT(*) AS n_k
             FROM ubk GROUP BY 1, 2
         ),
-        bm AS (
-            SELECT s, BIT_OR(CAST(1 AS BIGINT) <<
-                             CAST(substr(source, 4) AS INT)) AS b
-            FROM sh GROUP BY s
+        spc AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+        inter AS (
+            SELECT a.source AS s1, b.source AS s2, COUNT(*) AS i
+            FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+            GROUP BY 1, 2
         ),
-        bmc AS (SELECT b, COUNT(*) AS cnt FROM bm GROUP BY b),
         exact AS (
             SELECT p.s1, p.s2,
-                   SUM(CASE WHEN (bmc.b >> CAST(substr(p.s1, 4) AS INT)) % 2 = 1
-                             AND (bmc.b >> CAST(substr(p.s2, 4) AS INT)) % 2 = 1
-                            THEN bmc.cnt ELSE 0 END) AS i,
-                   SUM(CASE WHEN (bmc.b >> CAST(substr(p.s1, 4) AS INT)) % 2 = 1
-                             OR (bmc.b >> CAST(substr(p.s2, 4) AS INT)) % 2 = 1
-                            THEN bmc.cnt ELSE 0 END) AS u
-            FROM pairs p CROSS JOIN bmc
-            GROUP BY 1, 2
+                   COALESCE(inter.i, 0) AS i,
+                   n1.n + n2.n - COALESCE(inter.i, 0) AS u
+            FROM pairs p
+            LEFT JOIN inter ON inter.s1 = p.s1 AND inter.s2 = p.s2
+            JOIN spc n1 ON n1.source = p.s1
+            JOIN spc n2 ON n2.source = p.s2
         )
         SELECT est.s1, est.s2,
                CAST(est.n_both AS BIGINT) AS kmv_both,
@@ -406,23 +408,39 @@ def q_k83_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_k"),
         )
     )
-    # exact Jaccard via one bitmap aggregation over ALL shingles
-    bm = sh.select(
-        "s",
-        F.expr(
-            "shiftleft(cast(1 as bigint), cast(substring(source, 4, 8) as int))"
-        ).alias("m"),
-    ).groupBy("s").agg(F.bit_or("m").alias("b"))
-    bmc = bm.groupBy("b").agg(F.count("*").alias("cnt"))
-    b1 = F.expr("shiftright(b, cast(substring(s1, 4, 8) as int)) % 2 = 1")
-    b2 = F.expr("shiftright(b, cast(substring(s2, 4, 8) as int)) % 2 = 1")
+    # exact Jaccard audit: |A∩B| from ONE shingle equi-self-join —
+    # per-pair work is Σ_s C(deg_s, 2) (shingle co-occurrence mass),
+    # and |A∪B| = n1 + n2 - i from per-source distinct counts. No
+    # source-count cap, no naming assumption (VERDICT r6 ask #3).
+    spc = sh.groupBy("source").agg(F.count("*").alias("n"))  # sh is distinct
+    inter = (
+        sh.alias("ia")
+        .join(
+            sh.alias("ib"),
+            (F.col("ia.s") == F.col("ib.s"))
+            & (F.col("ia.source") < F.col("ib.source")),
+        )
+        .groupBy(
+            F.col("ia.source").alias("s1"), F.col("ib.source").alias("s2")
+        )
+        .agg(F.count("*").alias("i"))
+    )
     exact = (
         F.broadcast(pairs)
-        .crossJoin(bmc)
-        .groupBy("s1", "s2")
-        .agg(
-            F.sum(F.when(b1 & b2, F.col("cnt")).otherwise(0)).alias("i"),
-            F.sum(F.when(b1 | b2, F.col("cnt")).otherwise(0)).alias("u"),
+        .join(inter, ["s1", "s2"], "left")
+        .join(
+            F.broadcast(spc.select(F.col("source").alias("s1"), F.col("n").alias("_n1"))),
+            "s1",
+        )
+        .join(
+            F.broadcast(spc.select(F.col("source").alias("s2"), F.col("n").alias("_n2"))),
+            "s2",
+        )
+        .select(
+            "s1",
+            "s2",
+            F.coalesce(F.col("i"), F.lit(0)).alias("i"),
+            (F.col("_n1") + F.col("_n2") - F.coalesce(F.col("i"), F.lit(0))).alias("u"),
         )
     )
     kmv_j = F.col("n_both") / F.col("n_k")

@@ -392,3 +392,123 @@ def test_q_k83_kmv_bottom_k_is_window_group_limit(spark, sf_oracle):
     source's full shingle share."""
     plan = plan_string(_df(spark, sf_oracle, "q_k83_kmv_source_overlap"), "simple")
     assert "WindowGroupLimit" in plan
+
+
+def test_corpus_sized_persist_detector_controls(spark, sf_oracle):
+    """Controls for the persisted-frame tripwire (VERDICT r6 ask #4)
+    and the tightened grouping exemption (ADVICE r6): raw corpus and
+    per-row-id frames flag; bucketed/limited/dimension-grouped frames
+    pass; and a cardinality-PRESERVING derived grouping (xxhash64 of a
+    row id, affine doc_id+0) no longer slips through as 'reduced'."""
+    from pyspark.sql import functions as F
+
+    from cdc_publisher_spark.plans import corpus_sized_plan, unpartitioned_corpus_windows
+    from cdc_publisher_spark.tables import load
+
+    docs = load(spark, sf_oracle, "documents")
+
+    # positives: corpus-sized with no reducing operator
+    assert corpus_sized_plan(docs)
+    assert corpus_sized_plan(docs.filter(F.col("n_chars") > 10))  # filter ≠ reduce
+    assert corpus_sized_plan(docs.groupBy("doc_id").agg(F.count("*").alias("c")))
+    # ADVICE r6: cardinality-preserving derived groupings keep the taint
+    assert corpus_sized_plan(
+        docs.groupBy(F.xxhash64("doc_id").alias("h")).agg(F.count("*").alias("c"))
+    )
+    assert corpus_sized_plan(
+        docs.groupBy((F.col("doc_id") + 0).alias("d")).agg(F.count("*").alias("c"))
+    )
+
+    # negatives: a reducing operator between scan and root
+    assert corpus_sized_plan(docs.limit(100)) is None
+    assert corpus_sized_plan(
+        docs.groupBy("source").agg(F.count("*").alias("c"))
+    ) is None
+    assert corpus_sized_plan(
+        docs.groupBy(F.expr("doc_id div 4096").alias("b")).agg(F.count("*").alias("c"))
+    ) is None
+    assert corpus_sized_plan(
+        docs.groupBy(F.pmod(F.xxhash64("doc_id"), F.lit(64)).alias("b"))
+        .agg(F.count("*").alias("c"))
+    ) is None
+
+    # and the ADVICE escape route is closed for the WINDOW tripwire too:
+    # a global window above a hash-of-row-id grouping is corpus-sized
+    from pyspark.sql import Window as W
+
+    escaped = (
+        docs.groupBy(F.xxhash64("doc_id").alias("h"))
+        .agg(F.sum("n_chars").alias("s"))
+        .withColumn("rn", F.row_number().over(W.orderBy("h")))
+    )
+    assert unpartitioned_corpus_windows(escaped)
+
+
+#: Declared audit queries allowed to persist a corpus-sized frame:
+#: their CONTRACT is an exact diagnostic over the whole corpus (run at
+#: audit scale, not at 100 TB). Keeping the names here — not inside the
+#: detector — keeps the exemption visible in code review (VERDICT r6
+#: ask #4).
+PERSIST_AUDIT_ALLOWLIST: dict[str, str] = {
+    "q_k86_minhash_calibration": "exact-Jaccard audit: persisted shingle "
+    "frame feeds three calibration consumers; contract is all-pairs ground "
+    "truth at audit scale (llm_sketch.py q_k86 doc)",
+}
+
+
+def test_no_corpus_sized_persisted_frames(spark, sf_smoke, monkeypatch):
+    """Third tripwire shape (VERDICT r6 ask #4): intercept every
+    ``persist()`` each registered query issues while building its
+    frame and flag any whose optimized plan is corpus-sized with no
+    reducing operator — a 100 TB block-manager trap. Audit queries
+    with a declared all-corpus contract are allowlisted BY NAME above.
+
+    PySpark 4 note: ``pyspark.sql.DataFrame`` is the abstract parent;
+    instances are ``pyspark.sql.classic.dataframe.DataFrame`` which
+    OVERRIDES ``persist``/``cache`` — patching only the parent is a
+    silent no-op, so patch every class in the hierarchy that defines
+    them (guarded against sanity via the q_k86 canary below)."""
+    from cdc_publisher_spark.plans import corpus_sized_plan
+
+    captured: list = []
+
+    def fake_persist(self, *a, **k):
+        captured.append(self)
+        return self
+
+    import pyspark.sql.dataframe as _base
+
+    patch_classes = [_base.DataFrame]
+    try:
+        import pyspark.sql.classic.dataframe as _classic
+
+        patch_classes.append(_classic.DataFrame)
+    except ImportError:  # pre-4.x layout: only the one class
+        pass
+    for cls in patch_classes:
+        if "persist" in cls.__dict__:
+            monkeypatch.setattr(cls, "persist", fake_persist)
+        if "cache" in cls.__dict__:
+            monkeypatch.setattr(cls, "cache", fake_persist)
+    offenders = {}
+    allowlisted_hits: set[str] = set()
+    total_persists = 0
+    for name, spec in sorted(all_specs().items()):
+        captured.clear()
+        spec.spark(spark, sf_smoke)
+        total_persists += len(captured)
+        offs = [p for p in (corpus_sized_plan(c) for c in list(captured)) if p]
+        if offs:
+            if name in PERSIST_AUDIT_ALLOWLIST:
+                allowlisted_hits.add(name)
+            else:
+                offenders[name] = offs[0][:160]
+    assert not offenders, offenders
+    # canary: the sweep must be NON-vacuous — the interception hook
+    # captured real persists, and every allowlist entry is load-bearing
+    # (a stale entry would hide a future regression behind an exemption)
+    assert total_persists > 0, "persist hook captured nothing — patch target wrong"
+    assert allowlisted_hits == set(PERSIST_AUDIT_ALLOWLIST), (
+        "stale or non-firing allowlist entries",
+        allowlisted_hits ^ set(PERSIST_AUDIT_ALLOWLIST),
+    )

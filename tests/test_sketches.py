@@ -132,3 +132,42 @@ def test_k86_calibration_is_tight_at_high_jaccard(spark, sf_smoke):
     top = max(rows, key=lambda r: r.decile)
     assert top.decile == 9
     assert abs(top.mean_est - top.mean_exact) <= 0.1
+
+
+# --------------------------------------------------------------------------
+# q_k83 exact audit at >64 sources (VERDICT r6 ask #3): the old
+# single-bigint source bitmap silently corrupted past 64 sources and
+# for non-srcN names; the self-join audit must be exact for both.
+# --------------------------------------------------------------------------
+def test_k83_exact_audit_survives_70_sources_and_arbitrary_names(
+    spark, tmp_path_factory
+):
+    import os
+
+    from pyspark.sql import functions as F
+
+    # 70 sources with engineered overlap: every source shares the
+    # 5-token "common c0..c4" run (3 common trigrams); source i adds
+    # 7 private tokens (5 private trigrams + 2 bridge trigrams).
+    # Exact per-pair Jaccard is the same closed form for ALL pairs:
+    # |A∩B| = 3, |A| = |B| = 10  =>  J = 3 / 17.
+    n_src = 70
+    rows = []
+    for i in range(n_src):
+        name = f"weird name-{i}!" if i % 2 else f"Quelle_{i}"
+        text = " ".join(["common", "c0", "c1", "c2", "c3"] + [f"p{i}_{j}" for j in range(7)])
+        rows.append((i, text, "en", name, len(text)))
+    d = str(tmp_path_factory.mktemp("k83wide"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+
+    out = _run(spark, d, "q_k83_kmv_source_overlap")
+    rows_out = out.collect()
+    assert len(rows_out) == n_src * (n_src - 1) // 2
+    want = round(3 / 17, 4)
+    assert all(r.exact_jaccard == want for r in rows_out), sorted(
+        {r.exact_jaccard for r in rows_out}
+    )[:5]
+    # the KMV estimate side is name-agnostic too and within its bound
+    assert all(r.err_ok for r in rows_out)
