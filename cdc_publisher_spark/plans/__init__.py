@@ -149,8 +149,78 @@ def _bare_attr(rendered: str) -> str | None:
 #: reducing — ``xxhash64(doc_id)`` or ``doc_id + 0`` keeps corpus
 #: cardinality; only bucketing shapes reduce): integer division /
 #: right-shift / modulo by a constant, and fixed-length substring
-#: prefixes (md5-hex bucketing).
-_REDUCING_FRAGMENTS = (" div ", " % ", " / ", "shiftright(", "pmod(", "substring(", "substr(")
+#: prefixes (md5-hex bucketing). ADVICE r7: fractional ``/`` is NOT
+#: reducing (``doc_id / 2`` is a bijection on bigints-as-doubles up to
+#: precision), and a fragment only reduces the refs INSIDE its own
+#: argument span — ``concat(doc_id, substring(source,1,2))`` leaves
+#: ``doc_id`` unreduced (span logic in ``_reducing_spans``).
+_REDUCING_FUNCS = ("shiftright(", "pmod(", "substring(", "substr(")
+_REDUCING_INFIX = (" div ", " % ")
+
+
+def _match_paren(s: str, open_idx: int) -> int:
+    """Index of the ``)`` matching ``s[open_idx] == '('``, or len(s)."""
+    depth = 0
+    for i in range(open_idx, len(s)):
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    return len(s)
+
+
+def _strip_window_specs(s: str) -> str:
+    """Remove every ``windowspecdefinition(...)`` span (balanced) from a
+    rendered expression. The spec's partition/order keys shape window
+    FRAMES, not the value's cardinality — ``lead(w) OVER (PARTITION BY
+    doc_id ...)`` groups by a w-derived value, and seeing ``doc_id``
+    inside the spec must not taint it (the k83/k87 shingle false
+    positive). The window FUNCTION's own argument list stays, so
+    ``min(doc_id) OVER (PARTITION BY doc_id)`` — whose VALUE is the row
+    id — is still judged cardinality-preserving."""
+    marker = "windowspecdefinition("
+    while True:
+        i = s.find(marker)
+        if i < 0:
+            return s
+        close = _match_paren(s, i + len(marker) - 1)
+        s = s[:i] + s[close + 1 :]
+
+
+def _reducing_spans(s: str) -> list[tuple[int, int]]:
+    """Character spans of ``s`` covered by a cardinality-reducing
+    fragment's ARGUMENT LIST: the balanced parens of a reducing
+    function, or the innermost paren group enclosing a reducing infix
+    operator (Catalyst renders binary ops parenthesized:
+    ``(doc_id#0L div 4096)``)."""
+    spans: list[tuple[int, int]] = []
+    for f in _REDUCING_FUNCS:
+        start = 0
+        while (i := s.find(f, start)) >= 0:
+            open_idx = i + len(f) - 1
+            spans.append((open_idx, _match_paren(s, open_idx)))
+            start = i + 1
+    if any(op in s for op in _REDUCING_INFIX):
+        # matching-paren map once, then innermost enclosure per operator
+        stack: list[int] = []
+        pairs: dict[int, int] = {}
+        for i, ch in enumerate(s):
+            if ch == "(":
+                stack.append(i)
+            elif ch == ")" and stack:
+                pairs[stack.pop()] = i
+        for op in _REDUCING_INFIX:
+            start = 0
+            while (i := s.find(op, start)) >= 0:
+                enclosing = [
+                    (a, b) for a, b in pairs.items() if a < i < b
+                ]
+                if enclosing:
+                    spans.append(max(enclosing, key=lambda ab: ab[0]))
+                start = i + 1
+    return spans
 
 
 def _alias_defs(node) -> dict[str, str]:
@@ -216,14 +286,28 @@ def _grouping_keeps_row_cardinality(rendered: str, defs: dict[str, str]) -> bool
     over a row id that lacks a known bucketing shape (the hash/affine
     trap ADVICE r6 names — ``xxhash64(doc_id)`` is a bijection-ish
     rename, not a reduction). Aliased derivations are resolved through
-    the subtree's Projects first."""
-    expanded = _expand_refs(rendered, defs)
+    the subtree's Projects first; window partition/order specs are
+    stripped before judging (the spec's keys don't enter the value);
+    and a reducing fragment only absolves row-id refs INSIDE its own
+    argument span (ADVICE r7) — every ref must be covered by some
+    reducing span, else the expression keeps corpus cardinality."""
+    import re
+
+    expanded = _strip_window_specs(_expand_refs(rendered, defs))
     bare = _bare_attr(expanded)
     if bare is not None:
         return bare in _ROW_ID_COLS
-    if not (_attr_names(expanded) & set(_ROW_ID_COLS)):
+    row_refs = [
+        m.span()
+        for m in re.finditer(r"([A-Za-z_][A-Za-z0-9_]*)#\d+", expanded)
+        if m.group(1) in _ROW_ID_COLS
+    ]
+    if not row_refs:
         return False  # derived over value/dimension columns only
-    return not any(f in expanded for f in _REDUCING_FRAGMENTS)
+    spans = _reducing_spans(expanded)
+    return any(
+        not any(s <= a and b <= e + 1 for s, e in spans) for a, b in row_refs
+    )
 
 
 def _corpus_sized(node) -> bool:
@@ -237,6 +321,18 @@ def _corpus_sized(node) -> bool:
     cls = node.getClass().getSimpleName()
     if cls in ("GlobalLimit", "LocalLimit"):
         return False
+    if cls == "WindowGroupLimit":
+        # a rank-filter top-K (InferWindowGroupLimit's logical node)
+        # bounds output to K x |partition groups|: reducing unless the
+        # partition keys themselves keep per-row-id cardinality (a
+        # top-K per doc_id is still corpus-sized)
+        ps = node.partitionSpec()
+        defs = _alias_defs(node)
+        if not any(
+            _grouping_keeps_row_cardinality(ps.apply(i).toString(), defs)
+            for i in range(ps.size())
+        ):
+            return False
     if cls == "Aggregate":
         ges = node.groupingExpressions()
         defs = _alias_defs(node)

@@ -420,8 +420,12 @@ def q_k42_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_publisher_spark.operators.semdedup import diversity_sample
 
     e = load(spark, sf_dir, "embeddings")
-    # one fit+assignment feeds both the quota and coverage audits
-    ds = track_persist(diversity_sample(e, per_cluster=32))
+    # ONE k-means fit (build_ivf collects its bounded sample eagerly
+    # and embeds the centroids as plan literals), so re-evaluating the
+    # assignment per audit consumer is deterministic — each consumer
+    # re-scans rather than pinning a per-vector frame in the block
+    # manager (r7 tripwire triage: scan twice beats O(corpus) persist)
+    ds = diversity_sample(e, per_cluster=32)
     per_cluster = ds.groupBy("list_id").agg(
         F.count("*").alias("_size"),
         F.count_if(F.col("keep")).alias("_kept"),

@@ -92,12 +92,15 @@ def _doc_grams(docs: DataFrame) -> DataFrame:
     "bigram into 256 md5 buckets; fit add-1-smoothed bucket "
     "distributions p (target = src0 docs) and q (raw = the rest); "
     "score each raw doc as sum_b c_b * (ln p_b - ln q_b) with 8dp-"
-    "rounded DECIMAL terms (c copies of an equal decimal sum to "
-    "exactly c * term, so per-doc bucket counts multiply instead of "
-    "re-summing instances); keep the 100 highest-scoring raw docs "
-    "(score desc, doc_id asc tie-break -> TakeOrderedAndProject). "
-    "Scale shape: both distributions are 256-row broadcast aggs, the "
-    "corpus side is one explode -> (doc, bucket) count, selection is "
+    "rounded DECIMAL terms, summed per-GRAM against the broadcast "
+    "ratio table (summing c copies of an equal decimal == exactly "
+    "c * term, so the oracle's per-doc-count form matches); keep the "
+    "100 highest-scoring raw docs (score desc, doc_id asc tie-break "
+    "-> TakeOrderedAndProject). Scale shape: both distributions are "
+    "256-row broadcast aggs over the persisted (source, bucket) count "
+    "table; the scorer streams gram rows through a broadcast join + "
+    "one map-side-combined (doc, source) aggregate — no corpus-"
+    "cardinality frame is ever persisted (r7 tripwire). Selection is "
     "top-N not a global sort. No driver-side data traffic.",
     oracle=f"""
         WITH t AS (
@@ -167,22 +170,27 @@ def q_k54_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = _doc_grams(docs).select(
         "doc_id", "source", _md5_bucket(F.col("g"), "dsir", DSIR_BUCKETS).alias("b")
     )
-    # ONE pass over the corpus-sized gram explode; the bucket
-    # distributions and totals all re-aggregate the (doc, source, b)
-    # counts (doc-bounded, persisted for its two consumers) instead of
-    # re-running the explode per statistic.
-    docc = (
-        track_persist(bg.groupBy("doc_id", "source", "b").agg(F.count("*").alias("c")))
+    # r7 tripwire triage: the old shape persisted the per-(doc, source,
+    # bucket) count frame — O(docs x 256) rows pinned in the block
+    # manager. Now the ONLY persisted frame is the (source, bucket)
+    # count table (<= sources x 256 rows, broadcast-sized); the bucket
+    # distributions and totals read it, and the per-doc scorer re-runs
+    # the gram explode once more, streaming per-gram rows through a
+    # broadcast ratio join + one map-side-combined (doc, source)
+    # aggregate. Two sequential corpus scans beat one scan + a
+    # corpus-cardinality persist at 100 TB.
+    srcb = track_persist(
+        bg.groupBy("source", "b").agg(F.count("*").cast("long").alias("cnt"))
     )
     tgt_n = (
-        docc.filter(F.col("source") == DSIR_TARGET)
+        srcb.filter(F.col("source") == DSIR_TARGET)
         .groupBy("b")
-        .agg(F.sum("c").alias("tn"))
+        .agg(F.sum("cnt").alias("tn"))
     )
     raw_n = (
-        docc.filter(F.col("source") != DSIR_TARGET)
+        srcb.filter(F.col("source") != DSIR_TARGET)
         .groupBy("b")
-        .agg(F.sum("c").alias("rn"))
+        .agg(F.sum("cnt").alias("rn"))
     )
     tgt_tot = tgt_n.agg(F.coalesce(F.sum("tn"), F.lit(0)).alias("nt"))
     raw_tot = raw_n.agg(F.coalesce(F.sum("rn"), F.lit(0)).alias("nr"))
@@ -205,11 +213,15 @@ def q_k54_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # per-gram scoring: every gram row contributes its bucket's w_b
+    # once, so SUM(w_b) over gram rows == SUM(c * w_b) over per-doc
+    # bucket counts EXACTLY (decimal addition is associative/exact) —
+    # no per-doc count intermediate needed
     scored = (
-        docc.filter(F.col("source") != DSIR_TARGET)
+        bg.filter(F.col("source") != DSIR_TARGET)
         .join(F.broadcast(ratio), "b")
         .groupBy("doc_id", "source")
-        .agg(F.sum(F.col("c").cast("decimal(12,0)") * F.col("w_b")).alias("s"))
+        .agg(F.sum(F.col("w_b")).alias("s"))
     )
     return (
         scored.orderBy(F.col("s").desc(), F.col("doc_id").asc())
@@ -561,14 +573,16 @@ def q_k60_prototype_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("norm") * F.lit(cnorm[i])),
             ).otherwise(proto)
         )
-    # one evaluation of the assignment + centroid-cosine lineage feeds
-    # the ranking, the independent size re-aggregation, and the range
-    # audit (audit independence is about separate AGGREGATION paths,
-    # not re-execution of the same scan)
+    # the assignment + centroid-cosine lineage feeds the ranking, the
+    # independent size re-aggregation, and the range audit. NOT
+    # persisted (r7 tripwire triage): the centroids are plan literals
+    # (build_ivf fits eagerly on its bounded sample), so each consumer
+    # re-evaluates the same deterministic scan — audit independence is
+    # about separate AGGREGATION paths, and re-scanning beats pinning a
+    # per-vector frame in the block manager at corpus scale
     scored = idx.corpus.select(
         F.col(idx.id_col), F.col("list_id"), proto.alias("proto")
     )
-    scored = track_persist(scored)
     w = W.partitionBy("list_id").orderBy(F.col("proto").desc(), F.col(idx.id_col))
     ranked = scored.select(
         idx.id_col,

@@ -558,17 +558,20 @@ from cdc_publisher_spark.operators.hll import (  # noqa: E402
 )
 def q_k84_hll_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    # per-doc distinct shingles joined to source; persisted because the
-    # sketch path and the exact audit twin both scan it
+    # ONE corpus shingle pass reduced to the distinct (source, s) frame
+    # BEFORE the persist (r7 tripwire triage): max() in the register
+    # aggregate absorbs duplicates either way, so registers over the
+    # distinct frame are bit-identical to registers over raw shingle
+    # rows — and the persisted frame is the exact audit's required
+    # dedup, not a corpus-row-sized intermediate.
     sh = track_persist(
         TX.shingle_rows(docs, "doc_id", "text", 3)
         .join(docs.select("doc_id", "source"), "doc_id")
         .select("source", "s")
+        .distinct()
     )
-    # NOTE: no .distinct() before the register aggregate — max() absorbs
-    # duplicate shingles, which is exactly why HLL needs no dedup pass.
     est = hll_estimate(hll_registers(sh, ["source"]), ["source"])
-    exact = sh.distinct().groupBy("source").agg(
+    exact = sh.groupBy("source").agg(
         F.count("*").cast("long").alias("exact_distinct")
     )
     rel = F.abs(F.col("hll_estimate") - F.col("exact_distinct")) / F.col("exact_distinct")
@@ -677,16 +680,23 @@ HDR_PS = (0.5, 0.9, 0.99)
 )
 def q_k85_hdr_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    t = track_persist(
-        docs.select("source", TX.n_words(F.col("text")).cast("long").alias("n"))
+    # ONE corpus tokenize pass reduced to the distinct-VALUE table
+    # (source, n) -> count BEFORE the persist (r7 tripwire triage): the
+    # sketch histogram and the exact discrete percentile both derive
+    # from value counts, so the shared frame is O(distinct token
+    # counts) per source — never per-doc rows.
+    t = docs.select("source", TX.n_words(F.col("text")).cast("long").alias("n"))
+    nv = track_persist(
+        t.groupBy("source", "n").agg(F.count("*").cast("long").alias("c"))
     )
     sb = HDR_SIG_BITS
-    e = t.select("source", "n", F.expr(_EB_SQL).alias("eb"))
+    e = nv.select("source", "n", "c", F.expr(_EB_SQL).alias("eb"))
     small = F.col("n") < 8
     sub = F.expr(f"shiftright(n, eb - {sb})")
     bkt = e.select(
         "source",
         "n",
+        "c",
         F.when(small, F.col("n")).otherwise(F.col("eb") * 8 + sub).alias("bid"),
         F.when(small, F.col("n"))
         .otherwise(F.expr(f"shiftleft(shiftright(n, eb - {sb}), eb - {sb})"))
@@ -700,7 +710,7 @@ def q_k85_hdr_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = bkt.groupBy("source", "bid").agg(
         F.min("lo").alias("lo"),
         F.min("hi").alias("hi"),
-        F.count("*").cast("long").alias("c"),
+        F.sum("c").cast("long").alias("c"),
     )
     # windows over the BUCKET table (<= ~8*2^sig_bits rows per source),
     # never the corpus — the q_k63 shape the plan tripwire allows
@@ -723,7 +733,6 @@ def q_k85_hdr_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min_by("hi", "bid").cast("long").alias("est_hi"),
         )
     )
-    nv = t.groupBy("source", "n").agg(F.count("*").cast("long").alias("c"))
     wncum = W.partitionBy("source").orderBy("n").rowsBetween(W.unboundedPreceding, 0)
     nc = nv.select(
         "source", "n",

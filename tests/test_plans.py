@@ -432,9 +432,59 @@ def test_corpus_sized_persist_detector_controls(spark, sf_oracle):
         .agg(F.count("*").alias("c"))
     ) is None
 
+    # ADVICE r7 escapes, closed: fractional `/` is NOT reducing, and a
+    # reducing fragment only absolves refs inside its OWN argument span
+    assert corpus_sized_plan(
+        docs.groupBy((F.col("doc_id") / 2).alias("d")).agg(F.count("*").alias("c"))
+    )
+    assert corpus_sized_plan(
+        docs.groupBy(
+            F.concat(
+                F.col("doc_id").cast("string"), F.substring("source", 1, 2)
+            ).alias("k")
+        ).agg(F.count("*").alias("c"))
+    )
+    # ...while a substring genuinely OVER the row id still reduces
+    assert corpus_sized_plan(
+        docs.groupBy(
+            F.substring(F.col("doc_id").cast("string"), 1, 2).alias("k")
+        ).agg(F.count("*").alias("c"))
+    ) is None
+
+    # r7 false positives, cleared: a window PARTITION key must not
+    # taint a value-derived grouping (the k83/k87 shingle shape)...
+    from cdc_publisher_spark.functions import text as TX
+
+    shingles = (
+        TX.shingle_rows(docs, "doc_id", "text", 3)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "s")
+        .distinct()
+    )
+    assert corpus_sized_plan(shingles) is None
+
+    from pyspark.sql import Window as W
+
+    # ...but a window whose VALUE is the row id stays tainted
+    wid = docs.select(
+        F.min("doc_id").over(W.partitionBy("doc_id")).alias("m"), "source"
+    )
+    assert corpus_sized_plan(
+        wid.groupBy("m").agg(F.count("*").alias("c"))
+    )
+    # rank-filter top-K (logical WindowGroupLimit) bounds output to
+    # K x groups: reducing over a dimension key, NOT over a row id
+    rk_src = F.row_number().over(W.partitionBy("source").orderBy("doc_id"))
+    assert corpus_sized_plan(
+        docs.withColumn("rk", rk_src).filter(F.col("rk") <= 5).drop("rk")
+    ) is None
+    rk_doc = F.row_number().over(W.partitionBy("doc_id").orderBy("source"))
+    assert corpus_sized_plan(
+        docs.withColumn("rk", rk_doc).filter(F.col("rk") <= 5).drop("rk")
+    )
+
     # and the ADVICE escape route is closed for the WINDOW tripwire too:
     # a global window above a hash-of-row-id grouping is corpus-sized
-    from pyspark.sql import Window as W
 
     escaped = (
         docs.groupBy(F.xxhash64("doc_id").alias("h"))
@@ -444,15 +494,32 @@ def test_corpus_sized_persist_detector_controls(spark, sf_oracle):
     assert unpartitioned_corpus_windows(escaped)
 
 
-#: Declared audit queries allowed to persist a corpus-sized frame:
-#: their CONTRACT is an exact diagnostic over the whole corpus (run at
-#: audit scale, not at 100 TB). Keeping the names here — not inside the
-#: detector — keeps the exemption visible in code review (VERDICT r6
-#: ask #4).
+#: Queries allowed to persist a frame the detector judges corpus-sized,
+#: each with a DECLARED one-line contract saying why the persist is the
+#: right engineering call (VERDICT r6 ask #4, r7 triage). Two contract
+#: kinds: (1) exact-AUDIT frames — ground truth computed at audit
+#: scale, not 100 TB; (2) frames whose true cardinality the plan can't
+#: show (data-dependent selectivity) or whose recompute is far costlier
+#: than the pinned bytes. Keeping the names here — not inside the
+#: detector — keeps every exemption visible in code review.
 PERSIST_AUDIT_ALLOWLIST: dict[str, str] = {
     "q_k86_minhash_calibration": "exact-Jaccard audit: persisted shingle "
     "frame feeds three calibration consumers; contract is all-pairs ground "
     "truth at audit scale (llm_sketch.py q_k86 doc)",
+    "q_k11_simhash_neardup": "recall audit vs the exact trigram-Jaccard "
+    "reference: both persisted frames are near-dup PAIR sets — "
+    "O(dup-density), not O(corpus), a selectivity the plan can't express; "
+    "the exact reference side is audit-scale ground truth (k86 precedent)",
+    "q_k35_semantic_dedup": "mined cosine>=thr pair set within k-means "
+    "clusters: O(dup-density) by threshold selectivity (not plan-visible); "
+    "the persist shares one k-means fit + within-cluster join across the "
+    "transitive closure and the precision audit — re-mining per consumer "
+    "costs far more than the pinned pair rows",
+    "q_k55_image_dhash_dedup": "per-media (tkey, dhash) fingerprint frame "
+    "(~50 B/row): the persist trades those bytes against re-running the "
+    "decode+hash mapInPandas over raw media payloads (orders of magnitude "
+    "larger) for the second audit consumer; at cluster scale this frame is "
+    "the standard disk-backed fingerprint table",
 }
 
 
