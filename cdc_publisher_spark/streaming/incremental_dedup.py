@@ -61,8 +61,12 @@ those maybe-dup ids hash into. Per-trigger guard cost is therefore
 O(batch + maybe_dups × touched_dh_dirs), never O(history) — the
 q_k81 pattern (queries/llm_sketch.py) wired in as infrastructure.
 Pre-Bloom state dirs (no ``bloom_dir`` on disk) fall back to the full
-id-column anti-join, so existing deployments keep the guarantee while
-their next batches grow the filter.
+id-column anti-join AND backfill the filter from the accumulated
+corpus ids in the same trigger (one compacted-segment write off the
+id column the fallback already read — ADVICE r7): without the
+backfill, the first post-upgrade delta would make the bloom dir
+non-empty while covering only post-upgrade ids, and legacy corpus ids
+redelivered later would flag clean and skip the exact anti-join.
 
 foreachBatch (not a stateful operator): the per-key state primitives
 (``applyInPandasWithState``) hold state per GROUP, but dedup state is
@@ -91,6 +95,7 @@ from cdc_publisher_spark.streaming.state import (
     compacted_upto,
     read_state,
     vacuum_state,
+    write_manifest,
 )
 
 #: Sub-partition fans. bh_mod bounds the probe's index read at
@@ -102,11 +107,14 @@ BH_MOD = 64
 DOC_MOD = 64
 
 #: Id-Bloom layout constants (the cross-batch guard's pre-screen).
-#: 2^20 bits = 128 KiB broadcast; at 10^5 history ids and 4 hashes the
-#: false-positive rate is ~2e-3 — and a false positive only costs one
-#: id's membership in the (partition-pruned) exact anti-join, never a
-#: correctness error. Like BH_MOD these are layout constants: resizing
-#: means rebuilding the bloom dir (one id-column scan).
+#: 2^20 bits = 128 KiB broadcast; at 10^5 history ids and k=4 hashes
+#: the false-positive rate is (1 - e^(-kn/m))^k ≈ 1e-2 (ADVICE r7
+#: corrected the earlier ~2e-3 figure) — and a false positive only
+#: costs one id's membership in the (partition-pruned) exact
+#: anti-join, never a correctness error, so ~1% of fresh ids paying
+#: the join is an acceptable operating point. Like BH_MOD these are
+#: layout constants: resizing means rebuilding the bloom dir (one
+#: id-column scan).
 ID_BLOOM_BITS = 1 << 20
 ID_BLOOM_HASHES = 4
 
@@ -159,12 +167,17 @@ def bloom_flag(batch: DataFrame, bloom: DataFrame, id_col: str = "doc_id") -> Da
     """``batch`` plus a ``maybe`` column: True iff ALL of the id's
     bloom positions are set in ``bloom`` (broadcast) — i.e. the filter
     cannot rule the id out. False ⇒ definitely not in history (the
-    no-false-negative direction, which is the correctness-bearing one)."""
-    cols = batch.columns
-    flagged = (
-        _bloom_positions(batch, id_col)
+    no-false-negative direction, which is the correctness-bearing one).
+
+    The position fan-out and flag aggregate run over the ID COLUMN
+    ONLY (ADVICE r7): the 4-hash crossJoin and its groupBy exchange
+    carry 4x the batch's ids, never 4x its document payloads; the flag
+    joins back to the full batch on ``id_col`` afterwards — a key the
+    caller's dropDuplicates already partitioned the batch by."""
+    flagged_ids = (
+        _bloom_positions(batch.select(id_col), id_col)
         .join(F.broadcast(bloom.withColumnRenamed("mask", "_bmask")), "word", "left")
-        .groupBy(*cols)
+        .groupBy(id_col)
         .agg(
             F.bool_and(
                 F.col("_bmask").isNotNull()
@@ -172,7 +185,7 @@ def bloom_flag(batch: DataFrame, bloom: DataFrame, id_col: str = "doc_id") -> Da
             ).alias("maybe")
         )
     )
-    return flagged
+    return batch.join(flagged_ids, id_col)
 
 
 def _guard_parts(
@@ -215,6 +228,38 @@ def _guard_parts(
     return clean, maybe, survivors
 
 
+def backfill_bloom(
+    spark: SparkSession,
+    corpus: DataFrame,
+    batch_id: int,
+    corpus_dir: str,
+    bloom_dir: str,
+    id_col: str,
+) -> None:
+    """Build the id Bloom from the accumulated corpus ids and install
+    it as a COMPACTED segment whose manifest watermark is the highest
+    committed corpus batch (ADVICE r7, high): the marker records
+    exactly which batches the filter covers, later per-batch deltas
+    land ABOVE it, and a crash between segment write and marker flip
+    just re-runs the (idempotent, overwrite-mode) backfill next
+    trigger. One id-column aggregate over a frame the caller already
+    read for its full anti-join fallback — the same cost the old
+    opt-in guard paid every trigger."""
+    upto = compacted_upto(spark, corpus_dir)
+    committed = [k for k, _ in batch_dirs(spark, corpus_dir) if k != batch_id]
+    marks = committed + ([upto] if upto is not None else [])
+    if not marks:
+        return
+    m = max(marks)
+    delta = id_bloom_delta(corpus.select(id_col), id_col).withColumn(
+        "batch", F.lit(m)
+    )
+    delta.write.mode("overwrite").parquet(
+        os.path.join(bloom_dir, "_compact", f"upto={m}")
+    )
+    write_manifest(spark, bloom_dir, m)
+
+
 def guarded_batch(
     spark: SparkSession,
     batch: DataFrame,
@@ -229,10 +274,15 @@ def guarded_batch(
         spark, batch, batch_id, corpus_dir, bloom_dir, id_col
     )
     if maybe is None:
-        # no bloom state on disk: legacy full id-column anti-join
+        # no bloom state on disk: full id-column anti-join, plus a
+        # one-time backfill so the NEXT trigger's filter covers the
+        # whole legacy corpus — without it the first post-upgrade
+        # delta would look like complete bloom state and legacy ids
+        # would silently flag clean (ADVICE r7, high)
         seen = read_state(spark, corpus_dir, exclude_batch=batch_id)
         if seen is None:
             return batch
+        backfill_bloom(spark, seen, batch_id, corpus_dir, bloom_dir, id_col)
         return batch.join(seen.select(id_col), id_col, "anti")
     return clean.unionByName(survivors)
 
