@@ -59,8 +59,20 @@ def bucketed_running_sum(
         .orderBy(*order_cols)
         .rowsBetween(W.unboundedPreceding, 0)
     )
+    # NULL-SAFE join back (ADVICE r6): window partitionBy treats NULL
+    # as a real partition/bucket value, so the offset join must match
+    # it too — a plain equi-join would silently drop every NULL-keyed
+    # row instead of summing it like the window form does
+    boff = boff.withColumnRenamed(part_col, "_bp").withColumnRenamed(
+        bucket_col, "_bb"
+    )
     return (
-        df.join(boff, [part_col, bucket_col])
+        df.join(
+            boff,
+            F.col(part_col).eqNullSafe(F.col("_bp"))
+            & F.col(bucket_col).eqNullSafe(F.col("_bb")),
+        )
+        .drop("_bp", "_bb")
         .withColumn(out_col, F.col("_boff") + F.sum(val_col).over(w_in))
         .drop("_boff")
     )

@@ -12,9 +12,16 @@ Two paths with identical semantics at the threshold:
   table — rank-1 = running count of strictly-smaller values, a
   window over the value table only — and reduces to a per-group
   minimum kept score that broadcasts back as a threshold filter,
-  exactly like the approx path. Rows with NULL scores are dropped
-  (they sort below every threshold; percent_rank would give them
-  the lowest ranks and drop them for any q > 0 anyway).
+  exactly like the approx path.
+
+NULL-score contract (ADVICE r7, decided): rows with a NULL score are
+ALWAYS dropped, for every ``q`` INCLUDING ``q=0`` — a quality gate
+keeps scorable rows at or above the cutoff, and an unscorable row is
+rejected by definition. This is a deliberate, documented deviation
+from literal ``percent_rank`` window semantics at ``q=0`` (there,
+NULLs sort first, get the lowest ranks, and ``pr >= 0`` would keep
+them); both the exact and approx paths share the contract
+(pytest-pinned), so switching paths never changes which rows survive.
 - ``exact=False`` (default): per-group ``percentile_approx`` computes
   the threshold in one tiny aggregation (GK sketch, map-side
   combined), which broadcasts back for a filter join. No global sort,
@@ -38,7 +45,9 @@ def quantile_filter(
     accuracy: int = 10000,
 ) -> DataFrame:
     """Rows whose ``score_col`` sits at or above the ``q``-quantile of
-    their ``group_col`` group (i.e. drop the bottom ``q`` fraction)."""
+    their ``group_col`` group (i.e. drop the bottom ``q`` fraction).
+    NULL scores are always dropped, even at ``q=0`` — see the module
+    docstring's NULL-score contract."""
     if exact:
         # percent_rank on the distinct (group, score) value table:
         # rank-1 = count of strictly smaller same-group values (ties

@@ -1083,9 +1083,15 @@ def test_build_ivf_fit_is_bounded_and_deterministic(spark):
 
 def test_ivf_arrow_and_expression_paths_agree(spark, sf_oracle, monkeypatch):
     """Above EXPR_ASSIGN_MAX_LISTS centroids, assignment and probing
-    switch from fold-expressions to Arrow matmul kernels — both paths
-    must produce IDENTICAL assignments and top-k results (tie order
-    included) for the same centroid count."""
+    switch from fold-expressions to Arrow matmul kernels. The two paths
+    sum dot products in different orders (BLAS vs left-to-right fold),
+    so bit-equality is fixture luck (ADVICE r7): the contract is that
+    any disagreement is a PROVABLE floating near-tie — an assignment
+    may differ only when the vector's scores against the two chosen
+    centroids are within 1e-9, and a top-k row may differ only at a
+    4dp-rounded cosine tie — never a logic divergence."""
+    import numpy as np
+
     from cdc_publisher_spark.operators import ivf
 
     e = load(spark, sf_oracle, "embeddings")
@@ -1094,18 +1100,40 @@ def test_ivf_arrow_and_expression_paths_agree(spark, sf_oracle, monkeypatch):
 
     def run():
         index = ivf.build_ivf(corpus, n_lists=20)
-        assigns = sorted(
-            (r["vec_id"], r["list_id"]) for r in index.corpus.collect()
-        )
-        top = sorted(
-            map(tuple, ivf.ivf_topk(index, queries, k=5, nprobe=4).collect())
-        )
-        return assigns, top
+        assigns = {r["vec_id"]: r["list_id"] for r in index.corpus.collect()}
+        top = {
+            (r["query_id"], r["rk"]): (r["cand_id"], r["cosine"])
+            for r in ivf.ivf_topk(index, queries, k=5, nprobe=4).collect()
+        }
+        return index, assigns, top
 
-    arrow = run()  # 20 > default threshold: Arrow kernels
+    idx_a, assigns_a, top_a = run()  # 20 > default threshold: Arrow kernels
     monkeypatch.setattr(ivf, "EXPR_ASSIGN_MAX_LISTS", 64)
-    expr = run()  # same k, forced expression path
-    assert arrow == expr
+    idx_e, assigns_e, top_e = run()  # same k, forced expression path
+    # the fit itself is deterministic (seeded, sorted bounded sample)
+    assert idx_a.centroids == idx_e.centroids
+
+    assert assigns_a.keys() == assigns_e.keys()
+    cmat = np.asarray(idx_a.centroids, dtype=np.float64)
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in corpus.select("vec_id", "embedding").collect()
+    }
+    for v, la in assigns_a.items():
+        le = assigns_e[v]
+        if la != le:
+            sa, se = float(vecs[v] @ cmat[la]), float(vecs[v] @ cmat[le])
+            gap = abs(sa - se) / max(1.0, abs(sa))
+            assert gap <= 1e-9, (v, la, le, sa, se)
+
+    assert top_a.keys() == top_e.keys()
+    for key, (cand_a, cos_a) in top_a.items():
+        cand_e, cos_e = top_e[key]
+        if cand_a != cand_e:
+            # a rank swap is legitimate only at a rounded-cosine tie
+            assert abs(cos_a - cos_e) <= 2e-4, (key, top_a[key], top_e[key])
+        else:
+            assert cos_a == cos_e, (key, cos_a, cos_e)
 
 
 def test_semdedup_pair_scorers_agree(spark, sf_oracle):
@@ -1153,3 +1181,65 @@ def test_quantile_filter_keeps_null_group_rows(spark):
         assert nulls == en, f"exact={exact}: NULL group diverged ({nulls} vs {en})"
         assert nulls, f"exact={exact}: NULL-group rows all dropped"
         assert 0.1 not in nulls, f"exact={exact}: bottom row survived the filter"
+
+
+def test_bucketed_running_sum_null_keys_match_window_form(spark):
+    """ADVICE r6/r7: window partitionBy treats NULL part/bucket keys as
+    real partition values, so the bucket-offset join back must be
+    null-safe — a plain equi-join dropped every NULL-keyed row. Pin
+    bit-equality against the single-window reference on a frame with
+    NULL part keys, NULL bucket keys, and both."""
+    from pyspark.sql import Window as W
+
+    from cdc_publisher_spark.functions.windows import bucketed_running_sum
+
+    rows = [
+        ("a", 0, 1, 10),
+        ("a", 0, 2, 20),
+        ("a", 1, 3, 30),
+        (None, 0, 4, 40),
+        (None, 1, 5, 50),
+        ("b", None, 6, 60),
+        ("b", 0, 7, 70),
+        (None, None, 8, 80),
+        (None, None, 9, 90),
+    ]
+    df = spark.createDataFrame(rows, "p string, b int, o int, v long")
+    got = {
+        r["o"]: r["rs"]
+        for r in bucketed_running_sum(df, "p", "b", ["o"], "v", "rs").collect()
+    }
+    w = (
+        W.partitionBy("p")
+        .orderBy("b", "o")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    ref = {
+        r["o"]: r["rs"]
+        for r in df.withColumn("rs", F.sum("v").over(w)).collect()
+    }
+    assert got == ref, (got, ref)
+
+
+def test_quantile_filter_null_scores_dropped_even_at_q0(spark):
+    """ADVICE r7 decided contract: NULL-score rows are rejected for
+    every q INCLUDING q=0, identically on both paths — a quality gate
+    drops unscorable rows by definition (deliberate deviation from
+    literal percent_rank window semantics at q=0, where NULLs would
+    rank lowest and survive pr >= 0)."""
+    from cdc_publisher_spark.operators.quality_filter import quantile_filter
+
+    rows = [
+        (0, "en", None),
+        (1, "en", 0.2),
+        (2, "en", 0.8),
+        (3, None, None),
+        (4, None, 0.5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, score double")
+    for exact in (False, True):
+        kept = {
+            r["doc_id"]
+            for r in quantile_filter(df, "score", "lang", q=0.0, exact=exact).collect()
+        }
+        assert kept == {1, 2, 4}, f"exact={exact}: {kept}"
