@@ -11,6 +11,12 @@ and prints ONE JSON line:
 
 Queries execute via the noop sink — full plan execution, no driver
 collect, so timings measure the engine, not result transfer.
+
+Modes: (default) headline bench; ``--explain`` writes PLANS.md;
+``--scaling`` writes SCALING.md across scale factors; ``--ab
+<git-ref>`` runs the same-host interleaved A/B against another
+revision and emits per-query ratios (see ``run_ab`` — the one-command
+form of the host-drift-vs-regression methodology).
 """
 
 from __future__ import annotations
@@ -325,9 +331,12 @@ def write_scaling(path: str = "SCALING.md") -> None:
             "untouched TPC-H shapes), while round-6 code vs round-5 "
             "code A/B'd on the SAME host at the same moment is 1.02x "
             "with zero per-query regressions. The valid regression "
-            "check is a same-host A/B (git worktree at the prior "
-            "round's tag, bench both back-to-back); cross-round JSON "
-            "deltas within ~1.3x are host noise, not plan changes.\n\n"
+            "check is a same-host A/B — now one command: `python "
+            "bench.py --ab <git-ref>` checks the ref out into a temp "
+            "worktree and benches both trees as interleaved "
+            "A,B,A,B,A,B subprocesses, emitting per-query ratios "
+            "(AB_r{N}.json). Cross-round JSON deltas within ~1.3x are "
+            "host noise, not plan changes.\n\n"
             "sf1 provenance: /root/testdata ships sf0.001-0.1 "
             "(read-only); the sf1 column comes from locally generated "
             "fixtures (tools/gen_sf.py — same schemas, key ranges and "
@@ -367,10 +376,139 @@ def write_scaling(path: str = "SCALING.md") -> None:
     print(json.dumps(table))
 
 
+def run_ab(ref: str, repeats: int = 3, out: str | None = None) -> dict:
+    """--ab <git-ref>: same-host A/B against another revision (VERDICT
+    r6 ask #6 / r7 ask #3) — the one-command form of the round-6
+    methodology that separates host drift from real regressions.
+
+    B is checked out into a temporary ``git worktree``; A is this
+    working tree. Both are benched as SUBPROCESSES (each a fresh
+    JVM+interpreter running its OWN bench.py, so no module aliasing
+    between versions), interleaved at the repeat level —
+    A,B,A,B,A,B — so slow host drift (thermal state, cache pressure
+    from neighbors) hits both trees equally and cancels in the
+    per-query ratio. Per-query figure = median over repeats; each
+    subprocess runs 1 sample per query (SPARK_GRAFT_BENCH_RUNS=1) —
+    the repeats ARE the samples, and pairing them across trees is
+    exactly what a within-tree median can't give.
+
+    Emits one JSON document (stdout + ``out`` file):
+    ``queries[name] = {a, b, ratio}`` with ratio = a/b (>1 ⇒ A
+    slower), ``total``/``streaming_rows_per_sec`` likewise, plus the
+    query-set symmetric difference when the trees register different
+    headline sets (those time out of the ratio).
+    """
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    a_ref = (
+        subprocess.run(
+            ["git", "-C", here, "rev-parse", "--short", "HEAD"],
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout.strip()
+        + "+worktree"
+    )
+    wt = tempfile.mkdtemp(prefix="bench_ab_")
+    subprocess.run(
+        ["git", "-C", here, "worktree", "add", "--detach", wt, ref],
+        check=True,
+        capture_output=True,
+    )
+    try:
+        def one_run(tree: str) -> dict:
+            env = dict(os.environ, SPARK_GRAFT_BENCH_RUNS="1")
+            proc = subprocess.run(
+                [sys.executable, os.path.join(tree, "bench.py")],
+                capture_output=True,
+                text=True,
+                env=env,
+                cwd=tree,
+                check=True,
+            )
+            for line in reversed(proc.stdout.strip().splitlines()):
+                try:
+                    return json.loads(line)
+                except ValueError:
+                    continue
+            raise RuntimeError(f"no JSON line in bench output from {tree}")
+
+        runs: dict[str, list[dict]] = {"a": [], "b": []}
+        for r in range(repeats):
+            for side, tree in (("a", here), ("b", wt)):
+                t0 = time.time()
+                runs[side].append(one_run(tree))
+                print(
+                    f"# repeat {r + 1}/{repeats} side {side.upper()}: "
+                    f"total {runs[side][-1]['value']}s "
+                    f"({time.time() - t0:.0f}s incl. startup)",
+                    file=sys.stderr,
+                )
+
+        def med(side: str, getter) -> float:
+            return round(statistics.median(getter(x) for x in runs[side]), 3)
+
+        qa = set(runs["a"][0]["queries"])
+        qb = set(runs["b"][0]["queries"])
+        common = sorted(qa & qb)
+        queries = {}
+        for name in common:
+            a = med("a", lambda x: x["queries"][name])
+            b = med("b", lambda x: x["queries"][name])
+            queries[name] = {"a": a, "b": b, "ratio": round(a / max(b, 1e-9), 3)}
+        ta = med("a", lambda x: sum(x["queries"][n] for n in common))
+        tb = med("b", lambda x: sum(x["queries"][n] for n in common))
+        sa = med("a", lambda x: x["streaming_rows_per_sec"])
+        sb = med("b", lambda x: x["streaming_rows_per_sec"])
+        result = {
+            "metric": "same_host_ab",
+            "a_ref": a_ref,
+            "b_ref": ref,
+            "repeats": repeats,
+            "schedule": "AB" * repeats,
+            "sf": runs["a"][0]["sf"],
+            "queries": queries,
+            "total": {"a": ta, "b": tb, "ratio": round(ta / max(tb, 1e-9), 3)},
+            "streaming_rows_per_sec": {
+                "a": sa,
+                "b": sb,
+                "ratio": round(sa / max(sb, 1e-9), 3),
+            },
+            "only_in_a": sorted(qa - qb),
+            "only_in_b": sorted(qb - qa),
+            "max_ratio_query": max(common, key=lambda n: queries[n]["ratio"]),
+            "max_ratio": max(q["ratio"] for q in queries.values()),
+        }
+        doc = json.dumps(result)
+        print(doc)
+        if out:
+            with open(out, "w") as fh:
+                fh.write(doc + "\n")
+        return result
+    finally:
+        subprocess.run(
+            ["git", "-C", here, "worktree", "remove", "--force", wt],
+            capture_output=True,
+        )
+
+
 if __name__ == "__main__":
     if "--explain" in sys.argv:
         write_plans()
     elif "--scaling" in sys.argv:
         write_scaling()
+    elif "--ab" in sys.argv:
+        i = sys.argv.index("--ab")
+        ref = sys.argv[i + 1]
+        reps = (
+            int(sys.argv[sys.argv.index("--repeats") + 1])
+            if "--repeats" in sys.argv
+            else 3
+        )
+        out = (
+            sys.argv[sys.argv.index("--out") + 1] if "--out" in sys.argv else None
+        )
+        run_ab(ref, repeats=reps, out=out)
     else:
         main()
