@@ -579,3 +579,54 @@ def test_no_corpus_sized_persisted_frames(spark, sf_smoke, monkeypatch):
         "stale or non-firing allowlist entries",
         allowlisted_hits ^ set(PERSIST_AUDIT_ALLOWLIST),
     )
+
+
+def test_detector_string_helpers_pure():
+    """Pure-function controls for the r8 detector machinery (no Spark):
+    balanced-paren matching, windowspec stripping that preserves the
+    window FUNCTION's own arguments, and reducing-span extraction for
+    both function and infix bucketing shapes."""
+    from cdc_publisher_spark.plans import (
+        _match_paren,
+        _reducing_spans,
+        _strip_window_specs,
+    )
+
+    # balanced matching, including nesting; unbalanced returns len(s)
+    assert _match_paren("f(a(b)c)", 1) == 7
+    assert _match_paren("f(a(b)c", 1) == len("f(a(b)c")
+
+    # spec stripped, function args kept — nested and repeated specs too
+    s = (
+        "lead(w#6, 1, null) windowspecdefinition(doc_id#0L, pos#5 ASC, "
+        "specifiedwindowframe(RowFrame, 1, 1))"
+    )
+    out = _strip_window_specs(s)
+    assert "windowspecdefinition" not in out
+    assert "doc_id" not in out and "lead(w#6, 1, null)" in out
+    two = _strip_window_specs(s + " + " + s)
+    assert "windowspecdefinition" not in two and two.count("lead(") == 2
+    # idempotent
+    assert _strip_window_specs(out) == out
+    # the window function's own row-id argument survives the strip
+    kept = _strip_window_specs(
+        "min(doc_id#3L) windowspecdefinition(doc_id#3L, x ASC)"
+    )
+    assert "min(doc_id#3L)" in kept
+
+    # function spans cover their argument lists
+    expr = "concat(doc_id#1L, substring(source#2, 1, 2))"
+    spans = _reducing_spans(expr)
+    sub_open = expr.index("substring(") + len("substring(") - 1
+    assert any(a == sub_open and expr[b] == ")" for a, b in spans)
+    # ...and the doc_id ref sits OUTSIDE every span
+    d = expr.index("doc_id")
+    assert all(not (a <= d <= b) for a, b in spans)
+
+    # infix spans are the INNERMOST enclosing paren group
+    expr2 = "((doc_id#1L div 4096) + 1)"
+    spans2 = _reducing_spans(expr2)
+    assert (1, expr2.index(")")) in spans2
+
+    # no reducing fragment -> no spans
+    assert _reducing_spans("xxhash64(doc_id#1L, 42)") == []
