@@ -123,14 +123,28 @@ def stream_cm_heavy_hitters(
     checkpoint_dir: str,
     value_col: str = "g",
     group_cols: list[str] | None = None,
+    compact_every: int | None = None,
+    vacuum_grace: int | None = None,
 ):
     """Start the monitor: (group…, value) rows in, counter-cell state
     out. Returns the StreamingQuery; offsets commit to
     ``checkpoint_dir`` after each batch's write (commit-on-success,
-    streaming/pipeline.py contract)."""
+    streaming/pipeline.py contract). ``compact_every=K`` pre-SUMS the
+    cell state in-stream every K batches (the compacted segment stays
+    ≤ groups x d x w rows however long the stream runs), optionally
+    vacuuming with a ``vacuum_grace`` margin. Crash between compact
+    and checkpoint replays the batch against the compacted state;
+    the reader's replay row-filter keeps the non-idempotent sum-merge
+    from double-counting (the live batch dir at or below the
+    watermark is invisible)."""
 
     def body(df: DataFrame, bid: int) -> None:
         cm_micro_batch(df, bid, state_dir, value_col, group_cols)
+        if compact_every and (bid + 1) % compact_every == 0:
+            compact_cm_state(spark=df.sparkSession, state_dir=state_dir,
+                             upto_batch=bid, group_cols=group_cols)
+            if vacuum_grace is not None:
+                vacuum_state(df.sparkSession, state_dir, grace_batches=vacuum_grace)
 
     return (
         stream_df.writeStream.foreachBatch(body)

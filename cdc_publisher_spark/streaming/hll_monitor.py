@@ -125,14 +125,28 @@ def stream_hll_distinct(
     checkpoint_dir: str,
     group_col: str = "source",
     value_col: str = "s",
+    compact_every: int | None = None,
+    vacuum_grace: int | None = None,
 ):
     """Start the monitor: (group, value) rows in, register state out.
     Returns the StreamingQuery; offsets commit to ``checkpoint_dir``
     after each batch's write (commit-on-success, streaming/pipeline.py
-    contract)."""
+    contract). ``compact_every=K`` pre-merges the register state
+    in-stream every K batches (max() is the state's own merge — the
+    compacted segment is ≤ groups x 256 rows however long the stream
+    runs), optionally vacuuming superseded dirs with a
+    ``vacuum_grace`` margin for external readers. Runs after the
+    batch's write, before the checkpoint commit — a crash in between
+    replays the batch against the compacted state, which the reader's
+    replay row-filter covers (state.py)."""
 
     def body(df: DataFrame, bid: int) -> None:
         hll_micro_batch(df, bid, state_dir, group_col, value_col)
+        if compact_every and (bid + 1) % compact_every == 0:
+            compact_hll_state(spark=df.sparkSession, state_dir=state_dir,
+                              upto_batch=bid, group_col=group_col)
+            if vacuum_grace is not None:
+                vacuum_state(df.sparkSession, state_dir, grace_batches=vacuum_grace)
 
     return (
         stream_df.writeStream.foreachBatch(body)

@@ -313,6 +313,8 @@ def dedup_micro_batch(
     threshold: float = 0.5,
     guard_cross_batch: bool = True,
     bloom_dir: str | None = None,
+    compact_every: int | None = None,
+    vacuum_grace: int | None = None,
 ) -> None:
     """foreachBatch body: sign the batch once, probe the persisted
     index READING ONLY the (band, bhm) partitions the probe touches,
@@ -327,6 +329,19 @@ def dedup_micro_batch(
     excludes this batch's partitions from history by construction
     (live dirs are path-filtered, the compact segment row-filtered),
     so a replayed probe sees exactly the pre-batch state.
+
+    ``compact_every=K`` runs ``compact_dedup_state`` in-stream every K
+    batches (after this batch's writes, before the checkpoint commit)
+    — the maintenance cadence state.py's concurrency contract names as
+    safe: compaction is single-threaded with the writer, the stream is
+    its own reader and lists dirs fresh next trigger, and the manifest
+    flip is crash-safe. A crash between compact and checkpoint replays
+    the batch against the compacted state — the exact
+    replay-after-compact case the reader's row-filter covers. With
+    ``vacuum_grace=N`` each compaction also vacuums superseded dirs
+    keeping an N-batch margin for any EXTERNAL unsynchronized reader
+    (``read_dedup_state`` from another session); vacuuming stays
+    off by default.
     """
     spark = batch_df.sparkSession
     bdir = bloom_dir or default_bloom_dir(corpus_dir)
@@ -350,6 +365,22 @@ def dedup_micro_batch(
             batch.unpersist()
     finally:
         base.unpersist()
+    if (
+        compact_every
+        and (batch_id + 1) % compact_every == 0
+        # all-empty-batch streams have no state to compact yet
+        and (
+            compacted_upto(spark, corpus_dir) is not None
+            or batch_dirs(spark, corpus_dir)
+        )
+    ):
+        compact_dedup_state(
+            spark, corpus_dir, index_dir, pairs_dir,
+            upto_batch=batch_id, bloom_dir=bdir,
+        )
+        if vacuum_grace is not None:
+            for d in (corpus_dir, index_dir, pairs_dir, bdir):
+                vacuum_state(spark, d, grace_batches=vacuum_grace)
 
 
 def _dedup_micro_batch_body(
@@ -505,6 +536,8 @@ def stream_neardup_pairs(
     threshold: float = 0.5,
     guard_cross_batch: bool = True,
     bloom_dir: str | None = None,
+    compact_every: int | None = None,
+    vacuum_grace: int | None = None,
 ):
     """Start the streaming dedup: documents in, near-dup pairs out.
 
@@ -514,7 +547,11 @@ def stream_neardup_pairs(
     default to siblings of ``corpus_dir``. ``doc_id`` must be unique
     across batches (see module docstring); the default-on
     ``guard_cross_batch`` enforces that at Bloom-pre-screen cost per
-    trigger — O(batch), never O(history).
+    trigger — O(batch), never O(history). ``compact_every=K`` turns on
+    in-stream state compaction every K batches (optionally vacuuming
+    with a ``vacuum_grace`` margin) so a long-running stream's batch
+    dirs stay bounded without external maintenance — see
+    ``dedup_micro_batch``.
     """
     idx = index_dir or os.path.join(os.path.dirname(corpus_dir.rstrip("/")), "lsh_index")
     bdir = bloom_dir or default_bloom_dir(corpus_dir)
@@ -531,6 +568,8 @@ def stream_neardup_pairs(
             threshold,
             guard_cross_batch=guard_cross_batch,
             bloom_dir=bdir,
+            compact_every=compact_every,
+            vacuum_grace=vacuum_grace,
         )
 
     return (

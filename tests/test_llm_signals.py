@@ -780,3 +780,40 @@ def test_vacuum_grace_margin_keeps_recent_superseded_dirs(spark, tmp_path):
     assert vacuum_state(spark, state) == 1  # full vacuum reclaims batch 2
     assert [k for k, _ in batch_dirs(spark, state)] == [3]
     assert sorted(r.v for r in read_state(spark, state).collect()) == before
+
+
+def test_in_stream_compaction_bounds_dedup_state(spark, tmp_path):
+    """compact_every=K folds the four dedup state dirs in-stream every
+    K batches: results stay identical to an uncompacted twin run, the
+    manifest advances, and vacuum_grace prunes superseded batch dirs
+    while keeping the margin."""
+    from cdc_publisher_spark.streaming import incremental_dedup as inc
+    from cdc_publisher_spark.streaming.state import batch_dirs, compacted_upto
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    batches = [
+        [(1, base), (2, "q " * 25)],
+        [(3, base + " aa")],
+        [(4, "z " * 28)],
+        [(5, base + " bb"), (6, "y " * 26)],
+    ]
+    plain = [str(tmp_path / "p" / d) for d in ("corpus", "idx", "pairs")]
+    auto = [str(tmp_path / "a" / d) for d in ("corpus", "idx", "pairs")]
+    for b, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        inc.dedup_micro_batch(df, b, *plain)
+        inc.dedup_micro_batch(df, b, *auto, compact_every=2, vacuum_grace=1)
+
+    for dp, da in zip(plain, auto):
+        want = sorted(map(tuple, inc.read_dedup_state(spark, dp).collect()))
+        got = sorted(map(tuple, inc.read_dedup_state(spark, da).collect()))
+        assert got == want, da
+    # compactions fired at batches 1 and 3
+    for d in auto:
+        assert compacted_upto(spark, d) == 3, d
+    for d in plain:
+        assert compacted_upto(spark, d) is None, d
+    # graced vacuum: at most the margin's worth of superseded dirs left
+    for d in auto:
+        superseded = [k for k, _ in batch_dirs(spark, d) if k <= 3]
+        assert len(superseded) <= 1, (d, superseded)

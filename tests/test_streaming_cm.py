@@ -159,3 +159,30 @@ def test_cli_compact_cm(spark, tokens, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "cells:" in out and "total count" in out
     assert _cells_sorted(read_cm_cells(spark, state)) == before
+
+
+def test_in_stream_compaction_keeps_cells(spark, tokens, tmp_path):
+    """compact_every pre-sums cell state from inside the stream's own
+    foreachBatch cadence: counts stay exact (no double-count across
+    the compaction boundary) and the manifest advances without any
+    external maintenance call."""
+    from cdc_publisher_spark.streaming.state import compacted_upto
+
+    src_dir = str(tmp_path / "in")
+    tokens.select("g").repartition(4).write.parquet(src_dir)
+    state = str(tmp_path / "cm")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema("g string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = stream_cm_heavy_hitters(stream, state, ckpt, compact_every=2, vacuum_grace=1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert compacted_upto(spark, state) is not None
+    merged = read_cm_cells(spark, state)
+    expected = cm_cells(tokens)
+    assert _cells_sorted(merged) == _cells_sorted(expected)

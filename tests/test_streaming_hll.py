@@ -122,3 +122,29 @@ def test_stream_wiring_end_to_end(spark, rows, tmp_path):
     merged = read_hll_registers(spark, state)
     expected = hll_registers(rows, ["source"])
     assert _regs_sorted(merged) == _regs_sorted(expected)
+
+
+def test_in_stream_compaction_keeps_registers(spark, rows, tmp_path):
+    """compact_every pre-merges register state from inside the stream's
+    own foreachBatch cadence; the merged view is unchanged and the
+    manifest advances without any external maintenance call."""
+    from cdc_publisher_spark.streaming.state import compacted_upto
+
+    src_dir = str(tmp_path / "in")
+    rows.select("source", "s").repartition(4).write.parquet(src_dir)
+    state = str(tmp_path / "hll")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema("source string, s string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = stream_hll_distinct(stream, state, ckpt, compact_every=2, vacuum_grace=1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert compacted_upto(spark, state) is not None
+    merged = read_hll_registers(spark, state)
+    expected = hll_registers(rows, ["source"])
+    assert _regs_sorted(merged) == _regs_sorted(expected)
