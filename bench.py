@@ -75,6 +75,23 @@ def _median_time(build, runs: int = BENCH_RUNS) -> float:
     return statistics.median(samples)
 
 
+def _select_specs(specs_all: dict, only: str | None) -> dict:
+    """The headline set (``bench=True`` specs) by default;
+    ``SPARK_GRAFT_BENCH_ONLY="q_a,q_b"`` narrows the run to the named
+    queries, drawn from ALL registered specs — not just the headline
+    set — so ANY registered query can ride the ``--ab`` harness for a
+    targeted same-host regression check (the round-8 sf1 spot check,
+    SCALING.md). Unknown names fail loudly: a typo'd A/B that silently
+    benches nothing is worse than no A/B."""
+    if not only:
+        return {n: s for n, s in specs_all.items() if s.bench}
+    names = [n.strip() for n in only.split(",") if n.strip()]
+    unknown = sorted(set(names) - set(specs_all))
+    if unknown:
+        raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY names unknown queries: {unknown}")
+    return {n: specs_all[n] for n in names}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -93,7 +110,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.ui.explainMode", "simple")
 
-    specs = {n: s for n, s in all_specs().items() if s.bench}
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    specs = _select_specs(all_specs(), only)
     timings: dict[str, float] = {}
 
     # Warm-up: run every headline shape once at the smallest SF so
@@ -118,7 +136,12 @@ def main() -> None:
 
     release_persisted()
     _session_gc(spark)
-    streaming_rps, cdc_metrics = _bench_streaming(spark, sf_dir)
+    # A subset run is a targeted query A/B — the streaming pipeline
+    # bench would only add minutes of identical work to both sides.
+    if only:
+        streaming_rps, cdc_metrics = None, None
+    else:
+        streaming_rps, cdc_metrics = _bench_streaming(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -397,6 +420,13 @@ def run_ab(ref: str, repeats: int = 3, out: str | None = None) -> dict:
     slower), ``total``/``streaming_rows_per_sec`` likewise, plus the
     query-set symmetric difference when the trees register different
     headline sets (those time out of the ratio).
+
+    ``SPARK_GRAFT_BENCH_ONLY="q_a,q_b"`` rides the environment into
+    both subprocesses for a TARGETED A/B (any registered query, not
+    just headline ones; streaming bench skipped). B-side trees older
+    than the env var ignore it and bench their full headline set —
+    the common-set intersection still yields the targeted ratios,
+    B's extra queries just cost wall-clock.
     """
     import subprocess
 
@@ -459,8 +489,16 @@ def run_ab(ref: str, repeats: int = 3, out: str | None = None) -> dict:
             queries[name] = {"a": a, "b": b, "ratio": round(a / max(b, 1e-9), 3)}
         ta = med("a", lambda x: sum(x["queries"][n] for n in common))
         tb = med("b", lambda x: sum(x["queries"][n] for n in common))
-        sa = med("a", lambda x: x["streaming_rows_per_sec"])
-        sb = med("b", lambda x: x["streaming_rows_per_sec"])
+        # Subset runs (SPARK_GRAFT_BENCH_ONLY) skip the streaming bench
+        # and report null; older B-side trees ignore the env var and
+        # still produce a number — only ratio when BOTH sides did.
+        have_streaming = all(
+            x.get("streaming_rows_per_sec") is not None
+            for side in runs.values()
+            for x in side
+        )
+        sa = med("a", lambda x: x["streaming_rows_per_sec"]) if have_streaming else None
+        sb = med("b", lambda x: x["streaming_rows_per_sec"]) if have_streaming else None
         result = {
             "metric": "same_host_ab",
             "a_ref": a_ref,
@@ -473,7 +511,7 @@ def run_ab(ref: str, repeats: int = 3, out: str | None = None) -> dict:
             "streaming_rows_per_sec": {
                 "a": sa,
                 "b": sb,
-                "ratio": round(sa / max(sb, 1e-9), 3),
+                "ratio": round(sa / max(sb, 1e-9), 3) if have_streaming else None,
             },
             "only_in_a": sorted(qa - qb),
             "only_in_b": sorted(qb - qa),
