@@ -15,6 +15,7 @@ from cdc_publisher_spark.queries import (  # noqa: F401
     llm_ml,
     llm_prep,
     llm_quality,
+    llm_risk,
     llm_select,
     llm_signals,
     llm_sketch,
