@@ -53,6 +53,27 @@ def test_rare_gram_exposure_hand_counts(spark, risk_docs_dir):
     assert b.unique_frac == 0.0
 
 
+def test_rare_gram_exposure_invariants_on_fixture(spark, sf_smoke):
+    """Structural invariants at any corpus: unique ⊆ rare ⊆ all grams,
+    and a df=1 gram belongs to exactly one source, so the per-source
+    unique counts sum to the corpus-wide df=1 gram count."""
+    rows = q_k88_rare_gram_exposure(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_unique <= r.n_rare <= r.n_grams
+        assert r.unique_frac == round(r.n_unique / r.n_grams, 4)
+    # independent corpus-wide df=1 count
+    from pyspark.sql import functions as F
+
+    from cdc_publisher_spark.functions import text as TX
+    from cdc_publisher_spark.tables import load
+
+    docs = load(spark, sf_smoke, "documents")
+    sh = TX.shingle_rows(docs, "doc_id", "text", 5)
+    uniq = sh.groupBy("s").count().filter(F.col("count") == 1).count()
+    assert sum(r.n_unique for r in rows) == uniq
+
+
 @pytest.fixture(scope="module")
 def drift_vecs_dir(spark, tmp_path_factory):
     """Two labels with geometrically obvious centroids: label 0 vectors
