@@ -26,6 +26,10 @@ is the engine's equivalent surface, thin wrappers over the library:
   compact-cm --state D --upto-batch N [--group-cols C1,C2] [--vacuum]
                             pre-sum count-min monitor counter state to
                             a batch watermark and print cell totals
+  compact-exposure --state D --upto-batch N [--vacuum]
+                            pre-sum rare-gram exposure monitor state to
+                            a batch watermark and print the per-source
+                            exposure report
 
 Everything routes through the same registry / session / pipeline code
 the tests and the driver use — the CLI adds no second code path.
@@ -222,6 +226,28 @@ def cmd_compact_cm(args) -> int:
     return 0
 
 
+def cmd_compact_exposure(args) -> int:
+    from cdc_publisher_spark.streaming.exposure_monitor import (
+        compact_exposure_state,
+        read_exposure_report,
+    )
+
+    spark = _session()
+    compact_exposure_state(
+        spark,
+        args.state,
+        upto_batch=args.upto_batch,
+        vacuum=args.vacuum,
+    )
+    rep = read_exposure_report(spark, args.state)
+    for r in rep.collect():
+        print(
+            f"{r.source}: {r.n_grams} grams, {r.n_unique} unique, "
+            f"{r.n_rare} rare (unique_frac {r.unique_frac})"
+        )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="python -m cdc_publisher_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -314,6 +340,22 @@ def main(argv: list[str] | None = None) -> int:
         "streaming/state.py vacuum_state)",
     )
     sp.set_defaults(fn=cmd_compact_cm)
+
+    sp = sub.add_parser(
+        "compact-exposure",
+        help="pre-sum rare-gram exposure monitor state up to a batch "
+        "watermark and print the per-source report "
+        "(streaming/exposure_monitor.py)",
+    )
+    sp.add_argument("--state", required=True)
+    sp.add_argument("--upto-batch", type=int, required=True)
+    sp.add_argument(
+        "--vacuum",
+        action="store_true",
+        help="also delete superseded per-batch dirs (opt-in; see "
+        "streaming/state.py vacuum_state)",
+    )
+    sp.set_defaults(fn=cmd_compact_exposure)
 
     args = p.parse_args(argv)
     return args.fn(args)
