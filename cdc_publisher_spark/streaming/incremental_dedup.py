@@ -173,7 +173,15 @@ def bloom_flag(batch: DataFrame, bloom: DataFrame, id_col: str = "doc_id") -> Da
     ONLY (ADVICE r7): the 4-hash crossJoin and its groupBy exchange
     carry 4x the batch's ids, never 4x its document payloads; the flag
     joins back to the full batch on ``id_col`` afterwards — a key the
-    caller's dropDuplicates already partitioned the batch by."""
+    caller's dropDuplicates already partitioned the batch by.
+
+    NULL ids: an equi-join never matches a NULL key, so the join back
+    is a LEFT join with ``maybe`` coalesced to False — a NULL-id row
+    passes through flagged definitely-new (the Bloom cannot attest
+    membership of an id that doesn't compare equal to anything,
+    including itself), preserving the pre-r8 groupBy-form behavior of
+    carrying such rows as clean instead of silently dropping them
+    (ADVICE r8 low)."""
     flagged_ids = (
         _bloom_positions(batch.select(id_col), id_col)
         .join(F.broadcast(bloom.withColumnRenamed("mask", "_bmask")), "word", "left")
@@ -185,7 +193,9 @@ def bloom_flag(batch: DataFrame, bloom: DataFrame, id_col: str = "doc_id") -> Da
             ).alias("maybe")
         )
     )
-    return batch.join(flagged_ids, id_col)
+    return batch.join(flagged_ids, id_col, "left").withColumn(
+        "maybe", F.coalesce(F.col("maybe"), F.lit(False))
+    )
 
 
 def _guard_parts(
@@ -335,9 +345,16 @@ def dedup_micro_batch(
     — the maintenance cadence state.py's concurrency contract names as
     safe: compaction is single-threaded with the writer, the stream is
     its own reader and lists dirs fresh next trigger, and the manifest
-    flip is crash-safe. A crash between compact and checkpoint replays
-    the batch against the compacted state — the exact
-    replay-after-compact case the reader's row-filter covers. With
+    flip is crash-safe. The watermark is ``batch_id - 1`` — COMMITTED
+    batches only, the current batch's dirs stay live (ADVICE r8,
+    medium): folding the not-yet-checkpointed batch would pin the
+    merged bloom rows to ``batch=batch_id``, and a crashed-then-
+    replayed trigger's ``exclude_batch=batch_id`` row-filter would
+    erase the ENTIRE merged id history — every replayed id would flag
+    clean and the cross-batch guard would silently no-op for that
+    trigger. With the committed-only watermark a replay sees the
+    compacted history (pinned ≤ batch_id-1, never excluded) plus its
+    own live dirs path-excluded — exactly the pre-batch state. With
     ``vacuum_grace=N`` each compaction also vacuums superseded dirs
     keeping an N-batch margin for any EXTERNAL unsynchronized reader
     (``read_dedup_state`` from another session); vacuuming stays
@@ -365,22 +382,23 @@ def dedup_micro_batch(
             batch.unpersist()
     finally:
         base.unpersist()
-    if (
-        compact_every
-        and (batch_id + 1) % compact_every == 0
-        # all-empty-batch streams have no state to compact yet
-        and (
-            compacted_upto(spark, corpus_dir) is not None
-            or batch_dirs(spark, corpus_dir)
+    if compact_every and (batch_id + 1) % compact_every == 0:
+        # committed batches only: the current batch's dirs stay live
+        # until ITS offsets commit — see the docstring's replay
+        # analysis (ADVICE r8, medium)
+        upto = batch_id - 1
+        prev = compacted_upto(spark, corpus_dir)
+        has_committed = prev is not None or any(
+            k < batch_id for k, _ in batch_dirs(spark, corpus_dir)
         )
-    ):
-        compact_dedup_state(
-            spark, corpus_dir, index_dir, pairs_dir,
-            upto_batch=batch_id, bloom_dir=bdir,
-        )
-        if vacuum_grace is not None:
-            for d in (corpus_dir, index_dir, pairs_dir, bdir):
-                vacuum_state(spark, d, grace_batches=vacuum_grace)
+        if has_committed and (prev is None or prev < upto):
+            compact_dedup_state(
+                spark, corpus_dir, index_dir, pairs_dir,
+                upto_batch=upto, bloom_dir=bdir,
+            )
+            if vacuum_grace is not None:
+                for d in (corpus_dir, index_dir, pairs_dir, bdir):
+                    vacuum_state(spark, d, grace_batches=vacuum_grace)
 
 
 def _dedup_micro_batch_body(

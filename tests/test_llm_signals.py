@@ -808,12 +808,100 @@ def test_in_stream_compaction_bounds_dedup_state(spark, tmp_path):
         want = sorted(map(tuple, inc.read_dedup_state(spark, dp).collect()))
         got = sorted(map(tuple, inc.read_dedup_state(spark, da).collect()))
         assert got == want, da
-    # compactions fired at batches 1 and 3
+    # compactions fired at batches 1 and 3, folding COMMITTED batches
+    # only (watermark = batch_id - 1, ADVICE r8): 0 then ≤ 2
     for d in auto:
-        assert compacted_upto(spark, d) == 3, d
+        assert compacted_upto(spark, d) == 2, d
     for d in plain:
         assert compacted_upto(spark, d) is None, d
     # graced vacuum: at most the margin's worth of superseded dirs left
     for d in auto:
-        superseded = [k for k, _ in batch_dirs(spark, d) if k <= 3]
+        superseded = [k for k, _ in batch_dirs(spark, d) if k <= 2]
         assert len(superseded) <= 1, (d, superseded)
+
+
+def test_replay_after_in_stream_compact_keeps_guard_live(spark, tmp_path):
+    """ADVICE r8 (medium): a crash BETWEEN an in-stream compaction and
+    the checkpoint commit replays the trigger against the compacted
+    state. Because the merged bloom segment pins its rows to the
+    compaction watermark, a watermark equal to the replayed batch id
+    would be erased wholesale by the reader's ``exclude_batch``
+    row-filter — every id would flag clean and the cross-batch guard
+    would silently no-op. The committed-only watermark (batch_id - 1)
+    must keep the guard live: after the compaction that batch B's
+    trigger ran, ``_guard_parts`` for a REPLAY of batch B still flags
+    every pre-B history id maybe, and the replayed micro-batch leaves
+    state identical to the crash-free run."""
+    from cdc_publisher_spark.streaming import incremental_dedup as inc
+    from cdc_publisher_spark.streaming.state import compacted_upto
+
+    dirs = [str(tmp_path / d) for d in ("corpus", "idx", "pairs")]
+    bloom_dir = inc.default_bloom_dir(dirs[0])
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    history = [
+        (b, [(b * 10 + i, " ".join(f"w{b}_{i}_{j}" for j in range(30)))
+             for i in range(1, 4)])
+        for b in range(2)
+    ]
+    for b, rows in history:
+        inc.dedup_micro_batch(mk(rows), b, *dirs, compact_every=3)
+    history_ids = {i for _, rows in history for i, _ in rows}
+
+    # batch 2's trigger: writes + in-stream compaction fire (2+1 % 3 == 0),
+    # then "crash" before the checkpoint commit
+    b2 = [(100, "fresh " * 30), (101, "fresh2 " * 30)]
+    inc.dedup_micro_batch(mk(b2), 2, *dirs, compact_every=3)
+    assert compacted_upto(spark, bloom_dir) == 1  # committed-only watermark
+
+    # the replay's guard view: every history id must still flag maybe
+    redelivered = mk([(1, "legacy again"), (11, "legacy again")] + b2)
+    clean, maybe, survivors = inc._guard_parts(
+        spark, redelivered, 2, dirs[0], bloom_dir, "doc_id"
+    )
+    assert maybe is not None, "guard fell back — bloom read came back empty"
+    m = {r.doc_id for r in maybe.collect()}
+    assert {1, 11} <= m, (m, "merged bloom history erased by exclude_batch")
+    s = {r.doc_id for r in survivors.collect()}
+    assert s == m - history_ids
+
+    # full replayed trigger (same df, same batch id): state converges to
+    # exactly the crash-free outcome, duplicates guarded out
+    inc.dedup_micro_batch(redelivered, 2, *dirs, compact_every=3)
+    corpus = inc.read_dedup_state(spark, dirs[0])
+    got = sorted(r.doc_id for r in corpus.select("doc_id").collect())
+    assert got == sorted(history_ids | {100, 101})
+    # idempotent: the second compaction attempt at the same watermark
+    # was a no-op, not an error
+    assert compacted_upto(spark, bloom_dir) == 1
+
+
+def test_bloom_flag_null_id_passes_through_clean(spark, tmp_path):
+    """ADVICE r8 (low): the id-only bloom screen joins flags back on
+    the id column; a NULL id never matches an equi-join key, so the
+    join-back must be a left join with ``maybe`` defaulted False — the
+    NULL-id row passes through as definitely-new instead of silently
+    vanishing from the batch (and hence from corpus/pairs output)."""
+    from cdc_publisher_spark.streaming import incremental_dedup as inc
+
+    bloom = inc.id_bloom_delta(
+        spark.createDataFrame([(7, "x")], "doc_id long, text string")
+    )
+    batch = spark.createDataFrame(
+        [(7, "seen before"), (None, "null id doc"), (9, "fresh")],
+        "doc_id long, text string",
+    )
+    flagged = inc.bloom_flag(batch, bloom)
+    rows = {r.doc_id: r.maybe for r in flagged.collect()}
+    assert len(rows) == 3 and None in rows, rows
+    assert rows[None] is False  # carried as clean, not dropped
+    assert rows[7] is True  # the screen still catches the true member
+    # and end-to-end: a guarded micro-batch keeps the NULL-id document
+    dirs = [str(tmp_path / d) for d in ("corpus", "idx", "pairs")]
+    inc.dedup_micro_batch(
+        spark.createDataFrame([(1, "w " * 30)], "doc_id long, text string"),
+        0, *dirs,
+    )
+    inc.dedup_micro_batch(batch, 1, *dirs)
+    corpus = inc.read_dedup_state(spark, dirs[0])
+    got = {r.doc_id for r in corpus.select("doc_id").collect()}
+    assert got == {1, 7, 9, None}
