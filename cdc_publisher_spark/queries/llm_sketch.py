@@ -558,21 +558,26 @@ from cdc_publisher_spark.operators.hll import (  # noqa: E402
 )
 def q_k84_hll_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    # ONE corpus shingle pass reduced to the distinct (source, s) frame
-    # BEFORE the persist (r7 tripwire triage): max() in the register
-    # aggregate absorbs duplicates either way, so registers over the
-    # distinct frame are bit-identical to registers over raw shingle
-    # rows — and the persisted frame is the exact audit's required
-    # dedup, not a corpus-row-sized intermediate.
-    sh = track_persist(
+    # NO shared persisted shingle frame (VERDICT r8 ask #2): at 100 TB
+    # distinct trigrams approach corpus token count, so pinning the
+    # distinct (source, s) frame to share it between the sketch and
+    # the audit is itself the block-manager trap the tripwire hunts.
+    # Instead each consumer streams the shingle explode independently:
+    # the register build needs neither distinct nor persist (max()
+    # absorbs duplicate shingles — ONE linear scan + a 256-rows-per-
+    # source aggregate), and the exact audit pays its own
+    # count-distinct — the corpus-scale shuffle is confined to the
+    # audit side, which at real scale runs at audit cadence, not per
+    # estimate. Two streaming passes beat one pinned corpus-scale
+    # frame.
+    sh = (
         TX.shingle_rows(docs, "doc_id", "text", 3)
         .join(docs.select("doc_id", "source"), "doc_id")
         .select("source", "s")
-        .distinct()
     )
     est = hll_estimate(hll_registers(sh, ["source"]), ["source"])
     exact = sh.groupBy("source").agg(
-        F.count("*").cast("long").alias("exact_distinct")
+        F.count_distinct("s").cast("long").alias("exact_distinct")
     )
     rel = F.abs(F.col("hll_estimate") - F.col("exact_distinct")) / F.col("exact_distinct")
     return est.join(exact, "source").select(
@@ -1070,11 +1075,16 @@ def q_k87_hll_source_intersection(spark: SparkSession, sf_dir: str) -> DataFrame
     from cdc_publisher_spark.operators.hll import hll_merge
 
     docs = load(spark, sf_dir, "documents")
-    sh = track_persist(
+    # same adjudication as q_k84 (VERDICT r8 ask #2): no persisted
+    # distinct-shingle frame — the register build and the exact bitmap
+    # audit each stream the shingle explode (max()/bit_or() absorb
+    # duplicates, so neither needs a distinct); only the ≤ sources×256
+    # register table is persisted, shared by the three estimate
+    # consumers below.
+    sh = (
         TX.shingle_rows(docs, "doc_id", "text", 3)
         .join(docs.select("doc_id", "source"), "doc_id")
         .select("source", "s")
-        .distinct()
     )
     regs = track_persist(hll_registers(sh, ["source"]))
     srcs = docs.select("source").distinct()
