@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 from cdc_publisher_spark.operators.cm import cm_cells, cm_merge, cm_point_estimates
 from cdc_publisher_spark.streaming.state import (
     compact_state,
+    in_stream_watermark,
     read_state,
     vacuum_state,
 )
@@ -132,17 +133,19 @@ def stream_cm_heavy_hitters(
     streaming/pipeline.py contract). ``compact_every=K`` pre-SUMS the
     cell state in-stream every K batches (the compacted segment stays
     ≤ groups x d x w rows however long the stream runs), optionally
-    vacuuming with a ``vacuum_grace`` margin. Crash between compact
-    and checkpoint replays the batch against the compacted state;
-    the reader's replay row-filter keeps the non-idempotent sum-merge
-    from double-counting (the live batch dir at or below the
-    watermark is invisible)."""
+    vacuuming with a ``vacuum_grace`` margin. In-stream compaction
+    folds COMMITTED batches only (watermark ``bid - 1``,
+    state.in_stream_watermark): the current batch's dir stays live
+    until its offsets commit, so the non-idempotent sum-merge never
+    bakes an uncommitted delta into the segment and a replayed
+    trigger re-counts nothing."""
 
     def body(df: DataFrame, bid: int) -> None:
         cm_micro_batch(df, bid, state_dir, value_col, group_cols)
-        if compact_every and (bid + 1) % compact_every == 0:
+        upto = in_stream_watermark(df.sparkSession, state_dir, bid, compact_every)
+        if upto is not None:
             compact_cm_state(spark=df.sparkSession, state_dir=state_dir,
-                             upto_batch=bid, group_cols=group_cols)
+                             upto_batch=upto, group_cols=group_cols)
             if vacuum_grace is not None:
                 vacuum_state(df.sparkSession, state_dir, grace_batches=vacuum_grace)
 

@@ -50,6 +50,7 @@ from cdc_publisher_spark.functions import text as TX
 from cdc_publisher_spark.queries.llm_risk import EXPOSURE_K, RARE_DF
 from cdc_publisher_spark.streaming.state import (
     compact_state,
+    in_stream_watermark,
     read_state,
     vacuum_state,
 )
@@ -180,15 +181,18 @@ def stream_rare_gram_exposure(
     contract). ``compact_every=K`` pre-sums the gram state in-stream
     every K batches (the compacted segment stays O(distinct grams)
     however long the stream runs), optionally vacuuming superseded
-    dirs with a ``vacuum_grace`` margin for external readers. Crash
-    between compact and checkpoint replays the batch against the
-    compacted state; the reader's replay row-filter keeps the
-    non-idempotent sum-merge from double-counting."""
+    dirs with a ``vacuum_grace`` margin for external readers. In-stream
+    compaction folds COMMITTED batches only (watermark ``bid - 1``,
+    state.in_stream_watermark): the current batch's delta stays a
+    live dir until its offsets commit, so the non-idempotent
+    sum-merge never bakes an uncommitted delta into the segment and a
+    crash-then-replay counts each document exactly once."""
 
     def body(df: DataFrame, bid: int) -> None:
         exposure_micro_batch(df, bid, state_dir, id_col, text_col, source_col)
-        if compact_every and (bid + 1) % compact_every == 0:
-            compact_exposure_state(df.sparkSession, state_dir, upto_batch=bid)
+        upto = in_stream_watermark(df.sparkSession, state_dir, bid, compact_every)
+        if upto is not None:
+            compact_exposure_state(df.sparkSession, state_dir, upto_batch=upto)
             if vacuum_grace is not None:
                 vacuum_state(df.sparkSession, state_dir, grace_batches=vacuum_grace)
 

@@ -50,6 +50,7 @@ from cdc_publisher_spark.operators.hll import hll_estimate, hll_merge, hll_regis
 # monitor, and the CLI compaction subcommands).
 from cdc_publisher_spark.streaming.state import (
     compact_state,
+    in_stream_watermark,
     read_state,
     vacuum_state,
 )
@@ -136,15 +137,17 @@ def stream_hll_distinct(
     compacted segment is ≤ groups x 256 rows however long the stream
     runs), optionally vacuuming superseded dirs with a
     ``vacuum_grace`` margin for external readers. Runs after the
-    batch's write, before the checkpoint commit — a crash in between
-    replays the batch against the compacted state, which the reader's
-    replay row-filter covers (state.py)."""
+    batch's write, before the checkpoint commit, folding COMMITTED
+    batches only (watermark ``bid - 1``, state.in_stream_watermark):
+    the current batch's dir stays live until its offsets commit, so a
+    crash-then-replay sees exactly the pre-batch compacted state."""
 
     def body(df: DataFrame, bid: int) -> None:
         hll_micro_batch(df, bid, state_dir, group_col, value_col)
-        if compact_every and (bid + 1) % compact_every == 0:
+        upto = in_stream_watermark(df.sparkSession, state_dir, bid, compact_every)
+        if upto is not None:
             compact_hll_state(spark=df.sparkSession, state_dir=state_dir,
-                              upto_batch=bid, group_col=group_col)
+                              upto_batch=upto, group_col=group_col)
             if vacuum_grace is not None:
                 vacuum_state(df.sparkSession, state_dir, grace_batches=vacuum_grace)
 

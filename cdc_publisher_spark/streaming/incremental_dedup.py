@@ -93,6 +93,7 @@ from cdc_publisher_spark.streaming.state import (
     batch_dirs,
     compact_state,
     compacted_upto,
+    in_stream_watermark,
     read_state,
     vacuum_state,
     write_manifest,
@@ -382,23 +383,18 @@ def dedup_micro_batch(
             batch.unpersist()
     finally:
         base.unpersist()
-    if compact_every and (batch_id + 1) % compact_every == 0:
-        # committed batches only: the current batch's dirs stay live
-        # until ITS offsets commit — see the docstring's replay
-        # analysis (ADVICE r8, medium)
-        upto = batch_id - 1
-        prev = compacted_upto(spark, corpus_dir)
-        has_committed = prev is not None or any(
-            k < batch_id for k, _ in batch_dirs(spark, corpus_dir)
+    # committed batches only: the current batch's dirs stay live until
+    # ITS offsets commit — see the docstring's replay analysis
+    # (ADVICE r8, medium; shared helper state.in_stream_watermark)
+    upto = in_stream_watermark(spark, corpus_dir, batch_id, compact_every)
+    if upto is not None:
+        compact_dedup_state(
+            spark, corpus_dir, index_dir, pairs_dir,
+            upto_batch=upto, bloom_dir=bdir,
         )
-        if has_committed and (prev is None or prev < upto):
-            compact_dedup_state(
-                spark, corpus_dir, index_dir, pairs_dir,
-                upto_batch=upto, bloom_dir=bdir,
-            )
-            if vacuum_grace is not None:
-                for d in (corpus_dir, index_dir, pairs_dir, bdir):
-                    vacuum_state(spark, d, grace_batches=vacuum_grace)
+        if vacuum_grace is not None:
+            for d in (corpus_dir, index_dir, pairs_dir, bdir):
+                vacuum_state(spark, d, grace_batches=vacuum_grace)
 
 
 def _dedup_micro_batch_body(

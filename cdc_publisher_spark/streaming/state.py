@@ -154,6 +154,45 @@ def read_state(
     return df
 
 
+def in_stream_watermark(
+    spark: SparkSession,
+    state_dir: str,
+    batch_id: int,
+    compact_every: int | None,
+) -> int | None:
+    """The watermark an IN-STREAM compaction (from inside the very
+    foreachBatch trigger that just wrote ``batch=batch_id``) may fold
+    to, or None when this trigger shouldn't compact.
+
+    Committed batches only — ``batch_id - 1`` — never the current,
+    not-yet-checkpointed batch (ADVICE r8, medium): a merge-style
+    compaction pins folded rows to the watermark batch id, so folding
+    the in-flight batch would (a) let a replayed trigger's
+    ``exclude_batch`` row-filter erase the whole merged history
+    (the dedup guard's bloom), and (b) bake a batch into the segment
+    before its offsets commit, making the segment's contents depend on
+    a replay recomputing bit-identical deltas. With the committed-only
+    watermark the current batch's dirs stay live until ITS checkpoint
+    commits, and the next compaction trigger folds it.
+
+    Returns None when this isn't a compaction trigger
+    (``(batch_id + 1) % compact_every != 0``), when nothing committed
+    exists below the current batch, or when the manifest already
+    covers the target (a replayed compaction trigger — idempotent
+    skip, not an error)."""
+    if not compact_every or (batch_id + 1) % compact_every != 0:
+        return None
+    upto = batch_id - 1
+    prev = compacted_upto(spark, state_dir)
+    if prev is not None and prev >= upto:
+        return None
+    if prev is None and not any(
+        k < batch_id for k, _ in batch_dirs(spark, state_dir)
+    ):
+        return None
+    return upto
+
+
 def compact_state(
     spark: SparkSession,
     state_dir: str,
@@ -259,6 +298,7 @@ __all__ = [
     "compact_state",
     "compacted_upto",
     "hadoop_fs",
+    "in_stream_watermark",
     "read_state",
     "vacuum_state",
     "write_manifest",
