@@ -30,6 +30,14 @@ is the engine's equivalent surface, thin wrappers over the library:
                             pre-sum rare-gram exposure monitor state to
                             a batch watermark and print the per-source
                             exposure report
+  maintain --state-root D [--upto-batch N] [--vacuum [--grace N]]
+           [--dry-run]     one scheduled-job maintenance pass: discover
+                            every batch-addressed state dir under the
+                            root (dedup corpus/index/pairs/bloom, HLL,
+                            count-min, exposure — recognized by schema)
+                            and compact each with its own merge
+                            operator; --dry-run prints the plan and
+                            writes nothing (streaming/maintenance.py)
 
 Everything routes through the same registry / session / pipeline code
 the tests and the driver use — the CLI adds no second code path.
@@ -248,6 +256,36 @@ def cmd_compact_exposure(args) -> int:
     return 0
 
 
+def cmd_maintain(args) -> int:
+    from cdc_publisher_spark.streaming.maintenance import run_maintenance
+
+    spark = _session()
+    plans = run_maintenance(
+        spark,
+        args.state_root,
+        upto_batch=args.upto_batch,
+        vacuum=args.vacuum,
+        grace_batches=args.grace,
+        dry_run=args.dry_run,
+    )
+    if not plans:
+        print(f"no batch-addressed state dirs under {args.state_root}")
+        return 1
+    mode = "plan (dry run)" if args.dry_run else "done"
+    for p in plans:
+        arrow = (
+            f"{p.current_upto} -> {p.target_upto}"
+            if p.target_upto is not None
+            else f"{p.current_upto} (up to date)"
+        )
+        print(
+            f"{p.action}\t{p.kind}\t{p.path}\twatermark {arrow}\t"
+            f"live={p.live_batches} superseded={p.superseded}"
+        )
+    print(mode)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="python -m cdc_publisher_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -356,6 +394,42 @@ def main(argv: list[str] | None = None) -> int:
         "streaming/state.py vacuum_state)",
     )
     sp.set_defaults(fn=cmd_compact_exposure)
+
+    sp = sub.add_parser(
+        "maintain",
+        help="one maintenance pass over every batch-addressed state dir "
+        "under a root: schema-classified per-layout compaction, optional "
+        "vacuum, --dry-run plan (streaming/maintenance.py)",
+    )
+    sp.add_argument("--state-root", required=True)
+    sp.add_argument(
+        "--upto-batch",
+        type=int,
+        default=None,
+        help="watermark applied to every dir; default: each dir's own max "
+        "batch id (offline semantics — run with streams stopped, or pass "
+        "an explicit committed watermark)",
+    )
+    sp.add_argument(
+        "--vacuum",
+        action="store_true",
+        help="also delete superseded per-batch dirs (opt-in; see "
+        "streaming/state.py vacuum_state)",
+    )
+    sp.add_argument(
+        "--grace",
+        type=int,
+        default=0,
+        help="with --vacuum: keep the newest N superseded batch dirs for "
+        "unsynchronized external readers",
+    )
+    sp.add_argument(
+        "--dry-run",
+        action="store_true",
+        help="print the per-dir plan (layout, watermark move, dir counts) "
+        "and write nothing",
+    )
+    sp.set_defaults(fn=cmd_maintain)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -134,3 +134,101 @@ def test_cli_compact_hll_state(spark, tmp_path, capsys):
     assert "srcA: ~" in out and "srcB: ~" in out
     after = sorted((r.source, r.bucket, r.M) for r in read_hll_registers(spark, state).collect())
     assert after == before
+
+
+def test_cli_maintain_covers_all_four_layouts(spark, tmp_path, capsys):
+    """maintain subcommand (VERDICT r8 ask #6): ONE pass over a state
+    root discovers every batch-addressed dir — the dedup quad, HLL
+    registers, count-min cells, exposure gram counts — classifies each
+    by schema, compacts with the layout's own merge, and vacuums.
+    --dry-run prints the identical plan and writes nothing; a re-run
+    is an idempotent all-skip."""
+    from pyspark.sql import functions as F
+
+    from cdc_publisher_spark.streaming.cm_monitor import cm_micro_batch, read_cm_cells
+    from cdc_publisher_spark.streaming.exposure_monitor import (
+        exposure_micro_batch,
+        read_exposure_report,
+    )
+    from cdc_publisher_spark.streaming.hll_monitor import (
+        hll_micro_batch,
+        read_hll_registers,
+    )
+    from cdc_publisher_spark.streaming.incremental_dedup import (
+        dedup_micro_batch,
+        read_dedup_state,
+    )
+    from cdc_publisher_spark.streaming.state import batch_dirs, compacted_upto
+
+    root = tmp_path / "state"
+    ddirs = [str(root / "dedup" / d) for d in ("corpus", "idx", "pairs")]
+    base = " ".join(f"tok{i}" for i in range(30))
+    for b, rows in enumerate([[(1, base), (2, "q " * 25)], [(3, base + " aa")]]):
+        dedup_micro_batch(
+            spark.createDataFrame(rows, "doc_id long, text string"), b, *ddirs
+        )
+    vals = spark.createDataFrame(
+        [("srcA", f"v{i}") for i in range(30)] + [("srcB", f"w{i}") for i in range(20)],
+        "source string, s string",
+    )
+    hll, cm, exp = (str(root / d) for d in ("hll", "cm", "exposure"))
+    docs = spark.createDataFrame(
+        [(i, f"d{i} " * 8, f"src{i % 2}") for i in range(6)],
+        "doc_id long, text string, source string",
+    )
+    for b in range(2):
+        half = F.crc32("s") % 2 == b
+        hll_micro_batch(vals.filter(half), b, hll)
+        cm_micro_batch(vals.filter(half), b, cm, value_col="s", group_cols=["source"])
+        exposure_micro_batch(docs.filter(F.col("doc_id") % 2 == b), b, exp)
+
+    all_dirs = ddirs + [str(root / "dedup" / "id_bloom"), hll, cm, exp]
+    before = {
+        "pairs": sorted(map(tuple, read_dedup_state(spark, ddirs[2]).collect())),
+        "corpus_ids": sorted(
+            r.doc_id for r in read_dedup_state(spark, ddirs[0]).select("doc_id").collect()
+        ),
+        "hll": sorted(
+            (r.source, r.bucket, r.M) for r in read_hll_registers(spark, hll).collect()
+        ),
+        "cm": sorted(map(tuple, read_cm_cells(spark, cm, ["source"]).collect())),
+        "exp": sorted(map(tuple, read_exposure_report(spark, exp).collect())),
+    }
+
+    # dry run: full plan over all seven dirs, zero writes
+    assert main(["maintain", "--state-root", str(root), "--dry-run"]) == 0
+    out = capsys.readouterr().out
+    assert out.count("compact\t") == 7, out
+    for kind in ("sum", "hll", "bloom", "rows"):
+        assert f"\t{kind}\t" in out, (kind, out)
+    assert "dry run" in out
+    for d in all_dirs:
+        assert compacted_upto(spark, d) is None, d
+
+    # real pass: every dir compacts to its own max batch, vacuumed
+    assert main(["maintain", "--state-root", str(root), "--vacuum"]) == 0
+    out = capsys.readouterr().out
+    assert out.count("compact\t") == 7 and out.strip().endswith("done")
+    for d in all_dirs:
+        assert compacted_upto(spark, d) == 1, d
+        assert batch_dirs(spark, d) == [], d  # superseded dirs reclaimed
+    after = {
+        "pairs": sorted(map(tuple, read_dedup_state(spark, ddirs[2]).collect())),
+        "corpus_ids": sorted(
+            r.doc_id for r in read_dedup_state(spark, ddirs[0]).select("doc_id").collect()
+        ),
+        "hll": sorted(
+            (r.source, r.bucket, r.M) for r in read_hll_registers(spark, hll).collect()
+        ),
+        "cm": sorted(map(tuple, read_cm_cells(spark, cm, ["source"]).collect())),
+        "exp": sorted(map(tuple, read_exposure_report(spark, exp).collect())),
+    }
+    assert after == before
+
+    # idempotent: the second pass is an all-skip
+    assert main(["maintain", "--state-root", str(root)]) == 0
+    out = capsys.readouterr().out
+    assert out.count("skip\t") == 7 and "up to date" in out
+
+    # empty root: explicit failure, not a silent success
+    assert main(["maintain", "--state-root", str(tmp_path / "nowhere")]) == 1
