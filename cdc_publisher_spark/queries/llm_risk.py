@@ -1,4 +1,4 @@
-"""Family K round-8 extension: training-data risk audits.
+"""Family K rounds 8-9 extension: training-data risk audits.
 
 - q_k88 rare-gram exposure: per source, how much of its distinct
   5-gram content is uniquely attributable — grams whose corpus-wide
@@ -18,6 +18,23 @@
   — or near zero norm — internal cancellation — is a heterogeneous
   or corrupted slice; complements q_k73's kNN purity audit which
   probes the same risk pointwise).
+- q_k90 Heaps'-law vocabulary growth: per source, the log-log OLS
+  slope beta of cumulative distinct vocabulary V(N) against
+  cumulative token count N over the source's document sequence.
+  Natural text follows V ~ k*N^beta with beta ≈ 0.4-0.7 (Heaps
+  1978); templated, machine-generated, or heavily boilerplated feeds
+  show depressed beta (vocabulary saturates) — the corpus-level
+  synthetic-content screen complementing q_k18's within-document
+  repetition check.
+- q_k91 quasi-identifier k-anonymity: the Sweeney (2002) linkage
+  audit over the documents table's metadata columns — equivalence
+  classes on (source, lang, length-bucket) at a GENERALIZATION LADDER
+  of bucket widths; per source, singleton counts per width and the
+  finest width at which every class reaches k >= 2. A source whose
+  classes stay singleton even at coarse generalization is one whose
+  metadata alone re-identifies records (complements q_k23's in-text
+  PII redaction: this is the structured-metadata side of the same
+  risk).
 
 Scale shape:
 
@@ -35,6 +52,25 @@ Scale shape:
   products, cosines) runs on that dimension-sized frame. Cosine is
   scale-invariant, so it is computed between the SUM vectors —
   no centroid division enters the comparison path.
+- q_k90's corpus work is one token explode feeding a (source, word)
+  min-aggregate (first-appearance doc — map-side combine on the
+  vocab key) and a per-doc token count; the prefix sums use the
+  classic TWO-LEVEL distributed scan, because a window partitioned
+  only by source funnels each source's whole doc sequence through
+  one task (the low-cardinality-window tripwire rightly rejects
+  that): per-doc rows chunk on ``doc_id div HEAPS_CHUNK``, within-
+  chunk running sums run in a (source, chunk) window whose
+  partitions are bounded by the chunk size, chunk totals collapse to
+  a corpus/HEAPS_CHUNK-row table whose exclusive-prefix offsets are
+  the only source-partitioned window (over CHUNK rows, not doc
+  rows), and a (source, chunk) join stitches offsets to within-chunk
+  sums. The OLS fit is then a plain per-source aggregate over the
+  per-doc points.
+- q_k91 never touches text at all: the scan reads three metadata
+  columns (column pruning), the generalization ladder is a 4-row
+  literal explode on that projection, and both aggregates are plain
+  hash aggs keyed by (width, source, lang, bucket) then
+  (source, width) — dimension-sized output, no window, no join.
 
 Float canonicalization per registry.py rules: q_k88 emits exact
 integers plus one 4dp-rounded division (k73 precedent). q_k89 rounds
@@ -232,4 +268,287 @@ def q_k89_label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid_l2"),
         )
         .orderBy("label")
+    )
+
+
+#: q_k90 point-precision constants: ln() values round to 6dp DECIMALs
+#: before any cross-engine arithmetic (libm last-ulp divergence is
+#: ~1e-16, far inside the 1e-6 grid), products of those to 6dp
+#: DECIMALs (k89 pattern), final slope to 4dp.
+HEAPS_LN_DP = 6
+
+#: q_k90 two-level-scan chunk size: within-chunk window partitions hold
+#: ≤ this many per-DOC rows; the chunk-offset table is corpus/CHUNK
+#: rows. A layout constant like BH_MOD (incremental_dedup.py).
+HEAPS_CHUNK = 4096
+
+#: q_k91 generalization ladder: n_chars bucket widths from finest to
+#: coarsest. min_safe_width is the smallest with every class k >= 2.
+QI_WIDTHS = (16, 64, 256, 1024)
+
+
+# --------------------------------------------------------------------------
+# q_k90 — Heaps'-law vocabulary growth (synthetic/templated-text screen)
+# --------------------------------------------------------------------------
+@register(
+    "q_k90_heaps_vocab_growth",
+    family="K",
+    doc="K-90 Heaps'-law growth screen: per source, OLS slope beta of "
+    "ln(cumulative distinct vocab) on ln(cumulative tokens) over the "
+    "doc_id-ordered document sequence. Natural text: beta ~ 0.4-0.7; "
+    "templated/machine-generated feeds saturate vocabulary and "
+    "depress beta. First-appearance via one (source, word) min-agg; "
+    "prefix sums via the two-level distributed scan (bounded "
+    "(source, doc_id div 4096) within-chunk windows + an exclusive-"
+    "prefix window over the chunk-total table only); fit as a plain "
+    "aggregate; 6dp DECIMAL ln-points, 4dp slope.",
+    oracle=f"""
+        WITH tok AS (
+            SELECT source, doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        ),
+        fa AS (SELECT source, w, MIN(doc_id) AS fd FROM tok GROUP BY 1, 2),
+        nw AS (
+            SELECT source, fd AS doc_id, CAST(COUNT(*) AS BIGINT) AS nww
+            FROM fa GROUP BY 1, 2
+        ),
+        dt AS (
+            SELECT source, doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+            FROM documents
+        ),
+        cum AS (
+            SELECT dt.source, dt.doc_id,
+                   CAST(SUM(dt.t) OVER (
+                        PARTITION BY dt.source ORDER BY dt.doc_id) AS BIGINT)
+                       AS cn,
+                   CAST(SUM(COALESCE(nw.nww, 0)) OVER (
+                        PARTITION BY dt.source ORDER BY dt.doc_id) AS BIGINT)
+                       AS cv
+            FROM dt LEFT JOIN nw USING (source, doc_id)
+        ),
+        pts AS (
+            SELECT source,
+                   CAST(ROUND(ln(CAST(cn AS DOUBLE)), {HEAPS_LN_DP})
+                        AS DECIMAL(18, 6)) AS x,
+                   CAST(ROUND(ln(CAST(cv AS DOUBLE)), {HEAPS_LN_DP})
+                        AS DECIMAL(18, 6)) AS y
+            FROM cum WHERE cn > 0 AND cv > 0
+        ),
+        a AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS np,
+                   SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(CAST(ROUND(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 6)
+                            AS DECIMAL(28, 6))) AS sxx,
+                   SUM(CAST(ROUND(CAST(x AS DOUBLE) * CAST(y AS DOUBLE), 6)
+                            AS DECIMAL(28, 6))) AS sxy
+            FROM pts GROUP BY source
+        ),
+        tot AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(t) AS BIGINT) AS total_tokens
+            FROM dt GROUP BY source
+        ),
+        voc AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab_size
+            FROM fa GROUP BY source
+        )
+        SELECT a.source, tot.n_docs, tot.total_tokens, voc.vocab_size,
+               ROUND((a.np * CAST(a.sxy AS DOUBLE)
+                      - CAST(a.sx AS DOUBLE) * CAST(a.sy AS DOUBLE))
+                     / (a.np * CAST(a.sxx AS DOUBLE)
+                        - CAST(a.sx AS DOUBLE) * CAST(a.sx AS DOUBLE)),
+                     4) AS heaps_beta
+        FROM a JOIN tot USING (source) JOIN voc USING (source)
+        ORDER BY source
+    """,
+)
+def q_k90_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from cdc_publisher_spark.functions.text import words
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", "doc_id", F.explode(words(F.col("text"))).alias("w")
+    )
+    # first appearance of each (source, word): map-side-combined min —
+    # the ONLY vocab-keyed shuffle
+    fa = tok.groupBy("source", "w").agg(F.min("doc_id").alias("fd"))
+    nw = fa.groupBy("source", F.col("fd").alias("doc_id")).agg(
+        F.count("*").cast("long").alias("nww")
+    )
+    dt = docs.select(
+        "source", "doc_id", F.size(words(F.col("text"))).cast("long").alias("t")
+    )
+    # two-level distributed scan (see module docstring): a window
+    # partitioned only by source would funnel a source's entire doc
+    # sequence through one task, so chunk on doc_id first
+    perdoc = (
+        dt.join(nw, ["source", "doc_id"], "left")
+        .select(
+            "source",
+            "doc_id",
+            "t",
+            F.coalesce(F.col("nww"), F.lit(0)).alias("nv"),
+        )
+        .withColumn("cb", F.expr(f"doc_id div {HEAPS_CHUNK}"))
+    )
+    # level 1: within-chunk running sums — partitions bounded by the
+    # chunk size whatever the corpus size
+    win = W.partitionBy("source", "cb").orderBy("doc_id")
+    within = perdoc.select(
+        "source",
+        "doc_id",
+        "cb",
+        F.sum("t").over(win).alias("pt"),
+        F.sum("nv").over(win).alias("pv"),
+    )
+    # level 2: exclusive-prefix offsets over the CHUNK-TOTAL table
+    # (corpus/HEAPS_CHUNK rows) — the only source-partitioned window
+    ch = perdoc.groupBy("source", "cb").agg(
+        F.sum("t").alias("ct"), F.sum("nv").alias("cv_c")
+    )
+    woff = W.partitionBy("source").orderBy("cb")
+    offs = ch.select(
+        "source",
+        "cb",
+        (F.sum("ct").over(woff) - F.col("ct")).alias("ot"),
+        (F.sum("cv_c").over(woff) - F.col("cv_c")).alias("ov"),
+    )
+    cum = within.join(offs, ["source", "cb"]).select(
+        "source",
+        "doc_id",
+        (F.col("ot") + F.col("pt")).alias("cn"),
+        (F.col("ov") + F.col("pv")).alias("cv"),
+    )
+    pts = cum.filter((F.col("cn") > 0) & (F.col("cv") > 0)).select(
+        "source",
+        F.round(F.log(F.col("cn").cast("double")), HEAPS_LN_DP)
+        .cast("decimal(18,6)")
+        .alias("x"),
+        F.round(F.log(F.col("cv").cast("double")), HEAPS_LN_DP)
+        .cast("decimal(18,6)")
+        .alias("y"),
+    )
+
+    def _term(p, q):
+        return F.sum(
+            F.round(p.cast("double") * q.cast("double"), 6).cast("decimal(28,6)")
+        )
+
+    a = pts.groupBy("source").agg(
+        F.count("*").cast("long").alias("np"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        _term(F.col("x"), F.col("x")).alias("sxx"),
+        _term(F.col("x"), F.col("y")).alias("sxy"),
+    )
+    tot = dt.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("t").cast("long").alias("total_tokens"),
+    )
+    voc = fa.groupBy("source").agg(F.count("*").cast("long").alias("vocab_size"))
+    beta = (
+        F.col("np") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        F.col("np") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    return (
+        a.join(tot, "source")
+        .join(voc, "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "vocab_size",
+            F.round(beta, 4).alias("heaps_beta"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q_k91 — quasi-identifier k-anonymity (metadata linkage audit)
+# --------------------------------------------------------------------------
+@register(
+    "q_k91_quasi_identifier_kanonymity",
+    family="K",
+    doc="K-91 quasi-identifier audit (Sweeney 2002): equivalence "
+    "classes on (source, lang, n_chars-bucket) at a generalization "
+    f"ladder of widths {QI_WIDTHS}; per source, singleton-class doc "
+    "counts at each width and min_safe_width — the finest width at "
+    "which every class reaches k >= 2 (-1 when even the coarsest "
+    "leaves singletons). Metadata-only scan (text never read), two "
+    "hash aggregates, dimension-sized output.",
+    oracle=f"""
+        WITH q AS (
+            SELECT source, lang, wd, n_chars // wd AS lb
+            FROM documents
+            CROSS JOIN (SELECT UNNEST({list(QI_WIDTHS)}) AS wd) w
+        ),
+        cl AS (
+            SELECT source, lang, wd, lb, CAST(COUNT(*) AS BIGINT) AS k
+            FROM q GROUP BY 1, 2, 3, 4
+        ),
+        per AS (
+            SELECT source, wd,
+                   CAST(SUM(k) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS singles,
+                   CAST(MIN(k) AS BIGINT) AS kmin
+            FROM cl GROUP BY 1, 2
+        )
+        SELECT source,
+               CAST(MAX(n_docs) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN wd = {QI_WIDTHS[0]} THEN singles END)
+                    AS BIGINT) AS singletons_w{QI_WIDTHS[0]},
+               CAST(SUM(CASE WHEN wd = {QI_WIDTHS[1]} THEN singles END)
+                    AS BIGINT) AS singletons_w{QI_WIDTHS[1]},
+               CAST(SUM(CASE WHEN wd = {QI_WIDTHS[2]} THEN singles END)
+                    AS BIGINT) AS singletons_w{QI_WIDTHS[2]},
+               CAST(SUM(CASE WHEN wd = {QI_WIDTHS[3]} THEN singles END)
+                    AS BIGINT) AS singletons_w{QI_WIDTHS[3]},
+               CAST(COALESCE(MIN(CASE WHEN kmin >= 2 THEN wd END), -1)
+                    AS BIGINT) AS min_safe_width
+        FROM per
+        GROUP BY source
+        ORDER BY source
+    """,
+)
+def q_k91_quasi_identifier_kanonymity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    q = docs.select("source", "lang", "n_chars").withColumn(
+        "wd", F.explode(F.array(*[F.lit(w) for w in QI_WIDTHS]))
+    ).withColumn("lb", F.expr("n_chars div wd"))
+    cl = q.groupBy("source", "lang", "wd", "lb").agg(
+        F.count("*").cast("long").alias("k")
+    )
+    per = cl.groupBy("source", "wd").agg(
+        F.sum("k").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("k") == 1, 1).otherwise(0)).cast("long").alias("singles"),
+        F.min("k").cast("long").alias("kmin"),
+    )
+    sing_cols = [
+        F.sum(F.when(F.col("wd") == w, F.col("singles")))
+        .cast("long")
+        .alias(f"singletons_w{w}")
+        for w in QI_WIDTHS
+    ]
+    return (
+        per.groupBy("source")
+        .agg(
+            F.max("n_docs").cast("long").alias("n_docs"),
+            *sing_cols,
+            F.coalesce(
+                F.min(F.when(F.col("kmin") >= 2, F.col("wd"))), F.lit(-1)
+            )
+            .cast("long")
+            .alias("min_safe_width"),
+        )
+        .orderBy("source")
     )

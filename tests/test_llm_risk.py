@@ -103,3 +103,109 @@ def test_label_centroid_drift_geometry(spark, drift_vecs_dir):
         assert r.drift_cos == round(1 / math.sqrt(2), 6)
         # centroid = sum/2 → norm 3
         assert r.centroid_l2 == 3.0
+
+
+@pytest.fixture(scope="module")
+def growth_docs_dir(spark, tmp_path_factory):
+    """Two sources with hand-derivable growth shapes:
+
+    - srcNat: every document introduces entirely fresh words, so
+      cumulative vocab == cumulative tokens at every point — the
+      log-log points lie EXACTLY on y = x and the OLS slope is 1.
+    - srcTpl: doc 1 introduces 4 words; docs 2-4 repeat the same 4
+      words verbatim — vocabulary saturates after the first doc, so
+      beta is far below srcNat's.
+    """
+    d = tmp_path_factory.mktemp("growthdocs")
+    rows = []
+    for i in range(4):
+        fresh = " ".join(f"n{i}_{j}" for j in range(4))
+        rows.append((10 + i, fresh, "en", "srcNat", len(fresh)))
+        rows.append((20 + i, "t0 t1 t2 t3", "en", "srcTpl", 11))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(d), "documents.parquet")
+    )
+    return str(d)
+
+
+def test_heaps_growth_separates_fresh_from_templated(spark, growth_docs_dir):
+    from cdc_publisher_spark.queries.llm_risk import q_k90_heaps_vocab_growth
+
+    out = {r.source: r for r in q_k90_heaps_vocab_growth(spark, growth_docs_dir).collect()}
+    nat, tpl = out["srcNat"], out["srcTpl"]
+    assert (nat.n_docs, nat.total_tokens, nat.vocab_size) == (4, 16, 16)
+    assert (tpl.n_docs, tpl.total_tokens, tpl.vocab_size) == (4, 16, 4)
+    # all-fresh: V(N) == N, slope exactly 1 on the log-log grid
+    assert nat.heaps_beta == 1.0
+    # saturated vocabulary: V flat after doc 1 while N keeps growing —
+    # the slope collapses (exact value: OLS over (ln 4k, ln 4) points,
+    # y constant => beta == 0)
+    assert tpl.heaps_beta == 0.0
+
+
+def test_heaps_growth_invariants_on_fixture(spark, sf_smoke):
+    """On the synthetic corpus: 0 <= beta <= 1 (vocab can't grow
+    faster than tokens, and the fixture's generator draws from a tiny
+    word pool, so saturation — beta rounding to 0 — is the EXPECTED
+    templated-text reading, exactly what the screen flags), and
+    vocab_size <= total_tokens."""
+    from cdc_publisher_spark.queries.llm_risk import q_k90_heaps_vocab_growth
+
+    rows = q_k90_heaps_vocab_growth(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.heaps_beta <= 1.0, r
+        assert 0 < r.vocab_size <= r.total_tokens, r
+
+
+@pytest.fixture(scope="module")
+def qi_docs_dir(spark, tmp_path_factory):
+    """Hand-countable k-anonymity ladder:
+
+    - srcSafe: four docs, two langs x two docs each, identical
+      n_chars within each lang pair → every class has k=2 at EVERY
+      width → min_safe_width = 16, zero singletons everywhere.
+    - srcRisk: two docs in the same lang whose lengths (10 vs 500)
+      only share a bucket at width 1024 (10//1024 == 500//1024 == 0)
+      → singletons at 16/64/256, safe only at 1024.
+    - srcBad: one doc — a singleton at every width, min_safe_width -1.
+    """
+    d = tmp_path_factory.mktemp("qidocs")
+    rows = [
+        (1, "x", "en", "srcSafe", 100), (2, "x", "en", "srcSafe", 100),
+        (3, "x", "fr", "srcSafe", 300), (4, "x", "fr", "srcSafe", 300),
+        (5, "x", "en", "srcRisk", 10), (6, "x", "en", "srcRisk", 500),
+        (7, "x", "en", "srcBad", 42),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(d), "documents.parquet")
+    )
+    return str(d)
+
+
+def test_quasi_identifier_ladder_hand_counts(spark, qi_docs_dir):
+    from cdc_publisher_spark.queries.llm_risk import (
+        q_k91_quasi_identifier_kanonymity,
+    )
+
+    out = {
+        r.source: r
+        for r in q_k91_quasi_identifier_kanonymity(spark, qi_docs_dir).collect()
+    }
+    safe, risk, bad = out["srcSafe"], out["srcRisk"], out["srcBad"]
+    assert (safe.singletons_w16, safe.singletons_w64, safe.singletons_w256,
+            safe.singletons_w1024) == (0, 0, 0, 0)
+    assert safe.min_safe_width == 16 and safe.n_docs == 4
+    # 10 vs 500 chars: distinct buckets until width 1024 merges them
+    assert (risk.singletons_w16, risk.singletons_w64, risk.singletons_w256,
+            risk.singletons_w1024) == (2, 2, 2, 0)
+    assert risk.min_safe_width == 1024
+    # a lone document can never reach k=2 by generalizing length
+    assert (bad.singletons_w16, bad.singletons_w1024) == (1, 1)
+    assert bad.min_safe_width == -1
