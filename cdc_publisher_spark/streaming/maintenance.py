@@ -16,6 +16,9 @@ merge algebra is all compaction needs to know:
                               cnt; rare-gram exposure: sh source cnt).
                               SUM over the remaining key columns is the
                               state's own merge, lossless.
+- ``label p s n``           → DECIMAL sum-merge of ``s`` and ``n`` per
+                              (label, p) (centroid-drift partials,
+                              streaming/drift_monitor.py).
 - ``bucket`` + ``M``        → max-merge (HLL registers) — max per
                               (group…, bucket).
 - ``word`` + ``mask``       → bit_or-merge (the dedup guard's id
@@ -102,6 +105,15 @@ def classify_state_dir(
             return df.groupBy(*gcols).agg(F.sum("cnt").cast("long").alias("cnt"))
 
         return "sum", (), merge_sum
+    if {"label", "p", "s", "n"} <= cols:  # centroid-drift partial sums
+
+        def merge_sn(df: DataFrame) -> DataFrame:
+            return df.groupBy("label", "p").agg(
+                F.sum("s").cast("decimal(30,8)").alias("s"),
+                F.sum("n").cast("long").alias("n"),
+            )
+
+        return "sum", (), merge_sn
     if {"bucket", "M"} <= cols:  # HLL registers
         gcols = tuple(c for c in keys if c != "M")
 

@@ -6,10 +6,12 @@ external-state case that ``applyInPandasWithState`` (per-group state)
 cannot express: the incremental LSH dedup
 (streaming/incremental_dedup.py), the HLL distinct-cardinality monitor
 (streaming/hll_monitor.py), the count-min heavy-hitters monitor
-(streaming/cm_monitor.py), and the ``compact`` / ``compact-hll`` /
-``compact-cm`` CLI subcommands. It was promoted out of
-``incremental_dedup`` (VERDICT r6 ask #2) so the contract is explicit
-and the two consumers can evolve independently.
+(streaming/cm_monitor.py), the rare-gram exposure monitor
+(streaming/exposure_monitor.py), the centroid-drift monitor
+(streaming/drift_monitor.py), and the per-layout ``compact-*`` /
+unified ``maintain`` CLI subcommands (streaming/maintenance.py). It
+was promoted out of ``incremental_dedup`` (VERDICT r6 ask #2) so the
+contract is explicit and the consumers can evolve independently.
 
 The layout contract
 -------------------
