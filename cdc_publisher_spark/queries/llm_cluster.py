@@ -505,3 +505,118 @@ def q_k45_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q_k92 — dedup savings forecast (cluster-size histogram + token mass)
+# --------------------------------------------------------------------------
+@register(
+    "q_k92_dedup_savings",
+    family="K",
+    doc="K-92 dedup savings forecast: the capacity-planning question a "
+    "curation run answers BEFORE deleting anything — roll q_k22's "
+    "near-dup transitive closure up to a cluster-size histogram with "
+    "exact token mass: per csize, how many clusters/docs exist, how "
+    "many docs are removable (keep the canonical min-doc_id per "
+    "cluster, q_k22's keeper convention), and how many tokens the "
+    "removal reclaims. All-integer output (no float canonicalization "
+    "needed). SCALE: the closure is q_k22's min-label propagation "
+    "(operators/components.py); everything after is one cluster-keyed "
+    "and one csize-keyed aggregate over the clustered docs only "
+    "(O(docs-in-clusters), not corpus).",
+    oracle="""
+        WITH RECURSIVE
+        w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+            FROM w CROSS JOIN generate_series(1, 100000) g(i)
+            WHERE i + 2 <= len(ws)
+        ),
+        sz AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id d1, b.doc_id d2, COUNT(*) i
+            FROM sh a JOIN sh b USING (s)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT d1, d2 FROM inter
+            JOIN sz s1 ON s1.doc_id = d1
+            JOIN sz s2 ON s2.doc_id = d2
+            WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.5
+        ),
+        edges AS (SELECT d1 a, d2 b FROM pairs UNION SELECT d2, d1 FROM pairs),
+        nodes AS (SELECT DISTINCT a AS id FROM edges),
+        reach(id, lab) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.id
+        ),
+        cc AS (SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id),
+        t AS (
+            SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+            FROM documents
+        ),
+        pc AS (
+            SELECT cc.cluster_id,
+                   CAST(COUNT(*) AS BIGINT) AS csize,
+                   CAST(SUM(t.t) AS BIGINT) AS tokens_total,
+                   CAST(SUM(CASE WHEN cc.id <> cc.cluster_id THEN t.t
+                            ELSE 0 END) AS BIGINT) AS tokens_dup
+            FROM cc JOIN t ON t.doc_id = cc.id
+            GROUP BY cc.cluster_id
+        )
+        SELECT csize,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(SUM(csize) AS BIGINT) AS n_docs,
+               CAST(SUM(csize) - COUNT(*) AS BIGINT) AS removable_docs,
+               CAST(SUM(tokens_total) AS BIGINT) AS tokens_total,
+               CAST(SUM(tokens_dup) AS BIGINT) AS tokens_reclaimed
+        FROM pc
+        GROUP BY csize
+        ORDER BY csize
+    """,
+)
+def q_k92_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_publisher_spark.functions.text import words
+
+    docs = load(spark, sf_dir, "documents")
+    tok = TX.shingle_rows(docs, "doc_id", "text", 3, hashed=True)
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        tok.alias("a")
+        .join(tok.alias("b"), "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("i"))
+    )
+    pairs = (
+        inter.join(sizes.alias("s1"), F.col("d1") == F.col("s1.doc_id"))
+        .join(sizes.alias("s2"), F.col("d2") == F.col("s2.doc_id"))
+        .filter(F.col("i") * 1.0 / (F.col("s1.n") + F.col("s2.n") - F.col("i")) >= 0.5)
+        .select("d1", "d2")
+    )
+    cc = neardup_clusters(pairs).select("doc_id", "cluster_id")
+    t = docs.select("doc_id", F.size(words(F.col("text"))).cast("long").alias("t"))
+    pc = (
+        cc.join(t, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("long").alias("csize"),
+            F.sum("t").cast("long").alias("tokens_total"),
+            F.sum(F.when(F.col("doc_id") != F.col("cluster_id"), F.col("t")).otherwise(0))
+            .cast("long")
+            .alias("tokens_dup"),
+        )
+    )
+    return (
+        pc.groupBy("csize")
+        .agg(
+            F.count("*").cast("long").alias("n_clusters"),
+            F.sum("csize").cast("long").alias("n_docs"),
+            (F.sum("csize") - F.count("*")).cast("long").alias("removable_docs"),
+            F.sum("tokens_total").cast("long").alias("tokens_total"),
+            F.sum("tokens_dup").cast("long").alias("tokens_reclaimed"),
+        )
+        .orderBy("csize")
+    )

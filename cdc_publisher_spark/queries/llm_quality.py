@@ -477,3 +477,88 @@ def q_k44_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# --------------------------------------------------------------------------
+# q_k93 — token-mass Gini concentration per source
+# --------------------------------------------------------------------------
+@register(
+    "q_k93_token_gini",
+    family="K",
+    doc="K-93 token-mass concentration: per source, the exact Gini "
+    "coefficient of per-document token counts — is the source's token "
+    "mass spread across documents (G~0) or locked in a few giants "
+    "(G~1)? The sampling/sharding diagnostic run before per-doc "
+    "quotas (a high-Gini source defeats doc-count-based budgets, "
+    "q_k78/q_k80). Computed via the q_k85 distinct-value "
+    "decomposition so the sorted-rank formula needs NO per-doc "
+    "window: group docs by (source, token-count), one window over "
+    "the DISTINCT-VALUE table (value-keyed, bounded by max doc "
+    "length), and each value-run's rank-weighted contribution "
+    "t*(c*r + c(c+1)/2) is a closed-form integer — the whole "
+    "numerator is DECIMAL-exact, floats enter only in the final "
+    "division (6dp). SCALE: one metadata-light scan + a "
+    "(source, value)-keyed agg; the window touches distinct values, "
+    "never documents.",
+    oracle="""
+        WITH dt AS (
+            SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+            FROM documents
+        ),
+        nv AS (
+            SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+            FROM dt GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT source, t, c,
+                   CAST(SUM(c) OVER (PARTITION BY source ORDER BY t) - c
+                        AS BIGINT) AS r
+            FROM nv
+        ),
+        a AS (
+            SELECT source,
+                   CAST(SUM(c) AS BIGINT) AS n_docs,
+                   CAST(SUM(t * c) AS BIGINT) AS total_tokens,
+                   SUM(CAST(t * (c * r + (c * (c + 1)) // 2)
+                            AS DECIMAL(38, 0))) AS wsum
+            FROM cum GROUP BY source
+        )
+        SELECT source, n_docs, total_tokens,
+               ROUND(2e0 * CAST(wsum AS DOUBLE)
+                     / (CAST(n_docs AS DOUBLE) * CAST(total_tokens AS DOUBLE))
+                     - (CAST(n_docs AS DOUBLE) + 1e0) / CAST(n_docs AS DOUBLE),
+                     6) AS gini_tokens
+        FROM a ORDER BY source
+    """,
+)
+def q_k93_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    dt = docs.select(
+        "source", F.size(words(F.col("text"))).cast("long").alias("t")
+    )
+    nv = dt.groupBy("source", "t").agg(F.count("*").cast("long").alias("c"))
+    # exclusive rank offset per VALUE run — window over the
+    # distinct-value table (k85 decomposition), never per-doc rows
+    win = W.partitionBy("source").orderBy("t")
+    cum = nv.select(
+        "source", "t", "c", (F.sum("c").over(win) - F.col("c")).alias("r")
+    )
+    contrib = F.col("t") * (
+        F.col("c") * F.col("r") + F.expr("(c * (c + 1)) div 2")
+    )
+    a = cum.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.sum(F.col("t") * F.col("c")).cast("long").alias("total_tokens"),
+        F.sum(contrib.cast("decimal(38,0)")).alias("wsum"),
+    )
+    n_d = F.col("n_docs").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("wsum").cast("double")
+        / (n_d * F.col("total_tokens").cast("double"))
+        - (n_d + F.lit(1.0)) / n_d
+    )
+    return a.select(
+        "source", "n_docs", "total_tokens", F.round(gini, 6).alias("gini_tokens")
+    ).orderBy("source")

@@ -1243,3 +1243,87 @@ def test_quantile_filter_null_scores_dropped_even_at_q0(spark):
             for r in quantile_filter(df, "score", "lang", q=0.0, exact=exact).collect()
         }
         assert kept == {1, 2, 4}, f"exact={exact}: {kept}"
+
+
+def test_dedup_savings_hand_counts(spark, tmp_path):
+    """q_k92 on a corpus with a known cluster structure: one identical
+    pair and one identical triple — the histogram's doc/cluster/token
+    arithmetic is fully hand-checkable (keeper = min doc_id)."""
+    import os
+
+    from cdc_publisher_spark.queries.llm_cluster import q_k92_dedup_savings
+
+    pair = " ".join(f"p{i}" for i in range(10))      # 10 tokens
+    triple = " ".join(f"t{i}" for i in range(8))     # 8 tokens
+    solo = " ".join(f"s{i}" for i in range(12))      # unclustered
+    rows = [
+        (1, pair, "en", "srcA", 1), (2, pair, "en", "srcA", 1),
+        (3, triple, "en", "srcB", 1), (4, triple, "en", "srcB", 1),
+        (5, triple, "en", "srcB", 1),
+        (6, solo, "en", "srcC", 1),
+    ]
+    d = tmp_path / "docs"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(os.path.join(str(d), "documents.parquet"))
+    out = {r.csize: r for r in q_k92_dedup_savings(spark, str(d)).collect()}
+    assert sorted(out) == [2, 3]  # solo doc never enters the histogram
+    two, three = out[2], out[3]
+    assert (two.n_clusters, two.n_docs, two.removable_docs) == (1, 2, 1)
+    assert (two.tokens_total, two.tokens_reclaimed) == (20, 10)
+    assert (three.n_clusters, three.n_docs, three.removable_docs) == (1, 3, 2)
+    assert (three.tokens_total, three.tokens_reclaimed) == (24, 16)
+
+
+def test_dedup_savings_invariants_on_fixture(spark, sf_smoke):
+    """Every histogram row: csize >= 2, removable = docs - clusters,
+    reclaimed tokens strictly below the cluster total (the keeper's
+    tokens always survive)."""
+    from cdc_publisher_spark.queries.llm_cluster import q_k92_dedup_savings
+
+    rows = q_k92_dedup_savings(spark, sf_smoke).collect()
+    assert rows  # the fixture contains near-dups by construction
+    for r in rows:
+        assert r.csize >= 2, r
+        assert r.removable_docs == r.n_docs - r.n_clusters, r
+        assert 0 <= r.tokens_reclaimed < r.tokens_total, r
+
+
+def test_token_gini_hand_values(spark, tmp_path):
+    """q_k93: equal per-doc token counts give G=0; [1,1,1,9] gives the
+    textbook 2*42/(4*12) - 5/4 = 0.5."""
+    import os
+
+    from cdc_publisher_spark.queries.llm_quality import q_k93_token_gini
+
+    def txt(n):  # n whitespace tokens
+        return " ".join(f"w{i}" for i in range(n))
+
+    rows = (
+        [(i, txt(5), "en", "srcEq", 1) for i in range(4)]
+        + [(10 + i, txt(t), "en", "srcSkew", 1) for i, t in enumerate((1, 1, 1, 9))]
+    )
+    d = tmp_path / "docs"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(os.path.join(str(d), "documents.parquet"))
+    out = {r.source: r for r in q_k93_token_gini(spark, str(d)).collect()}
+    assert out["srcEq"].gini_tokens == 0.0
+    assert out["srcSkew"].gini_tokens == 0.5
+    assert (out["srcSkew"].n_docs, out["srcSkew"].total_tokens) == (4, 12)
+
+
+def test_token_gini_invariants_on_fixture(spark, sf_smoke):
+    """0 <= G < 1 on any corpus, and n_docs/total_tokens agree with a
+    direct aggregate."""
+    from pyspark.sql import functions as F
+
+    from cdc_publisher_spark.queries.llm_quality import q_k93_token_gini
+    from cdc_publisher_spark.tables import load
+
+    rows = q_k93_token_gini(spark, sf_smoke).collect()
+    docs = load(spark, sf_smoke, "documents")
+    want_docs = docs.count()
+    assert rows and sum(r.n_docs for r in rows) == want_docs
+    for r in rows:
+        assert 0.0 <= r.gini_tokens < 1.0, r
