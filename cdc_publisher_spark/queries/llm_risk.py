@@ -364,9 +364,8 @@ QI_WIDTHS = (16, 64, 256, 1024)
     """,
 )
 def q_k90_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     from cdc_publisher_spark.functions.text import words
+    from cdc_publisher_spark.operators.scan import two_level_prefix_sums
 
     docs = load(spark, sf_dir, "documents")
     tok = docs.select(
@@ -381,46 +380,22 @@ def q_k90_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     dt = docs.select(
         "source", "doc_id", F.size(words(F.col("text"))).cast("long").alias("t")
     )
-    # two-level distributed scan (see module docstring): a window
+    # two-level distributed scan (operators/scan.py): a window
     # partitioned only by source would funnel a source's entire doc
-    # sequence through one task, so chunk on doc_id first
-    perdoc = (
-        dt.join(nw, ["source", "doc_id"], "left")
-        .select(
-            "source",
-            "doc_id",
-            "t",
-            F.coalesce(F.col("nww"), F.lit(0)).alias("nv"),
-        )
-        .withColumn("cb", F.expr(f"doc_id div {HEAPS_CHUNK}"))
-    )
-    # level 1: within-chunk running sums — partitions bounded by the
-    # chunk size whatever the corpus size
-    win = W.partitionBy("source", "cb").orderBy("doc_id")
-    within = perdoc.select(
+    # sequence through one task, so running totals chunk on doc_id
+    perdoc = dt.join(nw, ["source", "doc_id"], "left").select(
         "source",
         "doc_id",
-        "cb",
-        F.sum("t").over(win).alias("pt"),
-        F.sum("nv").over(win).alias("pv"),
+        "t",
+        F.coalesce(F.col("nww"), F.lit(0)).alias("nv"),
     )
-    # level 2: exclusive-prefix offsets over the CHUNK-TOTAL table
-    # (corpus/HEAPS_CHUNK rows) — the only source-partitioned window
-    ch = perdoc.groupBy("source", "cb").agg(
-        F.sum("t").alias("ct"), F.sum("nv").alias("cv_c")
-    )
-    woff = W.partitionBy("source").orderBy("cb")
-    offs = ch.select(
-        "source",
-        "cb",
-        (F.sum("ct").over(woff) - F.col("ct")).alias("ot"),
-        (F.sum("cv_c").over(woff) - F.col("cv_c")).alias("ov"),
-    )
-    cum = within.join(offs, ["source", "cb"]).select(
+    cum = two_level_prefix_sums(
+        perdoc, ["source"], "doc_id", ["t", "nv"], chunk=HEAPS_CHUNK
+    ).select(
         "source",
         "doc_id",
-        (F.col("ot") + F.col("pt")).alias("cn"),
-        (F.col("ov") + F.col("pv")).alias("cv"),
+        F.col("cum_t").alias("cn"),
+        F.col("cum_nv").alias("cv"),
     )
     pts = cum.filter((F.col("cn") > 0) & (F.col("cv") > 0)).select(
         "source",

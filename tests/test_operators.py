@@ -1327,3 +1327,60 @@ def test_token_gini_invariants_on_fixture(spark, sf_smoke):
     assert rows and sum(r.n_docs for r in rows) == want_docs
     for r in rows:
         assert 0.0 <= r.gini_tokens < 1.0, r
+
+
+def test_two_level_prefix_sums_matches_naive_window(spark):
+    """operators/scan.py two-level scan is row-identical to the naive
+    single dims-partitioned window over random sequences (hypothesis),
+    including chunk sizes that force multi-chunk and single-chunk
+    groups, sparse/negative values, and group-skewed sequences."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cdc_publisher_spark.operators.scan import two_level_prefix_sums
+
+    rows_strategy = st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2", "g3"]),
+            st.integers(min_value=0, max_value=40),  # seq (unique per group below)
+            st.integers(min_value=-5, max_value=9),
+            st.integers(min_value=0, max_value=7),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+
+    @given(rows=rows_strategy, chunk=st.sampled_from([1, 3, 8, 64]))
+    @settings(max_examples=20, deadline=None)
+    def check(rows, chunk):
+        # enforce the contract: seq unique within its group
+        seen, uniq = set(), []
+        for g, s, a, b in rows:
+            if (g, s) not in seen:
+                seen.add((g, s))
+                uniq.append((g, s, a, b))
+        df = spark.createDataFrame(uniq, "g string, seq long, a long, b long")
+        got = sorted(
+            map(
+                tuple,
+                two_level_prefix_sums(df, ["g"], "seq", ["a", "b"], chunk=chunk)
+                .select("g", "seq", "cum_a", "cum_b")
+                .collect(),
+            )
+        )
+        w = Window.partitionBy("g").orderBy("seq")
+        want = sorted(
+            map(
+                tuple,
+                df.select(
+                    "g", "seq",
+                    F.sum("a").over(w).alias("cum_a"),
+                    F.sum("b").over(w).alias("cum_b"),
+                ).collect(),
+            )
+        )
+        assert got == want
+
+    check()
