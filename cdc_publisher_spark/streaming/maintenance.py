@@ -19,6 +19,9 @@ merge algebra is all compaction needs to know:
 - ``label p s n``           → DECIMAL sum-merge of ``s`` and ``n`` per
                               (label, p) (centroid-drift partials,
                               streaming/drift_monitor.py).
+- ``wh`` + ``fb``           → min-merge of the first-seen batch per
+                              word type (vocabulary monitor,
+                              streaming/vocab_monitor.py).
 - ``bucket`` + ``M``        → max-merge (HLL registers) — max per
                               (group…, bucket).
 - ``word`` + ``mask``       → bit_or-merge (the dedup guard's id
@@ -127,6 +130,13 @@ def classify_state_dir(
             return df.groupBy("word").agg(F.bit_or("mask").alias("mask"))
 
         return "bloom", (), merge_or
+    if {"wh", "fb"} <= cols:  # first-seen vocabulary (min-merge)
+        gcols = tuple(c for c in keys if c != "fb")
+
+        def merge_min(df: DataFrame) -> DataFrame:
+            return df.groupBy(*gcols).agg(F.min("fb").alias("fb"))
+
+        return "min", (), merge_min
     if "dh" in cols:  # dedup corpus (row state, dh-pruned reads)
         return "rows", ("dh",), None
     if {"band", "bhm"} <= cols:  # dedup LSH index
