@@ -34,10 +34,11 @@ is the engine's equivalent surface, thin wrappers over the library:
            [--dry-run]     one scheduled-job maintenance pass: discover
                             every batch-addressed state dir under the
                             root (dedup corpus/index/pairs/bloom, HLL,
-                            count-min, exposure — recognized by schema)
-                            and compact each with its own merge
-                            operator; --dry-run prints the plan and
-                            writes nothing (streaming/maintenance.py)
+                            count-min, exposure, centroid-drift,
+                            vocabulary — recognized by schema) and
+                            compact each with its own merge operator;
+                            --dry-run prints the plan and writes
+                            nothing (streaming/maintenance.py)
 
 Everything routes through the same registry / session / pipeline code
 the tests and the driver use — the CLI adds no second code path.
