@@ -30,15 +30,23 @@ is the engine's equivalent surface, thin wrappers over the library:
                             pre-sum rare-gram exposure monitor state to
                             a batch watermark and print the per-source
                             exposure report
-  maintain --state-root D [--upto-batch N] [--vacuum [--grace N]]
-           [--dry-run]     one scheduled-job maintenance pass: discover
+  maintain --state-root D [--upto-batch N | --checkpoint C |
+           --assume-all-committed] [--vacuum [--grace N]] [--dry-run]
+                            one scheduled-job maintenance pass: discover
                             every batch-addressed state dir under the
                             root (dedup corpus/index/pairs/bloom, HLL,
                             count-min, exposure, centroid-drift,
-                            vocabulary — recognized by schema) and
-                            compact each with its own merge operator;
-                            --dry-run prints the plan and writes
-                            nothing (streaming/maintenance.py)
+                            vocabulary — recognized by each dir's
+                            _layout= marker) and compact each with its
+                            declared merge operator. Committed batches
+                            only: the default holds back each dir's
+                            newest batch as potentially uncommitted;
+                            --checkpoint derives the exact watermark
+                            from a stream checkpoint's commits/ log;
+                            --assume-all-committed folds everything
+                            (cleanly-stopped streams only). --dry-run
+                            prints the plan and writes nothing
+                            (streaming/maintenance.py)
 
 Everything routes through the same registry / session / pipeline code
 the tests and the driver use — the CLI adds no second code path.
@@ -265,6 +273,8 @@ def cmd_maintain(args) -> int:
         spark,
         args.state_root,
         upto_batch=args.upto_batch,
+        checkpoint_dir=args.checkpoint,
+        assume_all_committed=args.assume_all_committed,
         vacuum=args.vacuum,
         grace_batches=args.grace,
         dry_run=args.dry_run,
@@ -279,9 +289,10 @@ def cmd_maintain(args) -> int:
             if p.target_upto is not None
             else f"{p.current_upto} (up to date)"
         )
+        note = f"\t[{p.note}]" if p.note else ""
         print(
             f"{p.action}\t{p.kind}\t{p.path}\twatermark {arrow}\t"
-            f"live={p.live_batches} superseded={p.superseded}"
+            f"live={p.live_batches} superseded={p.superseded}{note}"
         )
     print(mode)
     return 0
@@ -399,7 +410,7 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser(
         "maintain",
         help="one maintenance pass over every batch-addressed state dir "
-        "under a root: schema-classified per-layout compaction, optional "
+        "under a root: marker-declared per-layout compaction, optional "
         "vacuum, --dry-run plan (streaming/maintenance.py)",
     )
     sp.add_argument("--state-root", required=True)
@@ -407,9 +418,24 @@ def main(argv: list[str] | None = None) -> int:
         "--upto-batch",
         type=int,
         default=None,
-        help="watermark applied to every dir; default: each dir's own max "
-        "batch id (offline semantics — run with streams stopped, or pass "
-        "an explicit committed watermark)",
+        help="explicit committed watermark applied to every dir (capped at "
+        "each dir's own max batch id); default: each dir's own max MINUS "
+        "ONE — the newest on-disk batch is held back as potentially "
+        "uncommitted after a crash",
+    )
+    sp.add_argument(
+        "--checkpoint",
+        default=None,
+        help="stream checkpoint dir: derive the committed watermark from "
+        "its commits/ log (the exact answer when the state dirs belong to "
+        "one stream)",
+    )
+    sp.add_argument(
+        "--assume-all-committed",
+        action="store_true",
+        help="fold each dir to its own max batch id — only for streams "
+        "known to have stopped CLEANLY; after a crash the newest dir may "
+        "be uncommitted and folding it corrupts merge-style state",
     )
     sp.add_argument(
         "--vacuum",

@@ -46,6 +46,7 @@ from cdc_publisher_spark.streaming.state import (
     in_stream_watermark,
     read_state,
     vacuum_state,
+    write_layout_marker,
 )
 
 
@@ -62,6 +63,7 @@ def cm_micro_batch(
     double-count (see module docstring)."""
     cells = cm_cells(batch_df, value_col, group_cols)
     cells.write.mode("overwrite").parquet(os.path.join(state_dir, f"batch={batch_id}"))
+    write_layout_marker(batch_df.sparkSession, state_dir, "sum-cnt")
 
 
 def read_cm_cells(

@@ -43,6 +43,7 @@ from cdc_publisher_spark.streaming.state import (
     in_stream_watermark,
     read_state,
     vacuum_state,
+    write_layout_marker,
 )
 
 
@@ -80,6 +81,7 @@ def drift_micro_batch(
     deltas.write.mode("overwrite").parquet(
         os.path.join(state_dir, f"batch={batch_id}")
     )
+    write_layout_marker(batch_df.sparkSession, state_dir, "sum-sn")
 
 
 def read_centroid_sums(spark: SparkSession, state_dir: str) -> DataFrame | None:

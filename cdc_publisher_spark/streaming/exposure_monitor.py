@@ -53,6 +53,7 @@ from cdc_publisher_spark.streaming.state import (
     in_stream_watermark,
     read_state,
     vacuum_state,
+    write_layout_marker,
 )
 
 
@@ -92,6 +93,7 @@ def exposure_micro_batch(
     deltas.write.mode("overwrite").parquet(
         os.path.join(state_dir, f"batch={batch_id}")
     )
+    write_layout_marker(batch_df.sparkSession, state_dir, "sum-cnt")
 
 
 def read_gram_counts(spark: SparkSession, state_dir: str) -> DataFrame | None:

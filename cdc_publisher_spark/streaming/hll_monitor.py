@@ -53,6 +53,7 @@ from cdc_publisher_spark.streaming.state import (
     in_stream_watermark,
     read_state,
     vacuum_state,
+    write_layout_marker,
 )
 
 
@@ -68,6 +69,7 @@ def hll_micro_batch(
     would absorb a duplicate merge anyway)."""
     regs = hll_registers(batch_df, [group_col], value_col)
     regs.write.mode("overwrite").parquet(os.path.join(state_dir, f"batch={batch_id}"))
+    write_layout_marker(batch_df.sparkSession, state_dir, "max-M")
 
 
 def read_hll_registers(

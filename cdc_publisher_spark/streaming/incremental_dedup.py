@@ -96,6 +96,7 @@ from cdc_publisher_spark.streaming.state import (
     in_stream_watermark,
     read_state,
     vacuum_state,
+    write_layout_marker,
     write_manifest,
 )
 
@@ -502,6 +503,15 @@ def _dedup_micro_batch_body(
         new_buckets.write.partitionBy("band", "bhm").mode("overwrite").parquet(
             os.path.join(index_dir, f"batch={batch_id}")
         )
+        # declare each dir's merge algebra for the generic `maintain`
+        # pass (explicit markers, not schema guessing — ADVICE r9)
+        for d, layout in (
+            (pairs_dir, "rows"),
+            (corpus_dir, "rows-dh"),
+            (bloom_dir, "bitor-mask"),
+            (index_dir, "rows-band-bhm"),
+        ):
+            write_layout_marker(spark, d, layout)
     finally:
         new_buckets.unpersist()
 

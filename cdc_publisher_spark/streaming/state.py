@@ -63,6 +63,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MANIFEST_PREFIX = "_compacted_upto="
+LAYOUT_PREFIX = "_layout="
 
 
 def hadoop_fs(spark: SparkSession, path: str):
@@ -103,6 +104,59 @@ def write_manifest(spark: SparkSession, path: str, upto: int) -> None:
         name = st.getPath().getName()
         if name.startswith(MANIFEST_PREFIX) and int(name[len(MANIFEST_PREFIX):]) < upto:
             fs.delete(st.getPath(), False)
+
+
+def write_layout_marker(spark: SparkSession, path: str, layout: str) -> None:
+    """Idempotently declare a state dir's layout: an empty
+    ``_layout=<name>`` marker file whose NAME carries the value (the
+    manifest-marker pattern). Writers call this each trigger — the
+    exists() check makes re-declaration free — so ``maintain``
+    (streaming/maintenance.py) can pick the dir's merge algebra from
+    an explicit declaration instead of guessing from column names
+    (ADVICE r9: a future row-state layout that happens to carry a
+    ``cnt`` column must not be silently sum-merged)."""
+    fs, _ = hadoop_fs(spark, path)
+    mark = spark._jvm.org.apache.hadoop.fs.Path(
+        os.path.join(path, f"{LAYOUT_PREFIX}{layout}")
+    )
+    if not fs.exists(mark):
+        fs.create(mark, True).close()
+
+
+def read_layout_marker(spark: SparkSession, path: str) -> str | None:
+    """The declared layout name for a state dir, or None when the dir
+    predates markers (schema-signature fallback applies)."""
+    fs, jpath = hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return None
+    names = [
+        st.getPath().getName()[len(LAYOUT_PREFIX):]
+        for st in fs.listStatus(jpath)
+        if st.getPath().getName().startswith(LAYOUT_PREFIX)
+    ]
+    return sorted(names)[0] if names else None
+
+
+def checkpoint_committed_upto(spark: SparkSession, checkpoint_dir: str) -> int | None:
+    """The last COMMITTED micro-batch id per a Structured Streaming
+    checkpoint's ``commits/`` log (one integer-named file per
+    committed batch; Spark's own resume source of truth). None when
+    the log is absent or empty.
+
+    This is the correct offline-maintenance watermark after a CRASH:
+    the newest ``batch=N`` state dir on disk may belong to a batch
+    whose offsets never committed, and folding it would let the
+    restarted stream's replayed trigger (``exclude_batch=N``) drop the
+    merged history (ADVICE r9, medium)."""
+    fs, jroot = hadoop_fs(spark, os.path.join(checkpoint_dir, "commits"))
+    if not fs.exists(jroot):
+        return None
+    ids = [
+        int(st.getPath().getName())
+        for st in fs.listStatus(jroot)
+        if st.getPath().getName().isdigit()
+    ]
+    return max(ids) if ids else None
 
 
 def batch_dirs(spark: SparkSession, path: str) -> list[tuple[int, str]]:
@@ -296,13 +350,17 @@ def vacuum_state(
 
 
 __all__ = [
+    "LAYOUT_PREFIX",
     "MANIFEST_PREFIX",
     "batch_dirs",
+    "checkpoint_committed_upto",
     "compact_state",
     "compacted_upto",
     "hadoop_fs",
     "in_stream_watermark",
+    "read_layout_marker",
     "read_state",
     "vacuum_state",
+    "write_layout_marker",
     "write_manifest",
 ]

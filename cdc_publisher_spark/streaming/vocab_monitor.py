@@ -41,6 +41,7 @@ from cdc_publisher_spark.streaming.state import (
     in_stream_watermark,
     read_state,
     vacuum_state,
+    write_layout_marker,
 )
 
 
@@ -76,6 +77,7 @@ def vocab_micro_batch(
     deltas.write.mode("overwrite").parquet(
         os.path.join(state_dir, f"batch={batch_id}")
     )
+    write_layout_marker(batch_df.sparkSession, state_dir, "min-fb")
 
 
 def read_first_seen(spark: SparkSession, state_dir: str) -> DataFrame | None:

@@ -140,7 +140,8 @@ def test_cli_maintain_covers_all_four_layouts(spark, tmp_path, capsys):
     """maintain subcommand (VERDICT r8 ask #6): ONE pass over a state
     root discovers every batch-addressed dir — the dedup quad, HLL
     registers, count-min cells, exposure gram counts — classifies each
-    by schema, compacts with the layout's own merge, and vacuums.
+    by its declared _layout= marker, compacts with the layout's own
+    merge, and vacuums.
     --dry-run prints the identical plan and writes nothing; a re-run
     is an idempotent all-skip."""
     from pyspark.sql import functions as F
@@ -195,18 +196,25 @@ def test_cli_maintain_covers_all_four_layouts(spark, tmp_path, capsys):
         "exp": sorted(map(tuple, read_exposure_report(spark, exp).collect())),
     }
 
-    # dry run: full plan over all seven dirs, zero writes
+    # dry run: full plan over all seven dirs, zero writes; the default
+    # watermark holds back each dir's newest batch as potentially
+    # uncommitted (ADVICE r9) — the plan targets 0, not 1
     assert main(["maintain", "--state-root", str(root), "--dry-run"]) == 0
     out = capsys.readouterr().out
     assert out.count("compact\t") == 7, out
+    assert "None -> 0" in out and "-> 1" not in out
+    assert "held back as uncommitted" in out
     for kind in ("sum", "hll", "bloom", "rows"):
         assert f"\t{kind}\t" in out, (kind, out)
     assert "dry run" in out
     for d in all_dirs:
         assert compacted_upto(spark, d) is None, d
 
-    # real pass: every dir compacts to its own max batch, vacuumed
-    assert main(["maintain", "--state-root", str(root), "--vacuum"]) == 0
+    # real pass: streams stopped cleanly here, so folding each dir's
+    # own max batch is safe and opted into explicitly
+    assert main(
+        ["maintain", "--state-root", str(root), "--assume-all-committed", "--vacuum"]
+    ) == 0
     out = capsys.readouterr().out
     assert out.count("compact\t") == 7 and out.strip().endswith("done")
     for d in all_dirs:

@@ -114,7 +114,9 @@ def test_maintain_recognizes_drift_layout(spark, vecs, tmp_path):
     for b in range(3):
         drift_micro_batch(vecs.filter(F.col("vec_id") % 3 == b), b, state)
     before = _rows(read_drift_report(spark, state))
-    plans = run_maintenance(spark, str(root), vacuum=True)
+    # writer stopped cleanly -> every on-disk batch is committed, so
+    # folding the newest one is safe and must be requested explicitly
+    plans = run_maintenance(spark, str(root), assume_all_committed=True, vacuum=True)
     assert [(p.kind, p.action) for p in plans] == [("sum", "compact")]
     assert compacted_upto(spark, state) == 2
     seg = spark.read.parquet(f"{state}/_compact/upto=2")
