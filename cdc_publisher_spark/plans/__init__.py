@@ -421,6 +421,93 @@ def low_cardinality_corpus_windows(df: DataFrame) -> list[str]:
     return offenders
 
 
+#: Join types whose output can EXCEED both inputs (row-multiplying).
+#: Semi/anti joins bound output by the probe side and existence joins
+#: dedup matches — they cannot go quadratic however hot a key is.
+_MULTIPLYING_JOIN_TYPES = ("Inner", "Cross", "LeftOuter", "RightOuter", "FullOuter")
+
+
+def _leaf_fact_tables(node) -> set[str]:
+    """Fact-table signature columns of every leaf scan under ``node`` —
+    identifies WHICH corpus tables a subtree reads (doc_id ->
+    documents, vec_id -> embeddings, ...)."""
+    kids = node.children()
+    if kids.size() == 0:
+        return _attr_names(node.output().mkString(",")) & set(_FACT_SIGNATURE_COLS)
+    out: set[str] = set()
+    for i in range(kids.size()):
+        out |= _leaf_fact_tables(kids.apply(i))
+    return out
+
+
+def content_keyed_corpus_joins(df: DataFrame) -> list[str]:
+    """Row-multiplying equi-joins whose BOTH sides are unreduced reads
+    of the SAME corpus table and whose every equi-key is content-
+    derived (no key references a per-row id) — the fourth tripwire
+    shape (VERDICT r9 ask #1).
+
+    Why this shape and only this shape: joining a corpus table to
+    itself on a CONTENT key (a shingle hash, a word, a gram) makes one
+    hot key with document frequency f contribute f² output rows — one
+    "of the and"-class trigram and the exact-pair generators go
+    quadratic at 100 TB. Keys that reference a row id are safe in any
+    derivation: the id is unique per row, so a hash/affine rename of it
+    is join-multiplicity-1 and a bucketing shape (``doc_id div 4096``)
+    has a DECLARED width; either way one pair key touching a row id
+    bounds the fan-out. Semi/anti joins are exempt by type (output ≤
+    probe side — the LSH verify stage's pruning shape), and joins
+    between DIFFERENT tables are the foreign-key lattice the relational
+    queries live on.
+
+    Returns the offending Join nodes' simpleStrings; [] == clean. The
+    sweep in tests/test_plans.py runs this over every registered query
+    and adjudicates survivors against a named ``JOIN_AUDIT_ALLOWLIST``
+    with one-line contracts, mirroring the persist tripwire."""
+    import re
+
+    jplan = df._jdf.queryExecution().optimizedPlan()
+    defs = _alias_defs(jplan)
+    offenders: list[str] = []
+
+    def key_is_row_bounded(attr_rendered: str) -> bool:
+        # window specs shape frames, not the key's VALUE: a shingle
+        # built via lead(w) OVER (PARTITION BY doc_id) is content, and
+        # the spec's doc_id must not absolve it (the k83/k87 stripper)
+        expanded = _strip_window_specs(_expand_refs(attr_rendered, defs))
+        return bool(_attr_names(expanded) & set(_ROW_ID_COLS))
+
+    def walk(node) -> None:
+        cls = node.getClass().getSimpleName()
+        if cls == "Join":
+            jt = node.joinType().toString()
+            cond = node.condition()
+            if jt in _MULTIPLYING_JOIN_TYPES and cond.isDefined():
+                pairs = re.findall(
+                    r"([A-Za-z_][A-Za-z0-9_]*#\d+)L?\)?\s*=\s*"
+                    r"\(?([A-Za-z_][A-Za-z0-9_]*#\d+)L?",
+                    cond.get().toString(),
+                )
+                left = node.children().apply(0)
+                right = node.children().apply(1)
+                if (
+                    pairs
+                    and not any(
+                        key_is_row_bounded(a) or key_is_row_bounded(b)
+                        for a, b in pairs
+                    )
+                    and _leaf_fact_tables(left) & _leaf_fact_tables(right)
+                    and _corpus_sized(left)
+                    and _corpus_sized(right)
+                ):
+                    offenders.append(node.simpleString(160))
+        kids = node.children()
+        for i in range(kids.size()):
+            walk(kids.apply(i))
+
+    walk(jplan)
+    return offenders
+
+
 def corpus_sized_plan(df: DataFrame) -> str | None:
     """The optimized-plan root's simpleString when corpus-size taint
     reaches it UNREDUCED — no Limit, and no Aggregate whose grouping

@@ -581,6 +581,158 @@ def test_no_corpus_sized_persisted_frames(spark, sf_smoke, monkeypatch):
     )
 
 
+#: Queries allowed a row-multiplying equi-join of a corpus table to
+#: itself on CONTENT keys (shingle/gram/fingerprint hashes — the shape
+#: where one hot key with document frequency f yields f² rows; VERDICT
+#: r9 ask #1). Each entry declares in one line why the join is the
+#: right call: either the key carries a DECLARED BOUND (LSH band
+#: buckets sized n·s^r, pigeonhole bands, a fitted k), or the query is
+#: a declared-EXACT audit whose ground-truth semantics require the
+#: all-pairs join and whose production twin is the banded route
+#: (k3/k79). Names live here, not in the detector, so every exemption
+#: is visible in code review — the persist-allowlist pattern.
+JOIN_AUDIT_ALLOWLIST: dict[str, str] = {
+    "q_k2_jaccard_neardup": "declared-exact all-pairs-by-shared-shingle "
+    "Jaccard ground truth at audit scale; the production dedup route is "
+    "the banded LSH join (k3/k79)",
+    "q_k3_minhash_neardup": "the banded LSH candidate join itself: keys "
+    "are (band, band-hash) buckets with the scheme's declared bound — "
+    "expected bucket mass n·P(sig-collision)=n·s^r — this IS the scale "
+    "path the exact twins audit",
+    "q_k11_simhash_neardup": "pigeonhole-banded simhash candidate join "
+    "(four 16-bit band keys, 2^16-way declared spread) plus the exact "
+    "trigram-Jaccard reference pair set it is recall-audited against",
+    "q_k22_neardup_clusters": "connected components over q_k2's "
+    "declared-exact pair graph; audit scale by the same contract",
+    "q_k25_incremental_dedup": "batch x history shared-shingle check: "
+    "the batch side is O(batch) by construction; exact-audit twin of "
+    "the streaming banded probe (k79)",
+    "q_k30_corpus_curation": "capstone manifest composing the k22 exact "
+    "pair graph; audit-scale by composition",
+    "q_k35_semantic_dedup": "within-cluster cosine pair mining: the "
+    "equi-key is the fitted k-means cluster id — cardinality k is the "
+    "declared bound (SemDeDup's own cost model; persist-allowlist twin)",
+    "q_k56_fuzzy_editdist_dedup": "shared-shingle NOMINATE stage feeding "
+    "the edit-distance verify; declared-exact nomination semantics",
+    "q_k65_winnowing_pairs": "pairs by shared winnowed fingerprint: "
+    "MOSS guarantees fingerprint density 2/(w+1) — the paper's declared "
+    "bound on key mass",
+    "q_k66_duplicate_runs": "Lee 2021 exact substring-duplication seeds: "
+    "shared 5-gram matches ARE the algorithm's defined seed set; "
+    "exactness is the semantics",
+    "q_k67_containment_neardup": "shared-shingle containment nominate; "
+    "declared-exact audit semantics",
+    "q_k75_source_dup_matrix": "q_k2's exact pair set re-aggregated to "
+    "(source, source) cells; same audit contract",
+    "q_k86_minhash_calibration": "calibration measures banded-LSH recall "
+    "AGAINST declared-exact all-pairs ground truth — both join shapes "
+    "are required by definition",
+    "q_k92_dedup_savings": "savings forecast over the k22 exact pair "
+    "graph; same audit contract",
+}
+
+
+def test_no_unbounded_content_keyed_self_joins(spark, sf_smoke, monkeypatch):
+    """Fourth tripwire shape (VERDICT r9 ask #1): sweep every
+    registered query — final frame PLUS every persisted / checkpointed
+    intermediate (the k22/k92 pair graphs live behind an eager
+    localCheckpoint) — for row-multiplying equi-joins of a corpus
+    table to itself on content keys. A hot shingle with document
+    frequency f contributes f² rows, so any NEW query with this shape
+    must either bound the key (df-cap, banding, fitted k) or declare
+    an audit-scale contract in JOIN_AUDIT_ALLOWLIST above."""
+    from cdc_publisher_spark.plans import content_keyed_corpus_joins
+
+    captured: list = []
+
+    import pyspark.sql.dataframe as _base
+
+    patch_classes = [_base.DataFrame]
+    try:
+        import pyspark.sql.classic.dataframe as _classic
+
+        patch_classes.append(_classic.DataFrame)
+    except ImportError:
+        pass
+    for cls in patch_classes:
+        # persist/cache: capture, skip the actual pin (plan-only sweep)
+        for m in ("persist", "cache"):
+            if m in cls.__dict__:
+                monkeypatch.setattr(
+                    cls, m, lambda self, *a, **k: (captured.append(self), self)[1]
+                )
+        # checkpoints TRUNCATE lineage, so capture the pre-checkpoint
+        # frame and still run the real thing (iterative algorithms
+        # depend on the materialization)
+        for m in ("localCheckpoint", "checkpoint"):
+            if m in cls.__dict__:
+                real = cls.__dict__[m]
+
+                def capturing(self, *a, _real=real, **k):
+                    captured.append(self)
+                    return _real(self, *a, **k)
+
+                monkeypatch.setattr(cls, m, capturing)
+
+    offenders: dict[str, str] = {}
+    allowlisted_hits: set[str] = set()
+    for name, spec in sorted(all_specs().items()):
+        captured.clear()
+        frames = [spec.spark(spark, sf_smoke)] + list(captured)
+        offs = [o for fr in frames for o in content_keyed_corpus_joins(fr)]
+        if offs:
+            if name in JOIN_AUDIT_ALLOWLIST:
+                allowlisted_hits.add(name)
+            else:
+                offenders[name] = offs[0][:160]
+    assert not offenders, offenders
+    # canary: every allowlist entry is load-bearing — a stale entry
+    # would hide a future regression behind an exemption
+    assert allowlisted_hits == set(JOIN_AUDIT_ALLOWLIST), (
+        "stale or non-firing allowlist entries",
+        allowlisted_hits ^ set(JOIN_AUDIT_ALLOWLIST),
+    )
+
+
+def test_content_join_detector_canaries(spark, sf_smoke):
+    """The detector itself: fires on the bad shape, stays silent on
+    every bounded variant of it."""
+    from pyspark.sql import functions as F
+
+    from cdc_publisher_spark.functions import text as TX
+    from cdc_publisher_spark.plans import content_keyed_corpus_joins
+    from cdc_publisher_spark.tables import load
+
+    docs = load(spark, sf_smoke, "documents")
+    tok = TX.shingle_rows(docs, "doc_id", "text", 3, hashed=True)
+
+    # the offending shape: corpus x corpus inner self-join on the
+    # shingle hash — one hot shingle goes quadratic
+    bad = tok.alias("a").join(tok.alias("b"), "s")
+    assert content_keyed_corpus_joins(bad)
+    # ...and the doc_id< pair convention does not absolve it
+    bad2 = bad.filter(F.col("a.doc_id") < F.col("b.doc_id"))
+    assert content_keyed_corpus_joins(bad2)
+
+    # a row-id key bounds the fan-out: clean
+    assert not content_keyed_corpus_joins(
+        tok.alias("a").join(tok.alias("b"), ["doc_id", "s"])
+    )
+    # semi-joins bound output by the probe side: clean
+    assert not content_keyed_corpus_joins(
+        tok.join(tok.select("s").distinct(), "s", "left_semi")
+    )
+    # one side reduced to the distinct-value table first: clean
+    sizes = tok.groupBy("s").agg(F.count("*").alias("df"))
+    assert not content_keyed_corpus_joins(tok.join(sizes, "s"))
+    # different tables joined on a shared value column: the normal
+    # foreign-key lattice, clean
+    ev = load(spark, sf_smoke, "events").select(
+        F.col("user_id"), F.xxhash64("event_type").alias("s")
+    )
+    assert not content_keyed_corpus_joins(tok.join(ev, "s"))
+
+
 def test_detector_string_helpers_pure():
     """Pure-function controls for the r8 detector machinery (no Spark):
     balanced-paren matching, windowspec stripping that preserves the
