@@ -1,0 +1,156 @@
+"""All six state consumers behind ONE stream: the serve-style job.
+
+A real deployment does not run six separate streams over the same
+ingest — it runs one micro-batch loop that fans each trigger's rows
+out to every monitor (VERDICT r9 ask #2). This module composes the
+layer's six consumers — incremental LSH dedup, HLL distinct-
+cardinality, count-min heavy hitters, rare-gram exposure, centroid
+drift, and first-seen vocabulary — under a single ``foreachBatch``
+against one state root::
+
+    state_root/
+      dedup/{corpus,idx,pairs,id_bloom}   incremental_dedup
+      hll/                                per-source distinct words
+      cm/                                 per-source word heavy hitters
+      exposure/                           rare-gram exposure
+      drift/                              label-centroid drift
+      vocab/                              first-seen vocabulary
+
+Input contract: rows with ``doc_id, text, source`` and — for the
+drift monitor — ``label, embedding``; when those two columns are
+absent the drift consumer is skipped, the rest run. The trigger
+persists the batch once (six consumers would otherwise re-run the
+source scan) and derives the shared word frame once for HLL + CM.
+
+Because every consumer writes batch-addressed overwrite deltas to its
+own dir, the composed job inherits the layer's replay story wholesale:
+a re-delivered trigger rewrites each dir's ``batch=N`` byte-for-byte.
+Maintenance against the LIVE stream is the ``maintain`` CLI with
+``--checkpoint <this stream's checkpoint>`` — the commits log names
+exactly the batches that are safe to fold, and vacuuming between
+triggers with a grace margin honors state.vacuum_state's concurrency
+contract (pinned by tests/test_monitor_suite.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cdc_publisher_spark.functions.text import words
+from cdc_publisher_spark.streaming.cm_monitor import cm_micro_batch
+from cdc_publisher_spark.streaming.drift_monitor import drift_micro_batch
+from cdc_publisher_spark.streaming.exposure_monitor import exposure_micro_batch
+from cdc_publisher_spark.streaming.hll_monitor import hll_micro_batch
+from cdc_publisher_spark.streaming.incremental_dedup import dedup_micro_batch
+from cdc_publisher_spark.streaming.vocab_monitor import vocab_micro_batch
+
+#: state_root-relative dir of every consumer the suite drives.
+SUITE_DIRS = {
+    "dedup_corpus": "dedup/corpus",
+    "dedup_index": "dedup/idx",
+    "dedup_pairs": "dedup/pairs",
+    "dedup_bloom": "dedup/id_bloom",
+    "hll": "hll",
+    "cm": "cm",
+    "exposure": "exposure",
+    "drift": "drift",
+    "vocab": "vocab",
+}
+
+
+def suite_dir(state_root: str, name: str) -> str:
+    return os.path.join(state_root, SUITE_DIRS[name])
+
+
+def monitor_suite_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_root: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    threshold: float = 0.5,
+) -> None:
+    """foreachBatch body: one trigger's rows through all six consumers.
+
+    Each consumer keeps its own idempotence contract (overwrite of its
+    own ``batch=N``); the composition adds none of its own state. The
+    input batch is persisted for the trigger — the dedup consumer alone
+    reads it five times — and the word explode is shared by HLL and CM.
+    """
+    batch = batch_df.persist()
+    try:
+        dedup_micro_batch(
+            batch,
+            batch_id,
+            suite_dir(state_root, "dedup_corpus"),
+            suite_dir(state_root, "dedup_index"),
+            suite_dir(state_root, "dedup_pairs"),
+            id_col=id_col,
+            text_col=text_col,
+            threshold=threshold,
+        )
+        word_rows = batch.select(
+            F.col(source_col).alias("source"),
+            F.explode(words(F.col(text_col))).alias("w"),
+        )
+        hll_micro_batch(
+            word_rows, batch_id, suite_dir(state_root, "hll"),
+            group_col="source", value_col="w",
+        )
+        cm_micro_batch(
+            word_rows, batch_id, suite_dir(state_root, "cm"),
+            value_col="w", group_cols=["source"],
+        )
+        exposure_micro_batch(
+            batch, batch_id, suite_dir(state_root, "exposure"),
+            id_col=id_col, text_col=text_col, source_col=source_col,
+        )
+        vocab_micro_batch(
+            batch, batch_id, suite_dir(state_root, "vocab"),
+            text_col=text_col, source_col=source_col,
+        )
+        if label_col in batch.columns and vec_col in batch.columns:
+            drift_micro_batch(
+                batch, batch_id, suite_dir(state_root, "drift"),
+                label_col=label_col, vec_col=vec_col,
+            )
+    finally:
+        batch.unpersist()
+
+
+def stream_monitor_suite(
+    stream_df: DataFrame,
+    state_root: str,
+    checkpoint_dir: str,
+    **kwargs,
+):
+    """Start the composed job: one readStream in, six monitors' state
+    out, offsets committed to ``checkpoint_dir`` after each trigger
+    completes EVERY consumer's write (commit-on-success — a crash
+    mid-fan-out replays the whole trigger and each dir's overwrite
+    absorbs it). Maintenance runs OUT of band: ``maintain
+    --state-root <state_root> --checkpoint <checkpoint_dir>``."""
+
+    def body(df: DataFrame, bid: int) -> None:
+        monitor_suite_batch(df, bid, state_root, **kwargs)
+
+    return (
+        stream_df.writeStream.foreachBatch(body)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+
+
+__all__ = [
+    "SUITE_DIRS",
+    "monitor_suite_batch",
+    "stream_monitor_suite",
+    "suite_dir",
+]
