@@ -15,9 +15,13 @@ Fourth consumer of the shared batch-addressed state layer
 (streaming/state.py), and the second with a NON-idempotent sum-merge
 (after the count-min monitor): state rows are (sh, source, cnt) gram
 count DELTAS — ``sh`` is the xxhash64 of the 5-gram (8-byte shuffle
-keys; 64-bit collision odds are negligible at any realistic gram
-cardinality, functions/text.py precedent), ``cnt`` the number of this
-batch's documents containing the gram. Replay safety rests on the
+keys, functions/text.py precedent), ``cnt`` the number of this
+batch's documents containing the gram. Accuracy trade of the hashing,
+stated: a 64-bit collision merges two distinct grams into one key, so
+expected collision mass is V²/2⁶⁵ colliding pairs ≈ 0.03 at V=10⁹
+distinct grams and ≈ 3 at V=10¹⁰ — each collision shifts one gram's
+document frequency, a vanishing perturbation of source-level exposure
+rates; the batch twin q_k88 over raw gram strings is the exact check. Replay safety rests on the
 overwrite discipline: a redelivered batch OVERWRITES its own
 ``batch=N`` delta, so the read-side sum counts each document once.
 Unlike the count-min monitor the key space is UNBOUNDED (distinct

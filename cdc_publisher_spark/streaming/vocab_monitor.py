@@ -15,7 +15,11 @@ Bloom), DECIMAL-sum (centroid drift), and now MIN — state rows are
 ``(source, wh, fb)`` where ``wh`` is the xxhash64 of the word (8-byte
 shuffle keys; word text never rides a shuffle — the exposure monitor's
 hashing precedent) and ``fb`` the batch id, min-merged to the FIRST
-batch that delivered the word. min() is idempotent and commutative,
+batch that delivered the word. Accuracy trade of the hashing, stated:
+a 64-bit collision silently merges two word types — under-counting
+vocabulary by one — with expected collision mass V²/2⁶⁵ ≈ 0.03
+colliding pairs at V=10⁹ types (and ~3 at 10¹⁰, beyond any natural
+vocabulary); the batch twin q_k90 over raw words is the exact check. min() is idempotent and commutative,
 so the merged state is replay-proof twice over: the overwrite
 discipline rewrites a redelivered batch's delta byte-for-byte, and
 even a hypothetical duplicate delta could not move a min.
