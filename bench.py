@@ -273,6 +273,19 @@ def write_plans(path: str = "PLANS.md") -> None:
     print(f"wrote {path}")
 
 
+#: Non-headline queries that still get a SCALING.md row (VERDICT r9
+#: ask #4): the round-9 additions' plan shapes — metadata k-anonymity,
+#: the k22-pair-graph savings forecast, the distinct-value-ranked Gini
+#: — tracked across scale factors without changing the 31-query bench
+#: headline set that cross-round comparisons rest on (q_k90 itself IS
+#: headline: its two-level prefix scan is the newest nontrivial shape).
+SCALING_EXTRAS = (
+    "q_k91_quasi_identifier_kanonymity",
+    "q_k92_dedup_savings",
+    "q_k93_token_gini",
+)
+
+
 def write_scaling(path: str = "SCALING.md") -> None:
     """--scaling: time a representative headline subset at every
     available scale factor and report the sf-to-sf wall-clock ratio.
@@ -292,8 +305,12 @@ def write_scaling(path: str = "SCALING.md") -> None:
     # the FULL headline set (bench=True), so every benched shape —
     # aggs, joins, windows, shingle self-joins, BLAS miners, k-means
     # ANN — shows its wall-clock-vs-sf curve, not just a hand-picked
-    # subset
-    reps = sorted(n for n, s in specs.items() if s.bench)
+    # subset; plus SCALING_EXTRAS — shapes that deserve a cross-sf
+    # curve without inflating the cross-round headline set
+    reps = sorted(
+        {n for n, s in specs.items() if s.bench}
+        | {n for n in SCALING_EXTRAS if n in specs}
+    )
     # driver-shipped sfs plus locally generated decades (tools/gen_sf.py
     # writes .localdata/sf1 etc. — same schemas/distributions, one more
     # decade of scale evidence than the read-only /root/testdata)
@@ -382,7 +399,10 @@ def write_scaling(path: str = "SCALING.md") -> None:
             "with sf, so event density — and the true answer's pair "
             "count — rises linearly with data, making the OUTPUT "
             "quadratic by definition (a production timeline grows its "
-            "span with its data, restoring linearity).\n\n"
+            "span with its data, restoring linearity); q_k92 composes "
+            "the k22 exact pair graph and inherits q_k2/q_k21's "
+            "declared-exact quadratic contract (JOIN_AUDIT_ALLOWLIST, "
+            "tests/test_plans.py).\n\n"
         )
         hdr = " | ".join(f"sf{s}" for s in sfs)
         ratios_hdr = " | ".join(f"x({a}->{b})" for a, b in zip(sfs, sfs[1:]))

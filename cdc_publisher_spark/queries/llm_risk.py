@@ -293,6 +293,8 @@ QI_WIDTHS = (16, 64, 256, 1024)
 @register(
     "q_k90_heaps_vocab_growth",
     family="K",
+    bench=True,  # the two-level prefix scan is the newest nontrivial
+    # plan shape — benched so a regression shows cross-round (r9 ask #4)
     doc="K-90 Heaps'-law growth screen: per source, OLS slope beta of "
     "ln(cumulative distinct vocab) on ln(cumulative tokens) over the "
     "doc_id-ordered document sequence. Natural text: beta ~ 0.4-0.7; "
