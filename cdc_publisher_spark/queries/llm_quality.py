@@ -562,3 +562,227 @@ def q_k93_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.select(
         "source", "n_docs", "total_tokens", F.round(gini, 6).alias("gini_tokens")
     ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# q_k94 — pairwise source token-distribution divergence (Jensen-Shannon)
+# --------------------------------------------------------------------------
+#: Unigram distributions are md5-bucketed to this width before the
+#: divergence — the q_k54 DSIR trick: the per-source distribution table
+#: is bounded at sources x 128 rows however large the vocabulary, and
+#: the pair stage never touches corpus-sized data.
+JSD_BUCKETS = 128
+
+
+@register(
+    "q_k94_source_token_jsd",
+    family="K",
+    doc="K-94 pairwise source divergence matrix: Jensen-Shannon "
+    "divergence (nats; symmetric, bounded by ln 2) between every two "
+    "sources' unigram token distributions, md5-bucketed to "
+    f"{JSD_BUCKETS} cells (q_k54's hashing — the distribution table "
+    "is sources x 128 regardless of vocabulary). Complements q_k38 "
+    "(PSI over length buckets, two fixed cohorts) and q_k44 (vocab "
+    "SET overlap): JSD sees distribution SHAPE over content for every "
+    "pair — the mix-design input for which sources are near-"
+    "interchangeable. One corpus token pass; everything after is "
+    "dimension-sized. Per-cell contributions rounded to 8dp then "
+    "DECIMAL-summed (q_k27/q_k38 bit-stability convention).",
+    oracle=f"""
+        WITH tok AS (
+            SELECT source, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        ),
+        bg AS (
+            SELECT source,
+                   CAST(('0x' || substr(md5('jsd' || w), 1, 8)) AS UBIGINT)
+                       % {JSD_BUCKETS} AS b
+            FROM tok
+        ),
+        cnt AS (
+            SELECT source, b, CAST(COUNT(*) AS BIGINT) AS c
+            FROM bg GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1
+        ),
+        pr AS (
+            SELECT cnt.source, b, c * 1.0 / n AS p
+            FROM cnt JOIN tot ON cnt.source = tot.source
+        ),
+        pairs AS (
+            SELECT a.source AS s1, a.n AS n_tok_1, b.source AS s2,
+                   b.n AS n_tok_2
+            FROM tot a JOIN tot b ON a.source < b.source
+        ),
+        grid AS (
+            SELECT pairs.s1, pairs.s2, pairs.n_tok_1, pairs.n_tok_2,
+                   COALESCE(pa.p, 0) AS p, COALESCE(pb.p, 0) AS q
+            FROM pairs
+            CROSS JOIN (SELECT DISTINCT b FROM cnt) bb
+            LEFT JOIN pr pa ON pa.source = pairs.s1 AND pa.b = bb.b
+            LEFT JOIN pr pb ON pb.source = pairs.s2 AND pb.b = bb.b
+            WHERE COALESCE(pa.p, 0) > 0 OR COALESCE(pb.p, 0) > 0
+        )
+        SELECT s1, s2, n_tok_1, n_tok_2,
+               CAST(SUM(CAST(ROUND(0.5 * (
+                   CASE WHEN p > 0 THEN p * ln(2 * p / (p + q)) ELSE 0 END
+                 + CASE WHEN q > 0 THEN q * ln(2 * q / (p + q)) ELSE 0 END
+               ), 8) AS DECIMAL(18,8))) AS DOUBLE) AS jsd
+        FROM grid
+        GROUP BY s1, s2, n_tok_1, n_tok_2
+        ORDER BY s1, s2
+    """,
+)
+def q_k94_source_token_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_publisher_spark.operators.cm import md5_bucket
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(words(F.col("text"))).alias("w"))
+    cnt = tok.select(
+        "source", md5_bucket(F.col("w"), "jsd", JSD_BUCKETS).alias("b")
+    ).groupBy("source", "b").agg(F.count("*").cast("long").alias("c"))
+    tot = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    pr = cnt.join(tot, "source").select(
+        "source", "b", (F.col("c") * 1.0 / F.col("n")).alias("p")
+    )
+    pairs = (
+        tot.alias("a")
+        .join(tot.alias("b"), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("s1"),
+            F.col("a.n").alias("n_tok_1"),
+            F.col("b.source").alias("s2"),
+            F.col("b.n").alias("n_tok_2"),
+        )
+    )
+    # pairs x buckets grid: <= C(sources,2) x 128 rows — both
+    # distribution tables broadcast; the corpus never re-enters
+    bb = cnt.select("b").distinct()
+    pra = pr.select(
+        F.col("source").alias("sa"), F.col("b").alias("ba"), F.col("p").alias("pa")
+    )
+    prb = pr.select(
+        F.col("source").alias("sb"), F.col("b").alias("bb"), F.col("p").alias("pb")
+    )
+    grid = (
+        pairs.crossJoin(F.broadcast(bb))
+        .join(
+            F.broadcast(pra),
+            (F.col("sa") == F.col("s1")) & (F.col("ba") == F.col("b")),
+            "left",
+        )
+        .join(
+            F.broadcast(prb),
+            (F.col("sb") == F.col("s2")) & (F.col("bb") == F.col("b")),
+            "left",
+        )
+        .select(
+            "s1", "s2", "n_tok_1", "n_tok_2",
+            F.coalesce("pa", F.lit(0.0)).alias("p"),
+            F.coalesce("pb", F.lit(0.0)).alias("q"),
+        )
+        .filter((F.col("p") > 0) | (F.col("q") > 0))
+    )
+    term = lambda x, y: F.when(  # noqa: E731 — two symmetric KL terms
+        x > 0, x * F.log(2 * x / (x + y))
+    ).otherwise(0.0)
+    contrib = F.round(
+        0.5 * (term(F.col("p"), F.col("q")) + term(F.col("q"), F.col("p"))), 8
+    )
+    return (
+        grid.groupBy("s1", "s2", "n_tok_1", "n_tok_2")
+        .agg(F.sum(contrib.cast("decimal(18,8)")).cast("double").alias("jsd"))
+        .select("s1", "s2", "n_tok_1", "n_tok_2", "jsd")
+        .orderBy("s1", "s2")
+    )
+
+
+# --------------------------------------------------------------------------
+# q_k95 — duplicate-paragraph fraction (the Gopher screen k18/k71 lack)
+# --------------------------------------------------------------------------
+#: Paragraph granularity: non-overlapping 8-token blocks (q_k51's
+#: convention for the fixture's newline-free text); the trailing
+#: partial block is dropped so both engines slice identically.
+PARA_TOKENS = 8
+
+
+@register(
+    "q_k95_duplicate_paragraph_fraction",
+    family="K",
+    doc="K-95 within-document duplicate-paragraph screen (the Gopher/"
+    "MassiveText 'fraction of text in duplicated paragraphs' rule — "
+    "the one screen q_k18 (n-gram multiplicity) and q_k71 (word-level "
+    f"battery) do not cover): per doc, non-overlapping {PARA_TOKENS}-"
+    "token blocks, the count belonging to a block value occurring "
+    ">= 2x IN THAT DOC, and the integer-algebra keep decision "
+    "(dup blocks <= 30% of blocks — n_dup*10 <= n_paras*3, no float "
+    "ever computed, the q_k18 exact-integer convention). Plan: one "
+    "bounded explode (len/8 rows per doc), blocks built by array "
+    "SLICE not per-token explode, counts per (doc, block-hash) — "
+    "always partitioned by doc content, never a global window.",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, source, string_split(text, ' ') AS ws
+            FROM documents
+        ),
+        blk AS (
+            SELECT doc_id, source,
+                   array_to_string(
+                       ws[(g * {PARA_TOKENS} + 1):((g + 1) * {PARA_TOKENS})],
+                       ' ') AS para
+            FROM w CROSS JOIN generate_series(0, 100000) s(g)
+            WHERE (g + 1) * {PARA_TOKENS} <= len(ws)
+        ),
+        pc AS (
+            SELECT doc_id, source, para, CAST(COUNT(*) AS BIGINT) AS m
+            FROM blk GROUP BY 1, 2, 3
+        )
+        SELECT doc_id, source,
+               CAST(SUM(m) AS BIGINT) AS n_paras,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(SUM(CASE WHEN m >= 2 THEN m ELSE 0 END) AS BIGINT)
+                   AS n_dup,
+               (SUM(CASE WHEN m >= 2 THEN m ELSE 0 END) * 10
+                    <= SUM(m) * 3) AS keep
+        FROM pc
+        GROUP BY doc_id, source
+        ORDER BY doc_id
+    """,
+)
+def q_k95_duplicate_paragraph_fraction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select("doc_id", "source", words(F.col("text")).alias("ws"))
+    nblk = (F.size("ws") / PARA_TOKENS).cast("int")
+    blk = (
+        w.filter(F.size("ws") >= PARA_TOKENS)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(0), nblk - 1)).alias("g"),
+            "ws",
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.concat_ws(
+                " ", F.slice("ws", F.col("g") * PARA_TOKENS + 1, PARA_TOKENS)
+            ).alias("para"),
+        )
+    )
+    pc = blk.groupBy("doc_id", "source", F.xxhash64("para").alias("ph")).agg(
+        F.count("*").cast("long").alias("m")
+    )
+    dup = F.sum(F.when(F.col("m") >= 2, F.col("m")).otherwise(0))
+    return (
+        pc.groupBy("doc_id", "source")
+        .agg(
+            F.sum("m").cast("long").alias("n_paras"),
+            F.count("*").cast("long").alias("n_distinct"),
+            dup.cast("long").alias("n_dup"),
+            (dup * 10 <= F.sum("m") * 3).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

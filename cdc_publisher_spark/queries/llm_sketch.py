@@ -1142,3 +1142,197 @@ def q_k87_hll_source_intersection(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("s1", "s2")
     )
+
+
+# --------------------------------------------------------------------------
+# q_k96 — KMV containment sketch (the SCALE path for q_k67's exact audit)
+# --------------------------------------------------------------------------
+@register(
+    "q_k96_containment_sketch",
+    family="K",
+    doc="K-96 directed containment from KMV sketches: for every source "
+    "pair, |S(A)∩S(B)|/|S(A)| and the reverse estimated from O(K) "
+    "sketch rows — the production route for the asymmetric subset-"
+    "duplication question q_k67 answers exactly per doc pair "
+    "(JOIN_AUDIT_ALLOWLIST: k67 is declared-exact; this is its "
+    "bounded twin, the k2->k3 pattern at source granularity). "
+    "Estimator: Jaccard from the merged union-bottom-K (q_k83), "
+    "per-source cardinality from the K-th smallest hash "
+    "(n-hat = (K-1)/u_K, the classic KMV distinct estimator; exact "
+    "count when a source holds < K distinct shingles), then "
+    "|A∩B| = J*(n1+n2)/(1+J) and containment = intersection/n-hat. "
+    "Audit columns: the exact containments from the distinct "
+    "(source, shingle) table (never doc x doc) and |est-exact| <= "
+    "0.25 flags both ways (q_k83's tolerance at K=64). SCALE: sketch "
+    "bytes per source are O(K); the pair stage touches sources x K "
+    "rows however large the corpus.",
+    oracle=f"""
+        WITH w AS (SELECT source, string_split(text, ' ') ws FROM documents),
+        sh AS (
+            SELECT DISTINCT source, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+            FROM w CROSS JOIN generate_series(1, 100000) g(i)
+            WHERE i + 2 <= len(ws)
+        ),
+        hs AS (
+            SELECT source, s,
+                   CAST(('0x' || substr(md5('kmv' || s), 1, 8)) AS UBIGINT) AS h
+            FROM sh
+        ),
+        sk AS (
+            SELECT source, s, h
+            FROM (SELECT source, s, h,
+                         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, s) AS rk
+                  FROM hs)
+            WHERE rk <= {KMV_K}
+        ),
+        nh AS (
+            SELECT source,
+                   CASE WHEN COUNT(*) < {KMV_K}
+                        THEN COUNT(*) * 1.0
+                        ELSE ({KMV_K} - 1) * 4294967296.0 / MAX(h) END AS n_hat
+            FROM sk GROUP BY source
+        ),
+        pairs AS (
+            SELECT a.source AS s1, b.source AS s2
+            FROM nh a JOIN nh b ON a.source < b.source
+        ),
+        merged AS (
+            SELECT p.s1, p.s2, sk.s, sk.h,
+                   MAX(CASE WHEN sk.source = p.s1 THEN 1 ELSE 0 END) AS in1,
+                   MAX(CASE WHEN sk.source = p.s2 THEN 1 ELSE 0 END) AS in2
+            FROM pairs p
+            JOIN sk ON sk.source = p.s1 OR sk.source = p.s2
+            GROUP BY p.s1, p.s2, sk.s, sk.h
+        ),
+        ubk AS (
+            SELECT s1, s2, in1, in2
+            FROM (SELECT s1, s2, in1, in2,
+                         ROW_NUMBER() OVER (PARTITION BY s1, s2
+                                            ORDER BY h, s) AS rk
+                  FROM merged)
+            WHERE rk <= {KMV_K}
+        ),
+        jest AS (
+            SELECT s1, s2,
+                   SUM(in1 * in2) * 1.0 / COUNT(*) AS j
+            FROM ubk GROUP BY s1, s2
+        ),
+        est AS (
+            SELECT s1, s2,
+                   j * (a.n_hat + b.n_hat) / (1 + j) / a.n_hat AS c12,
+                   j * (a.n_hat + b.n_hat) / (1 + j) / b.n_hat AS c21
+            FROM jest
+            JOIN nh a ON a.source = s1
+            JOIN nh b ON b.source = s2
+        ),
+        spc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY source),
+        inter AS (
+            SELECT ia.source AS s1, ib.source AS s2, CAST(COUNT(*) AS BIGINT) AS i
+            FROM sh ia JOIN sh ib
+              ON ia.s = ib.s AND ia.source < ib.source
+            GROUP BY 1, 2
+        )
+        SELECT est.s1, est.s2,
+               ROUND(est.c12, 4) AS est_c12,
+               ROUND(est.c21, 4) AS est_c21,
+               ROUND(COALESCE(i, 0) * 1.0 / na.n, 4) AS exact_c12,
+               ROUND(COALESCE(i, 0) * 1.0 / nb.n, 4) AS exact_c21,
+               (ABS(est.c12 - COALESCE(i, 0) * 1.0 / na.n) <= 0.25) AS err12_ok,
+               (ABS(est.c21 - COALESCE(i, 0) * 1.0 / nb.n) <= 0.25) AS err21_ok
+        FROM est
+        LEFT JOIN inter ON inter.s1 = est.s1 AND inter.s2 = est.s2
+        JOIN spc na ON na.source = est.s1
+        JOIN spc nb ON nb.source = est.s2
+        ORDER BY est.s1, est.s2
+    """,
+)
+def q_k96_containment_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sh = (
+        TX.shingle_rows(docs, "doc_id", "text", 3)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "s")
+        .distinct()
+    )
+    hs = sh.select(
+        "source",
+        "s",
+        F.conv(F.substring(F.md5(F.concat(F.lit("kmv"), F.col("s"))), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    rk = F.row_number().over(W.partitionBy("source").orderBy("h", "s"))
+    sk = track_persist(hs.withColumn("rk", rk).filter(F.col("rk") <= KMV_K).drop("rk"))
+    nh = sk.groupBy("source").agg(
+        F.when(F.count("*") < KMV_K, F.count("*").cast("double"))
+        .otherwise(F.lit(float(KMV_K - 1)) * 4294967296.0 / F.max("h"))
+        .alias("n_hat")
+    )
+    pairs = (
+        nh.select("source")
+        .alias("a")
+        .join(nh.select("source").alias("b"), F.col("a.source") < F.col("b.source"))
+        .select(F.col("a.source").alias("s1"), F.col("b.source").alias("s2"))
+    )
+    merged = (
+        F.broadcast(pairs)
+        .join(sk, (sk["source"] == F.col("s1")) | (sk["source"] == F.col("s2")))
+        .groupBy("s1", "s2", "s", "h")
+        .agg(
+            F.max(F.when(F.col("source") == F.col("s1"), 1).otherwise(0)).alias("in1"),
+            F.max(F.when(F.col("source") == F.col("s2"), 1).otherwise(0)).alias("in2"),
+        )
+    )
+    urk = F.row_number().over(W.partitionBy("s1", "s2").orderBy("h", "s"))
+    jest = (
+        merged.withColumn("rk", urk)
+        .filter(F.col("rk") <= KMV_K)
+        .groupBy("s1", "s2")
+        .agg((F.sum(F.col("in1") * F.col("in2")) * 1.0 / F.count("*")).alias("j"))
+    )
+    nha = nh.select(F.col("source").alias("na_s"), F.col("n_hat").alias("na"))
+    nhb = nh.select(F.col("source").alias("nb_s"), F.col("n_hat").alias("nb"))
+    ihat = F.col("j") * (F.col("na") + F.col("nb")) / (1 + F.col("j"))
+    est = (
+        jest.join(F.broadcast(nha), F.col("na_s") == F.col("s1"))
+        .join(F.broadcast(nhb), F.col("nb_s") == F.col("s2"))
+        .select("s1", "s2", (ihat / F.col("na")).alias("c12"),
+                (ihat / F.col("nb")).alias("c21"))
+    )
+    # exact audit off the distinct (source, shingle) table — the q_k83
+    # co-occurrence shape, linear in shared-shingle mass, never doc x doc
+    spc = sh.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    inter = (
+        sh.alias("ia")
+        .join(
+            sh.alias("ib"),
+            (F.col("ia.s") == F.col("ib.s"))
+            & (F.col("ia.source") < F.col("ib.source")),
+        )
+        .groupBy(F.col("ia.source").alias("i1"), F.col("ib.source").alias("i2"))
+        .agg(F.count("*").cast("long").alias("i"))
+    )
+    na = spc.select(F.col("source").alias("xa_s"), F.col("n").alias("n1"))
+    nb = spc.select(F.col("source").alias("xb_s"), F.col("n").alias("n2"))
+    ex12 = F.coalesce(F.col("i"), F.lit(0)) * 1.0 / F.col("n1")
+    ex21 = F.coalesce(F.col("i"), F.lit(0)) * 1.0 / F.col("n2")
+    return (
+        est.join(
+            inter,
+            (F.col("i1") == F.col("s1")) & (F.col("i2") == F.col("s2")),
+            "left",
+        )
+        .join(F.broadcast(na), F.col("xa_s") == F.col("s1"))
+        .join(F.broadcast(nb), F.col("xb_s") == F.col("s2"))
+        .select(
+            "s1",
+            "s2",
+            F.round("c12", 4).alias("est_c12"),
+            F.round("c21", 4).alias("est_c21"),
+            F.round(ex12, 4).alias("exact_c12"),
+            F.round(ex21, 4).alias("exact_c21"),
+            (F.abs(F.col("c12") - ex12) <= 0.25).alias("err12_ok"),
+            (F.abs(F.col("c21") - ex21) <= 0.25).alias("err21_ok"),
+        )
+        .orderBy("s1", "s2")
+    )
