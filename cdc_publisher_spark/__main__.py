@@ -15,6 +15,14 @@ is the engine's equivalent surface, thin wrappers over the library:
                             until interrupted; metrics snapshots print
                             to stderr every --metrics-period seconds,
                             the reference's 10 s reporter cadence)
+  monitors --src D --state-root D --checkpoint C [--once [--maintain]]
+                            composed six-monitor job: one parquet
+                            document stream fanned to dedup + HLL +
+                            count-min + exposure + drift + vocabulary
+                            under one foreachBatch and one state root
+                            (streaming/monitor_suite.py); --once drains
+                            then exits, --maintain adds one commits-
+                            log-watermarked maintenance pass
   compact --corpus D --index D --pairs D --upto-batch N [--vacuum]
                             compact incremental-dedup state dirs to a
                             batch watermark (idempotent, crash-safe;
@@ -180,6 +188,46 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_monitors(args) -> int:
+    """The serve-style composed monitor job: one parquet document
+    stream fanned to all six state consumers
+    (streaming/monitor_suite.py). ``--once`` drains available input
+    then exits; ``--maintain`` runs one maintenance pass after the
+    drain with the watermark taken from this stream's own commits log
+    (the live-stream contract) — the long-running deployment schedules
+    ``maintain --state-root S --checkpoint C`` out of band instead."""
+    from cdc_publisher_spark.streaming.maintenance import run_maintenance
+    from cdc_publisher_spark.streaming.monitor_suite import stream_monitor_suite
+
+    spark = _session()
+    schema = spark.read.parquet(args.src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(args.max_files_per_trigger))
+        .parquet(args.src)
+    )
+    q = stream_monitor_suite(stream, args.state_root, args.checkpoint)
+    try:
+        if args.once:
+            q.processAllAvailable()
+            q.stop()
+            if args.maintain:
+                plans = run_maintenance(
+                    spark,
+                    args.state_root,
+                    checkpoint_dir=args.checkpoint,
+                    vacuum=True,
+                    grace_batches=1,
+                )
+                for p in plans:
+                    print(f"{p.action}\t{p.kind}\t{p.path}")
+            return 0
+        q.awaitTermination()
+    except KeyboardInterrupt:
+        q.stop()
+    return 0
+
+
 def cmd_compact(args) -> int:
     from cdc_publisher_spark.streaming.incremental_dedup import (
         compact_dedup_state,
@@ -336,6 +384,25 @@ def main(argv: list[str] | None = None) -> int:
         help="seconds between metrics snapshots on stderr (reference: 10)",
     )
     sp.set_defaults(fn=cmd_serve)
+
+    sp = sub.add_parser(
+        "monitors",
+        help="composed six-monitor job over a parquet document stream "
+        "(dedup, HLL, count-min, exposure, drift, vocabulary — one "
+        "foreachBatch, one state root; streaming/monitor_suite.py)",
+    )
+    sp.add_argument("--src", required=True, help="parquet dir to stream")
+    sp.add_argument("--state-root", required=True)
+    sp.add_argument("--checkpoint", required=True)
+    sp.add_argument("--max-files-per-trigger", type=int, default=2)
+    sp.add_argument("--once", action="store_true")
+    sp.add_argument(
+        "--maintain",
+        action="store_true",
+        help="with --once: one maintenance pass after the drain, "
+        "watermark from this stream's commits log, vacuum grace 1",
+    )
+    sp.set_defaults(fn=cmd_monitors)
 
     sp = sub.add_parser(
         "compact",

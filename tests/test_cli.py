@@ -240,3 +240,42 @@ def test_cli_maintain_covers_all_four_layouts(spark, tmp_path, capsys):
 
     # empty root: explicit failure, not a silent success
     assert main(["maintain", "--state-root", str(tmp_path / "nowhere")]) == 1
+
+
+def test_cli_monitors_composed_job(spark, tmp_path, capsys):
+    """monitors subcommand: one parquet document stream fanned to all
+    six consumers, --once drains, --maintain folds with the stream's
+    own commits-log watermark (the live-stream contract end-to-end
+    through the CLI)."""
+    from cdc_publisher_spark.streaming.monitor_suite import SUITE_DIRS, suite_dir
+    from cdc_publisher_spark.streaming.state import (
+        checkpoint_committed_upto,
+        compacted_upto,
+    )
+
+    rows = [
+        (i, f"alpha beta w{i} w{i % 5} gamma delta eps{i % 3} tok tok2", f"s{i % 2}",
+         i % 3, [float(i % 7), 1.0, 0.5])
+        for i in range(24)
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, source string, label int, "
+        "embedding array<double>",
+    )
+    src = str(tmp_path / "docs")
+    docs.repartition(4).write.parquet(src)
+    root, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    assert main(
+        [
+            "monitors", "--src", src, "--state-root", root,
+            "--checkpoint", ckpt, "--max-files-per-trigger", "2",
+            "--once", "--maintain",
+        ]
+    ) == 0
+    out = capsys.readouterr().out
+    assert out.count("compact\t") >= 6, out
+    committed = checkpoint_committed_upto(spark, ckpt)
+    assert committed is not None and committed >= 1
+    for name in SUITE_DIRS:
+        assert compacted_upto(spark, suite_dir(root, name)) == committed, name
