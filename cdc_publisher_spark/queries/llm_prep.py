@@ -605,3 +605,94 @@ def q_k39_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q_k97 — normalized-exact benchmark decontamination (the first-pass gate)
+# --------------------------------------------------------------------------
+#: Same content-keyed draw as q_k61's test set: md5(doc_id) u < 0.1.
+NORM_DECON_FRAC = 0.1
+
+
+@register(
+    "q_k97_normalized_exact_decontam",
+    family="K",
+    doc="K-97 normalized-exact decontamination — the standard FIRST "
+    "pass before n-gram overlap (q_k19) and embedding contamination "
+    "(q_k37): a training doc is contaminated when its NORMALIZED text "
+    "(q_k39's folding — accent translate, lowercase, whitespace "
+    "collapse, trim) hashes equal to any benchmark doc's normalized "
+    "text. Benchmark = the q_k61 md5-draw (content-keyed, "
+    f"{NORM_DECON_FRAC:.0%}). Exact-match-after-normalization is what "
+    "catches reformatted verbatim copies that raw-text k1 misses and "
+    "n-gram thresholds overkill. Per source: train docs, contaminated "
+    "count, and surviving docs — exact integers only. Plan: one "
+    "normalize+hash pass, benchmark hash set DISTINCT (broadcast-"
+    "bounded by the draw), LEFT SEMI probe — no row multiplication "
+    "anywhere.",
+    oracle=f"""
+        WITH n AS (
+            SELECT doc_id, source,
+                   md5(trim(regexp_replace(
+                       lower(translate(text, '{_ACCENTS}', '{_FOLDED}')),
+                       '[ \t]+', ' ', 'g'))) AS h,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS UBIGINT) / 4294967296.0 < {NORM_DECON_FRAC}
+                       AS is_bench
+            FROM documents
+        ),
+        bh AS (SELECT DISTINCT h FROM n WHERE is_bench),
+        tr AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_train,
+                   CAST(SUM(CASE WHEN h IN (SELECT h FROM bh)
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_contaminated
+            FROM n WHERE NOT is_bench GROUP BY source
+        )
+        SELECT source, n_train, n_contaminated,
+               n_train - n_contaminated AS n_clean
+        FROM tr ORDER BY source
+    """,
+)
+def q_k97_normalized_exact_decontam(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cdc_publisher_spark.operators.mixing import uniform_from_id
+
+    docs = load(spark, sf_dir, "documents")
+    clean = F.trim(
+        F.regexp_replace(
+            F.lower(F.translate(F.col("text"), _ACCENTS, _FOLDED)), "[ \t]+", " "
+        )
+    )
+    n = docs.select(
+        "source",
+        F.md5(clean).alias("h"),
+        (uniform_from_id(F.col("doc_id")) < F.lit(NORM_DECON_FRAC)).alias(
+            "is_bench"
+        ),
+    )
+    bench = n.filter("is_bench").select("h").distinct()
+    train = n.filter(~F.col("is_bench"))
+    hit = (
+        train.join(F.broadcast(bench), "h", "left_semi")
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_contaminated"))
+    )
+    return (
+        train.groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_train"))
+        .join(hit, "source", "left")
+        .select(
+            "source",
+            "n_train",
+            F.coalesce("n_contaminated", F.lit(0)).cast("long").alias(
+                "n_contaminated"
+            ),
+            (F.col("n_train") - F.coalesce("n_contaminated", F.lit(0)))
+            .cast("long")
+            .alias("n_clean"),
+        )
+        .orderBy("source")
+    )

@@ -93,3 +93,35 @@ def test_k96_fixture_estimates_within_declared_tolerance(spark, sf_smoke):
     )
     assert rows, "no source pairs at smoke scale"
     assert all(r.err12_ok and r.err21_ok for r in rows)
+
+
+def test_k97_reformatted_copy_is_caught(spark, tmp_path):
+    """A train doc that is a bench doc reformatted (case, accents,
+    whitespace) must flag as contaminated; a genuinely new doc must
+    not. Doc ids are chosen by computing the same md5 draw the query
+    uses, so the bench/train assignment is known by construction."""
+    import hashlib
+
+    def u(doc_id: int) -> float:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) / 2**32
+
+    bench_id = next(i for i in range(1000) if u(i) < 0.1)
+    t1, t2 = [i for i in range(1000) if u(i) >= 0.1][:2]
+
+    sf = str(tmp_path / "mini97")
+    rows = [
+        (bench_id, "the quick brown fox jumps over dogs", "sA"),
+        (t1, "  The  QUICK  brown fox jumps over dogs ", "sA"),  # reformat
+        (t2, "a completely different training document", "sA"),
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    (row,) = (
+        all_specs()["q_k97_normalized_exact_decontam"].spark(spark, sf).collect()
+    )
+    assert (row.source, row.n_train, row.n_contaminated, row.n_clean) == (
+        "sA", 2, 1, 1,
+    )
