@@ -529,3 +529,99 @@ def q_k91_quasi_identifier_kanonymity(
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q_k98 — embedding-collapse audit (mean pairwise cosine in ONE pass)
+# --------------------------------------------------------------------------
+@register(
+    "q_k98_embedding_collapse",
+    family="K",
+    doc="K-98 embedding-collapse audit: per label, the MEAN PAIRWISE "
+    "COSINE across all C(n,2) vector pairs — computed WITHOUT any "
+    "pair join via the sum-vector identity sum_{i!=j} u_i.u_j = "
+    "||sum u||^2 - sum ||u||^2 (unit vectors => second term = n): one "
+    "normalize pass (array expressions, no shuffle), one (label, p) "
+    "DECIMAL aggregate, label-sized algebra after. Mean cosine near 1 "
+    "flags a collapsed/anisotropic embedding space (the Ethayarajh "
+    "2019 diagnostic) — the audit a team runs before trusting cosine "
+    "dedup (k21/k35) on a new encoder. Components 8dp-rounded before "
+    "DECIMAL summing and products 6dp-rounded (q_k89's bit-stability "
+    "algebra), so stream-order and engine cannot move the result.",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        nrm AS (
+            SELECT vec_id, label,
+                   list_transform(v, x -> x / sqrt(
+                       list_sum(list_transform(v, y -> y * y)))) AS u
+            FROM e
+        ),
+        el AS (
+            SELECT label, i, u[i] AS x
+            FROM nrm CROSS JOIN generate_series(1, 100000) g(i)
+            WHERE i <= len(u)
+        ),
+        ls AS (
+            SELECT label, i,
+                   SUM(CAST(ROUND(x, 8) AS DECIMAL(20,8))) AS s
+            FROM el GROUP BY label, i
+        ),
+        n AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM e GROUP BY label),
+        ssq AS (
+            SELECT label,
+                   CAST(SUM(CAST(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE), 6)
+                                 AS DECIMAL(28,6))) AS DOUBLE) AS sumsq
+            FROM ls GROUP BY label
+        )
+        SELECT n.label, n_vecs,
+               ROUND((sumsq - n_vecs) / (n_vecs * (n_vecs - 1.0)), 6)
+                   AS mean_pair_cos,
+               ROUND(sqrt(sumsq) / n_vecs, 6) AS centroid_l2
+        FROM n JOIN ssq ON n.label = ssq.label
+        WHERE n_vecs >= 2
+        ORDER BY n.label
+    """,
+)
+def q_k98_embedding_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    u = emb.select(
+        "label",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double") / norm)
+        ).alias("p", "x"),
+    )
+    ls = u.groupBy("label", F.col("p") + 1).agg(
+        F.sum(F.round("x", 8).cast("decimal(20,8)")).alias("s")
+    )
+    ssq = ls.groupBy("label").agg(
+        F.sum(
+            F.round(F.col("s").cast("double") * F.col("s").cast("double"), 6)
+            .cast("decimal(28,6)")
+        )
+        .cast("double")
+        .alias("sumsq")
+    )
+    n = emb.groupBy("label").agg(F.count("*").cast("long").alias("n_vecs"))
+    nv = F.col("n_vecs").cast("double")
+    return (
+        n.join(ssq, "label")
+        .filter(F.col("n_vecs") >= 2)
+        .select(
+            F.col("label").cast("long").alias("label"),
+            "n_vecs",
+            F.round((F.col("sumsq") - nv) / (nv * (nv - 1.0)), 6).alias(
+                "mean_pair_cos"
+            ),
+            F.round(F.sqrt("sumsq") / nv, 6).alias("centroid_l2"),
+        )
+        .orderBy("label")
+    )
