@@ -45,7 +45,7 @@ is the engine's equivalent surface, thin wrappers over the library:
                             root (dedup corpus/index/pairs/bloom, HLL,
                             count-min, exposure, centroid-drift,
                             vocabulary — recognized by each dir's
-                            _layout= marker) and compact each with its
+                            _layout. marker) and compact each with its
                             declared merge operator. Committed batches
                             only: the default holds back each dir's
                             newest batch as potentially uncommitted;

@@ -11,7 +11,7 @@ surface is ``python -m cdc_publisher_spark maintain --state-root D
 Layout recognition (ADVICE r9, low)
 -----------------------------------
 Every writer DECLARES its dir's merge algebra with an explicit
-``_layout=<name>`` marker file (state.write_layout_marker), and
+``_layout.<name>`` marker file (state.write_layout_marker), and
 ``maintain`` trusts the declaration — never a column-name guess, so a
 future row-state layout that happens to carry a ``cnt`` column cannot
 be silently sum-merged. The declared layouts:
@@ -222,7 +222,7 @@ def classify_state_dir(
     """(kind, partition_cols, merge_fn) for a state dir, or None when
     the dir cannot be classified safely (skip-with-note).
 
-    ``layout`` is the dir's declared ``_layout=`` marker name — the
+    ``layout`` is the dir's declared ``_layout.`` marker name — the
     authoritative path. A declared layout whose required columns are
     absent from the actual schema is treated as unrecognized (a marker
     pasted onto the wrong dir must not trigger the wrong merge). With

@@ -63,7 +63,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MANIFEST_PREFIX = "_compacted_upto="
-LAYOUT_PREFIX = "_layout="
+LAYOUT_PREFIX = "_layout."
 
 
 def hadoop_fs(spark: SparkSession, path: str):
@@ -108,7 +108,7 @@ def write_manifest(spark: SparkSession, path: str, upto: int) -> None:
 
 def write_layout_marker(spark: SparkSession, path: str, layout: str) -> None:
     """Idempotently declare a state dir's layout: an empty
-    ``_layout=<name>`` marker file whose NAME carries the value (the
+    ``_layout.<name>`` marker file whose NAME carries the value (the
     manifest-marker pattern). Writers call this each trigger — the
     exists() check makes re-declaration free — so ``maintain``
     (streaming/maintenance.py) can pick the dir's merge algebra from

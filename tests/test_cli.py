@@ -140,7 +140,7 @@ def test_cli_maintain_covers_all_four_layouts(spark, tmp_path, capsys):
     """maintain subcommand (VERDICT r8 ask #6): ONE pass over a state
     root discovers every batch-addressed dir — the dedup quad, HLL
     registers, count-min cells, exposure gram counts — classifies each
-    by its declared _layout= marker, compacts with the layout's own
+    by its declared _layout. marker, compacts with the layout's own
     merge, and vacuums.
     --dry-run prints the identical plan and writes nothing; a re-run
     is an idempotent all-skip."""

@@ -180,3 +180,25 @@ def test_explicit_upto_batch_is_capped_at_own_max(spark, tmp_path):
     _write_batches(spark, state, 2)
     plans = plan_maintenance(spark, str(root), upto_batch=9)
     assert plans[0].target_upto == 1
+
+
+def test_layout_marker_is_invisible_to_direct_parquet_reads(spark, tmp_path):
+    """Regression: Spark's hidden-file filter drops underscore-prefixed
+    names ONLY when they contain no '=' (names with '=' are kept as
+    partition dirs) — a marker spelled `_layout=rows` was read as a
+    parquet data file by `spark.read.parquet(state_dir)` and broke
+    every legacy direct-read consumer. The marker must carry no '='
+    and a direct read of a marked dir must see data rows only."""
+    from cdc_publisher_spark.streaming.state import (
+        LAYOUT_PREFIX,
+        read_layout_marker,
+    )
+
+    assert "=" not in LAYOUT_PREFIX
+    state = str(tmp_path / "s")
+    spark.createDataFrame([(1, 0)], "k long, batch int").write.parquet(
+        f"{state}/batch=0"
+    )
+    write_layout_marker(spark, state, "rows")
+    assert spark.read.parquet(state).count() == 1
+    assert read_layout_marker(spark, state) == "rows"
