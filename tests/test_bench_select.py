@@ -36,3 +36,45 @@ def test_only_selects_named_queries_from_all_specs():
 def test_only_rejects_unknown_names():
     with pytest.raises(SystemExit, match="q_typo"):
         bench._select_specs(_specs(), "q_a,q_typo")
+
+
+# --- resolve_round_ref: --ab rN must survive tag loss (VERDICT r9 #3) ---
+#
+# Round tags vanished once already (driver snapshot cycle keeps commits,
+# not tags); the fallback resolves rN to the driver's own immutable
+# "round N: verdict/..." commit so `bench.py --ab r9` stays one command.
+
+def test_resolve_round_ref_passthrough_non_round_refs():
+    import os
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    assert bench.resolve_round_ref(here, "HEAD") == "HEAD"
+    assert bench.resolve_round_ref(here, "deadbeef") == "deadbeef"
+    assert bench.resolve_round_ref(here, "release-r2") == "release-r2"
+
+
+def test_resolve_round_ref_falls_back_to_verdict_commit():
+    import os
+    import subprocess
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # r1 has a verdict commit but (by convention) no tag was ever cut
+    tagged = subprocess.run(
+        ["git", "-C", here, "rev-parse", "--verify", "--quiet", "r1^{commit}"],
+        capture_output=True, text=True,
+    ).returncode == 0
+    got = bench.resolve_round_ref(here, "r1")
+    if tagged:
+        assert got == "r1"
+    else:
+        subject = subprocess.run(
+            ["git", "-C", here, "log", "-1", "--format=%s", got],
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        assert subject.startswith("round 1: verdict")
+
+
+def test_resolve_round_ref_unknown_round_raises():
+    import os
+    import pytest as _pytest
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with _pytest.raises(SystemExit, match="r9999"):
+        bench.resolve_round_ref(here, "r9999")
