@@ -620,3 +620,84 @@ def q_k92_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("csize")
     )
+
+
+@register(
+    "q_k101_dup_pressure_by_ingestion",
+    family="K",
+    doc="K-101 duplicate-pressure curve over ingestion order: bucket "
+    "the corpus into ten equal doc_id ranges (doc_id is the synthetic "
+    "ingestion sequence) and report, per decile, how many documents "
+    "and tokens are exact duplicates of ANYTHING ingested earlier "
+    "(md5(text) seen at a smaller doc_id — md5 because both engines "
+    "compute it identically, the repo's determinism convention). This "
+    "is the operational complement to q_k92 (how much would dedup "
+    "save, static) and q_k90 (vocabulary growth): a rising curve "
+    "tells the operator dup pressure is compounding and incremental "
+    "dedup (k25/k79) cadence must tighten. Exact BIGINTs only. Plan: "
+    "one groupBy(md5) -> min(doc_id) hash agg (content-keyed, "
+    "bounded by duplicate multiplicity, never a corpus window), the "
+    "first-seen table joined back on the 16-byte hash key, the max "
+    "doc_id scalar broadcast via a 1-row cross join; no self-join, "
+    "no window, shuffle keys are fixed-width hashes.",
+    oracle="""
+        WITH h AS (
+            SELECT doc_id, md5(text) AS dh,
+                   len(string_split(text, ' ')) AS n
+            FROM documents
+        ),
+        first_seen AS (
+            SELECT dh, MIN(doc_id) AS first_id FROM h GROUP BY dh
+        ),
+        mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+        flagged AS (
+            SELECT CAST(LEAST(9, (h.doc_id * 10) // (mx.mx + 1)) AS BIGINT)
+                       AS decile,
+                   CAST(h.doc_id > f.first_id AS INT) AS is_dup,
+                   h.n
+            FROM h
+            JOIN first_seen f USING (dh)
+            CROSS JOIN mx
+        )
+        SELECT decile,
+               CAST(COUNT(*) AS BIGINT)            AS n_docs,
+               CAST(SUM(is_dup) AS BIGINT)         AS n_dup,
+               CAST(SUM(n) AS BIGINT)              AS total_tokens,
+               CAST(SUM(is_dup * n) AS BIGINT)     AS dup_tokens
+        FROM flagged
+        GROUP BY decile
+        ORDER BY decile
+    """,
+)
+def q_k101_dup_pressure_by_ingestion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        F.md5("text").alias("dh"),
+        TX.n_words(F.col("text")).cast("long").alias("n"),
+    )
+    first_seen = h.groupBy("dh").agg(F.min("doc_id").alias("first_id"))
+    mx = docs.agg(F.max("doc_id").alias("mx"))
+    flagged = (
+        h.join(first_seen, "dh")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.least(F.lit(9), F.expr("(doc_id * 10) div (mx + 1)"))
+            .cast("long")
+            .alias("decile"),
+            (F.col("doc_id") > F.col("first_id")).cast("int").alias("is_dup"),
+            "n",
+        )
+    )
+    return (
+        flagged.groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("is_dup").cast("long").alias("n_dup"),
+            F.sum("n").cast("long").alias("total_tokens"),
+            F.sum(F.col("is_dup") * F.col("n")).cast("long").alias("dup_tokens"),
+        )
+        .orderBy("decile")
+    )

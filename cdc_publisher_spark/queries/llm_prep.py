@@ -696,3 +696,74 @@ def q_k97_normalized_exact_decontam(
         )
         .orderBy("source")
     )
+
+
+_CTX_BUDGETS = (512, 2048, 8192, 32768)
+
+
+@register(
+    "q_k99_context_length_efficiency",
+    family="K",
+    doc="K-99 context-length efficiency curve: for each candidate "
+    "training context length B (512/2048/8192/32768), the exact token "
+    "economics of the two standard batching models — truncate-to-one-"
+    "sequence (docs over B lose their tail: n_trunc_docs, "
+    "trunc_lost_tokens) and chunk-and-pad (each doc becomes "
+    "ceil(n/B) sequences, the last one padded: n_chunks, pad_tokens). "
+    "This is the audit a pipeline runs BEFORE choosing a context "
+    "length; q_k17 then materializes the packing at the chosen B. "
+    "All integer algebra (ceil via (n+B-1) div B — never float), so "
+    "the oracle hash is tie-free. Plan: one narrow scan computing "
+    "n per doc, a constant 4-way explode of the budget literals, one "
+    "map-side-combined hash agg to 4 groups — no window, no join, no "
+    "shuffle wider than 4 rows; trivially 100 TB-safe.",
+    oracle=f"""
+        WITH sized AS (
+            SELECT len(string_split(text, ' ')) AS n FROM documents
+        ),
+        x AS (
+            SELECT n, budget
+            FROM sized CROSS JOIN (
+                SELECT UNNEST([{", ".join(str(b) for b in _CTX_BUDGETS)}])
+                    AS budget
+            )
+        )
+        SELECT
+            CAST(budget AS BIGINT)                         AS budget,
+            CAST(COUNT(*) AS BIGINT)                       AS n_docs,
+            CAST(SUM(n) AS BIGINT)                         AS total_tokens,
+            CAST(SUM(CASE WHEN n > budget THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_trunc_docs,
+            CAST(SUM(CASE WHEN n > budget THEN n - budget ELSE 0 END)
+                AS BIGINT)                                 AS trunc_lost_tokens,
+            CAST(SUM((n + budget - 1) // budget) AS BIGINT) AS n_chunks,
+            CAST(SUM(((n + budget - 1) // budget) * budget - n) AS BIGINT)
+                AS pad_tokens
+        FROM x
+        GROUP BY budget
+        ORDER BY budget
+    """,
+)
+def q_k99_context_length_efficiency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sized = docs.select(TX.n_words(F.col("text")).cast("long").alias("n"))
+    budgets = F.array(*[F.lit(b).cast("long") for b in _CTX_BUDGETS])
+    x = sized.select("n", F.explode(budgets).alias("budget"))
+    n, b = F.col("n"), F.col("budget")
+    chunks = F.expr("(n + budget - 1) div budget")
+    return (
+        x.groupBy("budget")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(n).cast("long").alias("total_tokens"),
+            F.sum(F.when(n > b, 1).otherwise(0)).cast("long").alias("n_trunc_docs"),
+            F.sum(F.when(n > b, n - b).otherwise(0))
+            .cast("long")
+            .alias("trunc_lost_tokens"),
+            F.sum(chunks).cast("long").alias("n_chunks"),
+            F.sum(chunks * b - n).cast("long").alias("pad_tokens"),
+        )
+        .orderBy("budget")
+    )

@@ -786,3 +786,93 @@ def q_k95_duplicate_paragraph_fraction(
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_k100_distinct_ngram_diversity",
+    family="K",
+    doc="K-100 corpus diversity via distinct-n (the Distinct-1/2/3 "
+    "metric of Li et al. 2016, 'A Diversity-Promoting Objective "
+    "Function for Neural Conversation Models' — standard for spotting "
+    "low-diversity / templated sources before they dilute a mix): per "
+    "source, total vs distinct unigram/bigram/trigram counts as exact "
+    "BIGINTs (consumers form the distinct-n ratios; shipping integers "
+    "keeps the oracle hash float-free, the q_k18 convention). Unlike "
+    "q_k26 (global vocabulary) and q_k44 (pairwise source overlap) "
+    "this measures WITHIN-source n-gram repetition breadth. Plan: "
+    "n-grams built by array transform over the split-once token array "
+    "(no per-token window, no posexplode), one hash agg per order with "
+    "map-side partial distinct, three tiny per-source frames joined at "
+    "the end. The distinct shuffle carries (source, gram) pairs — "
+    "gram strings stay because the oracle needs exact distinct "
+    "semantics (k26 convention); the declared 100 TB variant swaps in "
+    "xxhash64(gram) keys (8-byte shuffle, collision mass V^2/2^65 — "
+    "negligible at 1e9 types, the k90 contract).",
+    oracle="""
+        WITH w AS (
+            SELECT source, string_split(text, ' ') AS ws FROM documents
+        ),
+        uni AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_uni,
+                   CAST(COUNT(DISTINCT wd) AS BIGINT) AS v_uni
+            FROM (SELECT source, unnest(ws) AS wd FROM w)
+            GROUP BY source
+        ),
+        bi0 AS (
+            SELECT source, ws[i] || ' ' || ws[i+1] AS s
+            FROM w CROSS JOIN generate_series(1, 100000) g(i)
+            WHERE i + 1 <= len(ws)
+        ),
+        bi AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bi,
+                   CAST(COUNT(DISTINCT s) AS BIGINT) AS v_bi
+            FROM bi0 GROUP BY source
+        ),
+        tri0 AS (
+            SELECT source, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+            FROM w CROSS JOIN generate_series(1, 100000) g(i)
+            WHERE i + 2 <= len(ws)
+        ),
+        tri AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tri,
+                   CAST(COUNT(DISTINCT s) AS BIGINT) AS v_tri
+            FROM tri0 GROUP BY source
+        )
+        SELECT u.source, n_uni, v_uni,
+               COALESCE(n_bi, 0) AS n_bi, COALESCE(v_bi, 0) AS v_bi,
+               COALESCE(n_tri, 0) AS n_tri, COALESCE(v_tri, 0) AS v_tri
+        FROM uni u
+        LEFT JOIN bi USING (source)
+        LEFT JOIN tri USING (source)
+        ORDER BY u.source
+    """,
+)
+def q_k100_distinct_ngram_diversity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select("source", words(F.col("text")).alias("ws"))
+
+    def order_agg(n: int, tot: str, dis: str) -> DataFrame:
+        if n == 1:
+            g = w.select("source", F.explode("ws").alias("g"))
+        else:
+            grams = F.expr(
+                f"transform(sequence(0, size(ws) - {n}), "
+                f"i -> concat_ws(' ', {', '.join(f'ws[i+{j}]' for j in range(n))}))"
+            )
+            g = (
+                w.filter(F.size("ws") >= n)
+                .select("source", F.explode(grams).alias("g"))
+            )
+        return g.groupBy("source").agg(
+            F.count("*").cast("long").alias(tot),
+            F.count_distinct("g").cast("long").alias(dis),
+        )
+
+    uni = order_agg(1, "n_uni", "v_uni")
+    bi = order_agg(2, "n_bi", "v_bi")
+    tri = order_agg(3, "n_tri", "v_tri")
+    out = uni.join(bi, "source", "left").join(tri, "source", "left")
+    fill = {c: 0 for c in ("n_bi", "v_bi", "n_tri", "v_tri")}
+    return out.fillna(fill).orderBy("source")
