@@ -284,6 +284,11 @@ SCALING_EXTRAS = (
     "q_k91_quasi_identifier_kanonymity",
     "q_k92_dedup_savings",
     "q_k93_token_gini",
+    # round-10 additions: budget-curve explode+agg, per-source
+    # distinct-n aggs, md5-first-seen dup curve
+    "q_k99_context_length_efficiency",
+    "q_k100_distinct_ngram_diversity",
+    "q_k101_dup_pressure_by_ingestion",
 )
 
 

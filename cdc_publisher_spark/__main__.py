@@ -16,7 +16,7 @@ is the engine's equivalent surface, thin wrappers over the library:
                             to stderr every --metrics-period seconds,
                             the reference's 10 s reporter cadence)
   monitors --src D --state-root D --checkpoint C [--once [--maintain]]
-                            composed six-monitor job: one parquet
+                            composed seven-monitor job: one parquet
                             document stream fanned to dedup + HLL +
                             count-min + exposure + drift + vocabulary
                             under one foreachBatch and one state root
@@ -190,7 +190,7 @@ def cmd_serve(args) -> int:
 
 def cmd_monitors(args) -> int:
     """The serve-style composed monitor job: one parquet document
-    stream fanned to all six state consumers
+    stream fanned to all seven state consumers
     (streaming/monitor_suite.py). ``--once`` drains available input
     then exits; ``--maintain`` runs one maintenance pass after the
     drain with the watermark taken from this stream's own commits log
@@ -387,7 +387,7 @@ def main(argv: list[str] | None = None) -> int:
 
     sp = sub.add_parser(
         "monitors",
-        help="composed six-monitor job over a parquet document stream "
+        help="composed seven-monitor job over a parquet document stream "
         "(dedup, HLL, count-min, exposure, drift, vocabulary — one "
         "foreachBatch, one state root; streaming/monitor_suite.py)",
     )

@@ -27,6 +27,9 @@ be silently sum-merged. The declared layouts:
                        guard's id-Bloom deltas).
 - ``min-fb``         → min ``fb`` per remaining columns (first-seen
                        vocabulary).
+- ``sum-ctx``        → column-wise long-sum of every metric column
+                       per ``budget`` (context-length economics
+                       partial sums, ctx_monitor).
 - ``rows``           → row state, rewritten verbatim (dedup pairs).
 - ``rows-dh``        → row state partitioned by ``dh`` (dedup corpus).
 - ``rows-band-bhm``  → row state partitioned by (band, bhm) (dedup
@@ -150,6 +153,17 @@ def _min_fb(columns: list[str]) -> Callable[[DataFrame], DataFrame]:
     return merge
 
 
+def _sum_ctx(columns: list[str]) -> Callable[[DataFrame], DataFrame]:
+    mcols = [c for c in columns if c not in ("budget", "batch")]
+
+    def merge(df: DataFrame) -> DataFrame:
+        return df.groupBy("budget").agg(
+            *[F.sum(c).cast("long").alias(c) for c in mcols]
+        )
+
+    return merge
+
+
 #: Name → spec for every layout a writer may declare. Writers pass
 #: these exact names to state.write_layout_marker.
 LAYOUTS: dict[str, LayoutSpec] = {
@@ -160,6 +174,23 @@ LAYOUTS: dict[str, LayoutSpec] = {
         LayoutSpec("max-M", "hll", (), frozenset({"M"}), _max_m),
         LayoutSpec("bitor-mask", "bloom", (), frozenset({"word", "mask"}), _bitor_mask),
         LayoutSpec("min-fb", "min", (), frozenset({"fb"}), _min_fb),
+        LayoutSpec(
+            "sum-ctx",
+            "sum",
+            (),
+            frozenset(
+                {
+                    "budget",
+                    "n_docs",
+                    "total_tokens",
+                    "n_trunc_docs",
+                    "trunc_lost_tokens",
+                    "n_chunks",
+                    "pad_tokens",
+                }
+            ),
+            _sum_ctx,
+        ),
         LayoutSpec("rows", "rows", (), frozenset(), None),
         LayoutSpec("rows-dh", "rows", ("dh",), frozenset({"dh"}), None),
         LayoutSpec(
@@ -205,6 +236,17 @@ def _fallback_layout(columns: list[str]) -> LayoutSpec | None:
         return LAYOUTS["max-M"]
     if {"wh", "fb", "batch"} <= cols and cols <= {"source", "wh", "fb", "batch"}:
         return LAYOUTS["min-fb"]
+    if {
+        "budget",
+        "n_docs",
+        "total_tokens",
+        "n_trunc_docs",
+        "trunc_lost_tokens",
+        "n_chunks",
+        "pad_tokens",
+        "batch",
+    } == cols:  # ctx economics: exact wide-sum signature
+        return LAYOUTS["sum-ctx"]
     if {"r", "b", "cnt", "batch"} <= cols:  # count-min: variable group cols
         return LAYOUTS["sum-cnt"]
     if cols == {"sh", "source", "cnt", "batch"}:  # exposure, exact

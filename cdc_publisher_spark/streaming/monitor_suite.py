@@ -1,12 +1,12 @@
-"""All six state consumers behind ONE stream: the serve-style job.
+"""All seven state consumers behind ONE stream: the serve-style job.
 
-A real deployment does not run six separate streams over the same
+A real deployment does not run seven separate streams over the same
 ingest — it runs one micro-batch loop that fans each trigger's rows
 out to every monitor (VERDICT r9 ask #2). This module composes the
-layer's six consumers — incremental LSH dedup, HLL distinct-
+layer's consumers — incremental LSH dedup, HLL distinct-
 cardinality, count-min heavy hitters, rare-gram exposure, centroid
-drift, and first-seen vocabulary — under a single ``foreachBatch``
-against one state root::
+drift, first-seen vocabulary, and context-length economics — under a
+single ``foreachBatch`` against one state root::
 
     state_root/
       dedup/{corpus,idx,pairs,id_bloom}   incremental_dedup
@@ -15,11 +15,12 @@ against one state root::
       exposure/                           rare-gram exposure
       drift/                              label-centroid drift
       vocab/                              first-seen vocabulary
+      ctx/                                context-length economics
 
 Input contract: rows with ``doc_id, text, source`` and — for the
 drift monitor — ``label, embedding``; when those two columns are
 absent the drift consumer is skipped, the rest run. The trigger
-persists the batch once (six consumers would otherwise re-run the
+persists the batch once (seven consumers would otherwise re-run the
 source scan) and derives the shared word frame once for HLL + CM.
 
 Because every consumer writes batch-addressed overwrite deltas to its
@@ -41,6 +42,7 @@ from pyspark.sql import functions as F
 
 from cdc_publisher_spark.functions.text import words
 from cdc_publisher_spark.streaming.cm_monitor import cm_micro_batch
+from cdc_publisher_spark.streaming.ctx_monitor import ctx_micro_batch
 from cdc_publisher_spark.streaming.drift_monitor import drift_micro_batch
 from cdc_publisher_spark.streaming.exposure_monitor import exposure_micro_batch
 from cdc_publisher_spark.streaming.hll_monitor import hll_micro_batch
@@ -58,6 +60,7 @@ SUITE_DIRS = {
     "exposure": "exposure",
     "drift": "drift",
     "vocab": "vocab",
+    "ctx": "ctx",
 }
 
 
@@ -76,7 +79,7 @@ def monitor_suite_batch(
     vec_col: str = "embedding",
     threshold: float = 0.5,
 ) -> None:
-    """foreachBatch body: one trigger's rows through all six consumers.
+    """foreachBatch body: one trigger's rows through all seven consumers.
 
     Each consumer keeps its own idempotence contract (overwrite of its
     own ``batch=N``); the composition adds none of its own state. The
@@ -115,6 +118,9 @@ def monitor_suite_batch(
             batch, batch_id, suite_dir(state_root, "vocab"),
             text_col=text_col, source_col=source_col,
         )
+        ctx_micro_batch(
+            batch, batch_id, suite_dir(state_root, "ctx"), text_col=text_col,
+        )
         if label_col in batch.columns and vec_col in batch.columns:
             drift_micro_batch(
                 batch, batch_id, suite_dir(state_root, "drift"),
@@ -130,7 +136,7 @@ def stream_monitor_suite(
     checkpoint_dir: str,
     **kwargs,
 ):
-    """Start the composed job: one readStream in, six monitors' state
+    """Start the composed job: one readStream in, seven monitors' state
     out, offsets committed to ``checkpoint_dir`` after each trigger
     completes EVERY consumer's write (commit-on-success — a crash
     mid-fan-out replays the whole trigger and each dir's overwrite

@@ -1,7 +1,7 @@
-"""The composed six-monitor job + maintenance against a LIVE stream.
+"""The composed seven-monitor job + maintenance against a LIVE stream.
 
 VERDICT r9 ask #2: the per-consumer contract harness drives each
-monitor alone; a real deployment runs all six off ONE stream with
+monitor alone; a real deployment runs all seven off ONE stream with
 maintenance scheduled alongside. This test feeds one document+embedding
 stream through streaming/monitor_suite.py, runs ``maintain
 --state-root --checkpoint <stream ckpt>`` MID-stream (between triggers,
@@ -24,6 +24,7 @@ from cdc_publisher_spark.functions.text import words
 from cdc_publisher_spark.operators.cm import cm_cells
 from cdc_publisher_spark.operators.hll import hll_registers
 from cdc_publisher_spark.streaming.cm_monitor import read_cm_cells
+from cdc_publisher_spark.streaming.ctx_monitor import ctx_economics, read_ctx_curve
 from cdc_publisher_spark.streaming.drift_monitor import (
     centroid_deltas,
     read_centroid_sums,
@@ -96,11 +97,11 @@ def test_suite_stream_with_live_maintenance_equals_batch(
         plans = run_maintenance(
             spark, root, checkpoint_dir=ckpt, vacuum=True, grace_batches=1
         )
-        assert len(plans) == 9  # dedup quad + hll + cm + exposure + drift + vocab
+        assert len(plans) == 10  # dedup quad + hll/cm/exposure/drift/vocab/ctx
         assert all(p.kind != "unrecognized" for p in plans), [
             (p.path, p.kind) for p in plans
         ]
-        for name in ("dedup_bloom", "hll", "cm", "exposure", "drift", "vocab"):
+        for name in ("dedup_bloom", "hll", "cm", "exposure", "drift", "vocab", "ctx"):
             assert compacted_upto(spark, suite_dir(root, name)) == committed, name
         # the stream keeps running across the maintenance pass
         extra = docs.limit(40).withColumn(
@@ -156,6 +157,12 @@ def test_suite_stream_with_live_maintenance_equals_batch(
     want = full.select(
         "source", F.explode(words(F.col("text"))).alias("w")
     ).select("source", F.xxhash64("w").alias("wh")).distinct()
+    assert _rows(got) == _rows(want)
+
+    # ctx: per-budget partial sums are slicing-invariant — the merged
+    # curve equals the one-shot economics exactly
+    got = read_ctx_curve(spark, suite_dir(root, "ctx"))
+    want = ctx_economics(full)
     assert _rows(got) == _rows(want)
 
     # dedup: the accumulated pair set equals the whole corpus processed

@@ -2,7 +2,8 @@
 
 Every monitor riding streaming/state.py makes the same promises,
 whatever its merge algebra (max — HLL; sum — count-min, exposure;
-DECIMAL-sum — centroid drift; min — vocabulary):
+DECIMAL-sum — centroid drift; min — vocabulary; column-wise sum —
+context-length economics):
 
 1. in-stream compaction every K batches leaves reads IDENTICAL to an
    uncompacted twin run;
@@ -18,8 +19,9 @@ DECIMAL-sum — centroid drift; min — vocabulary):
 
 The exposure monitor got these adversarial pins in round 9 (VERDICT r8
 ask #5, tests/test_streaming_exposure.py); this file extends the same
-contract to ALL five monitors through one parametrized harness, so a
-sixth consumer gets the full battery by adding an adapter row. The
+contract to ALL monitors through one parametrized harness, so a new
+consumer gets the full battery by adding an adapter row (the round-10
+ctx monitor did exactly that). The
 non-idempotent merges (sum, DECIMAL-sum) are the ones these crash
 shapes can corrupt; the idempotent ones (max, min) pin that the shared
 machinery stays lossless for them too.
@@ -199,7 +201,37 @@ class VocabAdapter(Adapter):
         compact_vocab_state(spark, state, upto_batch=upto)
 
 
-ADAPTERS = [HllAdapter(), CmAdapter(), ExposureAdapter(), DriftAdapter(), VocabAdapter()]
+class CtxAdapter(Adapter):
+    name, key_cols = "ctx", ("budget",)
+
+    def batches(self, spark, sf_smoke, n):
+        docs = load(spark, sf_smoke, "documents").select("doc_id", "text", "source")
+        return [docs.filter(F.col("doc_id") % n == b) for b in range(n)]
+
+    def write(self, df, bid, state):
+        from cdc_publisher_spark.streaming.ctx_monitor import ctx_micro_batch
+
+        ctx_micro_batch(df, bid, state)
+
+    def read_rows(self, spark, state):
+        from cdc_publisher_spark.streaming.ctx_monitor import read_ctx_curve
+
+        return sorted(map(tuple, read_ctx_curve(spark, state).collect()))
+
+    def compact(self, spark, state, upto):
+        from cdc_publisher_spark.streaming.ctx_monitor import compact_ctx_state
+
+        compact_ctx_state(spark, state, upto_batch=upto)
+
+
+ADAPTERS = [
+    HllAdapter(),
+    CmAdapter(),
+    ExposureAdapter(),
+    DriftAdapter(),
+    VocabAdapter(),
+    CtxAdapter(),
+]
 
 
 def _body(spark, ad, state, compact_every, vacuum_grace=0):
