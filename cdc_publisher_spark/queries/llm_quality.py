@@ -876,3 +876,81 @@ def q_k100_distinct_ngram_diversity(
     out = uni.join(bi, "source", "left").join(tri, "source", "left")
     fill = {c: 0 for c in ("n_bi", "v_bi", "n_tri", "v_tri")}
     return out.fillna(fill).orderBy("source")
+
+
+PREFIX_TOKENS = 8
+BOILERPLATE_MIN_DOCS = 2
+
+
+@register(
+    "q_k102_boilerplate_prefix",
+    family="K",
+    doc="K-102 boilerplate-prefix screen: crawled corpora carry "
+    f"template headers — docs in one source opening with the same "
+    f"{PREFIX_TOKENS}-token prefix (nav bars, license blurbs, scraper "
+    "banners). Per source: documents long enough to have a prefix, "
+    "distinct prefixes, docs whose prefix is shared by >= "
+    f"{BOILERPLATE_MIN_DOCS} docs of that source, and the token mass "
+    "those docs carry — the signal that a source needs k24-style "
+    "header stripping before it dilutes a mix. Exact BIGINTs only "
+    "(consumers form the fractions). Plan: prefix by array SLICE of "
+    "the split-once token array (k95's convention), counts per "
+    "(source, md5(prefix)) — one hash agg on 16-byte keys, the group "
+    "sizes joined back on the same bounded key (multiplicity = the "
+    "group's own size, the k101 first-seen shape — linear, never a "
+    "pair join), one final per-source rollup.",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, source, string_split(text, ' ') AS ws
+            FROM documents
+        ),
+        p AS (
+            SELECT doc_id, source, len(ws) AS n,
+                   md5(array_to_string(ws[1:{PREFIX_TOKENS}], ' ')) AS ph
+            FROM w
+            WHERE len(ws) >= {PREFIX_TOKENS}
+        ),
+        g AS (
+            SELECT source, ph, CAST(COUNT(*) AS BIGINT) AS grp
+            FROM p GROUP BY source, ph
+        )
+        SELECT p.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT p.ph) AS BIGINT) AS n_prefixes,
+               CAST(SUM(CASE WHEN g.grp >= {BOILERPLATE_MIN_DOCS}
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_boilerplate_docs,
+               CAST(SUM(CASE WHEN g.grp >= {BOILERPLATE_MIN_DOCS}
+                             THEN p.n ELSE 0 END) AS BIGINT)
+                   AS boilerplate_tokens,
+               CAST(SUM(p.n) AS BIGINT) AS total_tokens
+        FROM p JOIN g ON p.source = g.source AND p.ph = g.ph
+        GROUP BY p.source
+        ORDER BY p.source
+    """,
+)
+def q_k102_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select("doc_id", "source", words(F.col("text")).alias("ws"))
+    p = w.filter(F.size("ws") >= PREFIX_TOKENS).select(
+        "doc_id",
+        "source",
+        F.size("ws").cast("long").alias("n"),
+        F.md5(F.concat_ws(" ", F.slice("ws", 1, PREFIX_TOKENS))).alias("ph"),
+    )
+    g = p.groupBy("source", "ph").agg(F.count("*").cast("long").alias("grp"))
+    boiler = F.col("grp") >= BOILERPLATE_MIN_DOCS
+    return (
+        p.join(g, ["source", "ph"])
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count_distinct("ph").cast("long").alias("n_prefixes"),
+            F.sum(boiler.cast("int")).cast("long").alias("n_boilerplate_docs"),
+            F.sum(F.when(boiler, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("boilerplate_tokens"),
+            F.sum("n").cast("long").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -106,3 +106,31 @@ def test_k101_dup_curve_places_every_dup_in_its_decile(spark, tmp_path):
         else:
             # first occurrences are NOT duplicates — only later copies
             assert r.n_dup == 0 and r.dup_tokens == 0
+
+
+def test_k102_boilerplate_prefix_by_hand(spark, tmp_path):
+    header = "nav home about contact login search help menu"  # 8 tokens
+    sf = _mini_corpus(
+        spark,
+        tmp_path,
+        [
+            (0, f"{header} body one two", "web"),    # 11 tokens, shared prefix
+            (1, f"{header} other body", "web"),      # 10 tokens, shared prefix
+            (2, "a unique opening never repeated anywhere at all plus tail", "web"),
+            (3, "short text", "web"),                # < 8 tokens: no prefix row
+            (4, f"{header} solo", "clean"),          # same prefix, OTHER source:
+            # prefix sharing is within-source — this doc is NOT boilerplate
+        ],
+    )
+    out = {
+        r.source: r
+        for r in all_specs()["q_k102_boilerplate_prefix"].spark(spark, sf).collect()
+    }
+    web = out["web"]
+    assert web.n_docs == 3            # doc 3 too short to have a prefix
+    assert web.n_prefixes == 2        # header-prefix + the unique opening
+    assert web.n_boilerplate_docs == 2
+    assert web.boilerplate_tokens == 11 + 10
+    assert web.total_tokens == 11 + 10 + 10
+    clean = out["clean"]
+    assert clean.n_boilerplate_docs == 0 and clean.n_docs == 1
