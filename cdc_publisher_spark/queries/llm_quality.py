@@ -954,3 +954,291 @@ def q_k102_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_MIX_ALPHAS = ("0.3", "0.5", "0.7", "1.0")
+
+
+@register(
+    "q_k103_temperature_mixing_weights",
+    family="K",
+    doc="K-103 temperature-scaled source sampling weights (the "
+    "multilingual-LM mixing knob of Lample & Conneau 2019 / XLM-R: "
+    "sample source s with probability proportional to p_s^alpha, "
+    "alpha < 1 up-weighting low-resource sources): per alpha in "
+    "{0.3, 0.5, 0.7, 1.0}, each source's natural token share p_s, "
+    "its temperature-scaled weight w_s = p_s^alpha / sum p^alpha, and "
+    "the boost factor w_s/p_s — the table a mix designer reads before "
+    "committing a k78/k80 budget allocation. alpha=1.0 is the "
+    "natural-proportion control row (w == p, boost == 1). Exact "
+    "BIGINT token counts; the float weights are 8dp-rounded doubles from "
+    "identically-derived doubles both engines compute from the same "
+    "exact integer ratios (the k94 convention). Plan: one corpus "
+    "token aggregate to a sources-sized table, a constant 4-way "
+    "alpha explode, normalization via a per-alpha aggregate joined "
+    "back (never a window) — everything after the first agg is "
+    "dimension-sized.",
+    oracle=f"""
+        WITH t AS (
+            SELECT source,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                       AS n_tokens
+            FROM documents GROUP BY source
+        ),
+        tot AS (SELECT SUM(n_tokens) AS total FROM t),
+        x AS (
+            SELECT t.source, t.n_tokens,
+                   alpha,
+                   POW(t.n_tokens * 1.0 / tot.total, alpha) AS pa
+            FROM t
+            CROSS JOIN tot
+            CROSS JOIN (
+                SELECT UNNEST([{", ".join(_MIX_ALPHAS)}]) AS alpha
+            )
+        ),
+        z AS (
+            SELECT alpha AS za, SUM(pa) AS zsum FROM x GROUP BY alpha
+        )
+        SELECT
+            CAST(ROUND(x.alpha, 1) AS DOUBLE) AS alpha,
+            x.source,
+            x.n_tokens,
+            CAST(ROUND(x.n_tokens * 1.0 / tot.total, 8) AS DOUBLE)
+                AS p_natural,
+            CAST(ROUND(x.pa / z.zsum, 8) AS DOUBLE) AS weight,
+            CAST(ROUND((x.pa / z.zsum) /
+                       (x.n_tokens * 1.0 / tot.total), 6) AS DOUBLE)
+                AS boost
+        FROM x JOIN z ON x.alpha = z.za
+        CROSS JOIN tot
+        ORDER BY alpha, x.source
+    """,
+)
+def q_k103_temperature_mixing_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = docs.groupBy("source").agg(
+        F.sum(n_words(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    tot = t.agg(F.sum("n_tokens").alias("total"))
+    alphas = F.array(*[F.lit(float(a)) for a in _MIX_ALPHAS])
+    x = (
+        t.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            F.explode(alphas).alias("alpha"),
+            F.pow(F.col("n_tokens") / F.col("total"), F.col("alpha")).alias("pa"),
+            (F.col("n_tokens") / F.col("total")).alias("p_raw"),
+        )
+    )
+    z = x.groupBy(F.col("alpha").alias("za")).agg(F.sum("pa").alias("zsum"))
+    return (
+        x.join(F.broadcast(z), x.alpha == z.za)
+        .select(
+            F.round("alpha", 1).cast("double").alias("alpha"),
+            "source",
+            "n_tokens",
+            F.round("p_raw", 8).cast("double").alias("p_natural"),
+            F.round(F.col("pa") / F.col("zsum"), 8)
+            .cast("double")
+            .alias("weight"),
+            F.round((F.col("pa") / F.col("zsum")) / F.col("p_raw"), 6)
+            .cast("double")
+            .alias("boost"),
+        )
+        .orderBy("alpha", "source")
+    )
+
+
+PSI_T_BUCKETS = 128
+
+
+@register(
+    "q_k104_temporal_drift_psi",
+    family="K",
+    doc="K-104 within-source temporal drift: population-stability "
+    "index of each source's unigram distribution between the FIRST "
+    "and SECOND ingestion half (doc_id order; the k101 time axis) — "
+    "q_k38 compares source cohorts at one moment, this catches a "
+    "single source whose own content shifted mid-crawl (site "
+    "redesign, spam injection, template change) before it poisons a "
+    f"mix. Distributions md5-bucketed to {PSI_T_BUCKETS} cells "
+    "(q_k54/q_k94 hashing — table stays sources x 128 whatever the "
+    "vocabulary), Laplace-smoothed, per-cell contributions 8dp-"
+    "rounded then DECIMAL-summed per source (q_k27/q_k38 bit-"
+    "stability convention). Plan: one corpus token pass to the "
+    "(source, half, bucket) table, scalar max broadcast for the "
+    "halfway point, everything after dimension-sized.",
+    oracle=f"""
+        WITH mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+        tok AS (
+            SELECT d.source,
+                   CASE WHEN d.doc_id * 2 <= mx.mx THEN 0 ELSE 1 END AS half,
+                   CAST(('0x' || substr(md5('tpsi' || w.wd), 1, 8)) AS UBIGINT)
+                       % {PSI_T_BUCKETS} AS b
+            FROM documents d
+            CROSS JOIN mx,
+            UNNEST(string_split(d.text, ' ')) AS w(wd)
+        ),
+        cnt AS (
+            SELECT source, b,
+                   COUNT(*) FILTER (WHERE half = 0) AS n1,
+                   COUNT(*) FILTER (WHERE half = 1) AS n2
+            FROM tok GROUP BY source, b
+        ),
+        tot AS (
+            SELECT source,
+                   CAST(SUM(n1) AS BIGINT) AS t1,
+                   CAST(SUM(n2) AS BIGINT) AS t2
+            FROM cnt GROUP BY source
+        ),
+        contrib AS (
+            SELECT c.source, t.t1, t.t2,
+                   ROUND(((c.n1 + 1.0) / (t.t1 + {PSI_T_BUCKETS})
+                          - (c.n2 + 1.0) / (t.t2 + {PSI_T_BUCKETS}))
+                         * ln(((c.n1 + 1.0) / (t.t1 + {PSI_T_BUCKETS}))
+                              / ((c.n2 + 1.0) / (t.t2 + {PSI_T_BUCKETS}))),
+                         8) AS v
+            FROM cnt c JOIN tot t USING (source)
+        )
+        SELECT source,
+               t1 AS tokens_h1,
+               t2 AS tokens_h2,
+               CAST(SUM(CAST(v AS DECIMAL(18,8))) AS DOUBLE) AS psi
+        FROM contrib
+        GROUP BY source, t1, t2
+        ORDER BY source
+    """,
+)
+def q_k104_temporal_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_publisher_spark.operators.cm import md5_bucket
+
+    docs = load(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("doc_id").alias("mx"))
+    tok = (
+        docs.crossJoin(F.broadcast(mx))
+        .select(
+            "source",
+            F.when(F.col("doc_id") * 2 <= F.col("mx"), 0).otherwise(1).alias("half"),
+            F.explode(words(F.col("text"))).alias("wd"),
+        )
+        .select(
+            "source",
+            "half",
+            md5_bucket(F.col("wd"), "tpsi", PSI_T_BUCKETS).alias("b"),
+        )
+    )
+    cnt = tok.groupBy("source", "b").agg(
+        F.count(F.when(F.col("half") == 0, 1)).alias("n1"),
+        F.count(F.when(F.col("half") == 1, 1)).alias("n2"),
+    )
+    tot = cnt.groupBy("source").agg(
+        F.sum("n1").cast("long").alias("t1"),
+        F.sum("n2").cast("long").alias("t2"),
+    )
+    B = float(PSI_T_BUCKETS)
+    p = (F.col("n1") + 1.0) / (F.col("t1") + B)
+    q = (F.col("n2") + 1.0) / (F.col("t2") + B)
+    v = F.round((p - q) * F.log(p / q), 8)
+    return (
+        cnt.join(F.broadcast(tot), "source")
+        .groupBy("source", F.col("t1").alias("tokens_h1"), F.col("t2").alias("tokens_h2"))
+        .agg(F.sum(v.cast("decimal(18,8)")).cast("double").alias("psi"))
+        .orderBy("source")
+    )
+
+
+_VOCAB_BUDGETS = (1000, 10000, 100000)
+
+
+@register(
+    "q_k105_vocab_coverage_curve",
+    family="K",
+    doc="K-105 vocabulary coverage curve: for each candidate "
+    "vocabulary budget V (1k/10k/100k), the exact token mass covered "
+    "by the top-V words by frequency (ties broken by word, both "
+    "engines) — the table read before fixing a tokenizer vocab size "
+    "or an OOV strategy; the complement of each row is the UNK "
+    "rate a word-level model would eat. Exact BIGINTs (consumers "
+    "form coverage ratios). Plan: the k26 word-frequency aggregate "
+    "(vocab-sized, map-side partial), a TakeOrderedAndProject top-"
+    "max(V) head — the ONLY single-task step, bounded by the "
+    "constant 100k however large the vocabulary — then a rank + "
+    "running-sum window over that bounded head and a 3-way cutoff "
+    "join. Never a global window over the full vocab table.",
+    oracle=f"""
+        WITH tok AS (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        ),
+        tf AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY w
+        ),
+        tot AS (
+            SELECT CAST(SUM(tf) AS BIGINT) AS total_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_types
+            FROM tf
+        ),
+        ranked AS (
+            SELECT tf, ROW_NUMBER() OVER (ORDER BY tf DESC, w) AS r
+            FROM tf
+        ),
+        cuts AS (
+            SELECT UNNEST([{", ".join(str(v) for v in _VOCAB_BUDGETS)}])
+                AS v_budget
+        )
+        SELECT CAST(c.v_budget AS BIGINT) AS v_budget,
+               tot.n_types,
+               tot.total_tokens,
+               CAST(SUM(CASE WHEN ranked.r <= c.v_budget
+                             THEN ranked.tf ELSE 0 END) AS BIGINT)
+                   AS covered_tokens
+        FROM ranked CROSS JOIN cuts c CROSS JOIN tot
+        GROUP BY c.v_budget, tot.n_types, tot.total_tokens
+        ORDER BY v_budget
+    """,
+)
+def q_k105_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(words(F.col("text"))).alias("w"))
+    tf = tok.groupBy("w").agg(F.count("*").cast("long").alias("tf"))
+    tot = tf.agg(
+        F.sum("tf").cast("long").alias("total_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+    )
+    head = tf.orderBy(F.col("tf").desc(), "w").limit(max(_VOCAB_BUDGETS))
+    wspec = (
+        W.orderBy(F.col("tf").desc(), "w")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ranked = head.select(
+        F.row_number().over(wspec).alias("r"),
+        F.sum("tf").over(wspec).cast("long").alias("cum"),
+    )
+    cuts = ranked.sparkSession.range(1).select(
+        F.explode(
+            F.array(*[F.lit(v).cast("long") for v in _VOCAB_BUDGETS])
+        ).alias("v_budget")
+    )
+    covered = (
+        ranked.crossJoin(F.broadcast(cuts))
+        .filter(F.col("r") <= F.col("v_budget"))
+        .groupBy("v_budget")
+        .agg(F.max("cum").cast("long").alias("covered_tokens"))
+    )
+    return (
+        cuts.join(covered, "v_budget", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "v_budget",
+            "n_types",
+            "total_tokens",
+            F.coalesce("covered_tokens", F.lit(0)).cast("long").alias(
+                "covered_tokens"
+            ),
+        )
+        .orderBy("v_budget")
+    )

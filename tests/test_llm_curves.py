@@ -134,3 +134,93 @@ def test_k102_boilerplate_prefix_by_hand(spark, tmp_path):
     assert web.total_tokens == 11 + 10 + 10
     clean = out["clean"]
     assert clean.n_boilerplate_docs == 0 and clean.n_docs == 1
+
+
+def test_k103_temperature_mixing_by_hand(spark, tmp_path):
+    # sources with 90 and 10 tokens -> p = .9/.1
+    big = " ".join(f"b{i}" for i in range(90))
+    small = " ".join(f"s{i}" for i in range(10))
+    sf = _mini_corpus(spark, tmp_path, [(0, big, "big"), (1, small, "small")])
+    out = {
+        (float(r.alpha), r.source): r
+        for r in all_specs()["q_k103_temperature_mixing_weights"]
+        .spark(spark, sf)
+        .collect()
+    }
+    # alpha=1.0 is the natural-proportion control: w == p, boost == 1
+    assert out[(1.0, "big")].weight == 0.9
+    assert out[(1.0, "small")].weight == 0.1
+    assert out[(1.0, "big")].boost == 1.0
+    # alpha=0.5: w_small = sqrt(.1)/(sqrt(.9)+sqrt(.1)) ~ 0.25 — the
+    # low-resource source is up-weighted, the big one down-weighted
+    import math
+
+    z = math.sqrt(0.9) + math.sqrt(0.1)
+    assert abs(out[(0.5, "small")].weight - math.sqrt(0.1) / z) < 1e-7
+    assert out[(0.5, "small")].boost > 1.0 > out[(0.5, "big")].boost
+    # weights sum to 1 at every alpha
+    for a in (0.3, 0.5, 0.7, 1.0):
+        s = out[(a, "big")].weight + out[(a, "small")].weight
+        assert abs(s - 1.0) < 1e-7
+
+
+def test_k104_temporal_psi_zero_when_halves_identical(spark, tmp_path):
+    # doc_ids 0..3, max=9? no — max=3, half split at doc_id*2 <= 3:
+    # docs 0,1 are h1; 2,3 are h2. Same text both halves -> PSI 0.
+    same = "alpha beta gamma delta"
+    drifted_a = "one one one one one one"
+    drifted_b = "two two two two two two"
+    sf = _mini_corpus(
+        spark,
+        tmp_path,
+        [
+            (0, same, "stable"),
+            (1, drifted_a, "drifty"),
+            (2, same, "stable"),
+            (3, drifted_b, "drifty"),
+        ],
+    )
+    out = {
+        r.source: r
+        for r in all_specs()["q_k104_temporal_drift_psi"].spark(spark, sf).collect()
+    }
+    stable = out["stable"]
+    assert stable.tokens_h1 == stable.tokens_h2 == 4
+    assert stable.psi == 0.0  # identical distributions, exactly
+    drifty = out["drifty"]
+    # disjoint vocab across halves: strictly positive drift signal
+    assert drifty.psi > 0.1
+    assert drifty.tokens_h1 == drifty.tokens_h2 == 6
+
+
+def test_k105_vocab_coverage_by_hand(spark, tmp_path):
+    # tf: a:5 b:3 c:1 d:1 -> total 10, types 4; cutoffs cover all here,
+    # so pin the CUMULATIVE math with a corpus where ranks matter via
+    # the tie-break (c before d alphabetically at tf=1)
+    text = "a a a a a b b b c d"
+    sf = _mini_corpus(spark, tmp_path, [(0, text, "s")])
+    rows = {
+        r.v_budget: r
+        for r in all_specs()["q_k105_vocab_coverage_curve"].spark(spark, sf).collect()
+    }
+    for v, r in rows.items():
+        assert r.n_types == 4 and r.total_tokens == 10
+        assert r.covered_tokens == 10  # every budget >= vocab size
+    assert sorted(rows) == [1000, 10000, 100000]
+
+
+def test_k105_cutoff_below_vocab_counts_top_ranked_only(spark, tmp_path):
+    # 1500 types: "xx" appears twice, w0000..w1498 once each. At
+    # V=1000 the head is xx (tf 2) + the 999 alphabetically-first
+    # singletons (the deterministic tf-desc, word-asc tie-break):
+    # covered = 2 + 999.
+    singles = [f"w{i:04d}" for i in range(1499)]
+    text = "xx xx " + " ".join(singles)
+    sf = _mini_corpus(spark, tmp_path, [(0, text, "s")])
+    rows = {
+        r.v_budget: r
+        for r in all_specs()["q_k105_vocab_coverage_curve"].spark(spark, sf).collect()
+    }
+    assert rows[1000].n_types == 1500 and rows[1000].total_tokens == 1501
+    assert rows[1000].covered_tokens == 2 + 999
+    assert rows[10000].covered_tokens == 1501  # budget exceeds vocab
