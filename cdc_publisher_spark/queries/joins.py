@@ -632,3 +632,143 @@ def q_c15_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey", "s_name")
     )
+
+
+@register(
+    "q_c16_small_quantity_revenue",
+    family="C",
+    doc="TPC-H Q17 shape (small-quantity-order revenue): per brand, "
+    "lineitems whose quantity is below 20% of that part's average "
+    "quantity — the classic correlated-aggregate decorrelation: the "
+    "per-part average becomes ONE hash aggregate joined back on the "
+    "part key, never a per-row subquery re-execution. The 20%% "
+    "threshold is evaluated in EXACT integer algebra (5*qty*cnt < "
+    "sum_qty; l_quantity is integral, so both engines compare the "
+    "same integers — no float-boundary row flips), and revenue is "
+    "DECIMAL-summed before the final double (q_d1 convention). "
+    "reference parity: the engine's other correlated-agg shapes are "
+    "c8 (scalar subquery) and c15 (Q2 min); this adds the "
+    "threshold-FILTER form at lineitem scale.",
+    oracle="""
+        WITH pa AS (
+            SELECT l_partkey,
+                   CAST(SUM(l_quantity) AS BIGINT) AS sum_q,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT p.p_brand,
+               CAST(COUNT(*) AS BIGINT) AS n_small,
+               CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)))
+                          / 7.0, 2) AS DOUBLE) AS avg_yearly
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN pa ON pa.l_partkey = l.l_partkey
+        WHERE CAST(l.l_quantity * 5 AS BIGINT) * pa.cnt < pa.sum_q
+        GROUP BY p.p_brand
+        ORDER BY p.p_brand
+    """,
+)
+def q_c16_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    pa = li.groupBy("l_partkey").agg(
+        F.sum("l_quantity").cast("long").alias("sum_q"),
+        F.count("*").cast("long").alias("cnt"),
+    )
+    return (
+        li.join(pa, "l_partkey")
+        .filter((F.col("l_quantity") * 5).cast("long") * F.col("cnt") < F.col("sum_q"))
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n_small"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")) / 7.0, 2
+            )
+            .cast("double")
+            .alias("avg_yearly"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "q_c17_idle_rich_customers",
+    family="C",
+    doc="TPC-H Q22 shape (global-sales-opportunity): customers whose "
+    "account balance exceeds the average POSITIVE balance and who "
+    "have placed no order since 2001-01-01 (the fixture's trailing "
+    "seven months -- Q22's no-orders test against a corpus where "
+    "every customer has SOME order history), grouped by nation. "
+    "Three decorrelation "
+    "moves in one query: the global scalar aggregate broadcasts as a "
+    "1-row frame, the NOT EXISTS becomes a left-anti join on the "
+    "order key, and the nation rollup runs on the surviving "
+    "customer-sized frame. The balance threshold is compared in "
+    "EXACT integer cents (bal*100*n_pos > sum_cents, both engines "
+    "round identically) so no float-boundary customer flips sides; "
+    "the reported balance total is DECIMAL-summed (q_d1 convention).",
+    oracle="""
+        WITH cents AS (
+            SELECT c_custkey, c_nationkey,
+                   CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c
+            FROM customer
+        ),
+        avg_pos AS (
+            SELECT CAST(SUM(bal_c) AS BIGINT) AS sum_c,
+                   CAST(COUNT(*) AS BIGINT) AS n_pos
+            FROM cents WHERE bal_c > 0
+        )
+        SELECT n.n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_idle_rich,
+               CAST(ROUND(SUM(CAST(c.bal_c AS DECIMAL(18,0))) / 100.0, 2)
+                    AS DOUBLE) AS total_balance
+        FROM cents c
+        CROSS JOIN avg_pos
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        WHERE c.bal_c * avg_pos.n_pos > avg_pos.sum_c
+          AND NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+          )
+        GROUP BY n.n_name
+        ORDER BY n.n_name
+    """,
+)
+def q_c17_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    nation = load(spark, sf_dir, "nation")
+    cents = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+    )
+    avg_pos = cents.filter(F.col("bal_c") > 0).agg(
+        F.sum("bal_c").cast("long").alias("sum_c"),
+        F.count("*").cast("long").alias("n_pos"),
+    )
+    return (
+        cents.crossJoin(F.broadcast(avg_pos))
+        .filter(F.col("bal_c") * F.col("n_pos") > F.col("sum_c"))
+        .join(
+            orders.filter(
+                F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp")
+            ).select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_idle_rich"),
+            F.round(F.sum(F.col("bal_c").cast("decimal(18,0)")) / 100.0, 2)
+            .cast("double")
+            .alias("total_balance"),
+        )
+        .orderBy("n_name")
+    )
