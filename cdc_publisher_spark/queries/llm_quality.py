@@ -1156,6 +1156,10 @@ _VOCAB_BUDGETS = (1000, 10000, 100000)
 @register(
     "q_k105_vocab_coverage_curve",
     family="K",
+    bench=True,  # the round-10 precedent of k90: the TakeOrdered
+    # bounded-head + constant-frame-window shape is this round's
+    # newest nontrivial plan and deserves a cross-round bench trace,
+    tags=(),
     doc="K-105 vocabulary coverage curve: for each candidate "
     "vocabulary budget V (1k/10k/100k), the exact token mass covered "
     "by the top-V words by frequency (ties broken by word, both "
