@@ -436,6 +436,13 @@ def resolve_round_ref(here: str, ref: str) -> str:
     breadcrumb: the ``round N: verdict/advice/correctness/bench``
     commit, whose tree is the round-N source plus judge artifacts
     (bench-identical). Any other ref passes through untouched.
+
+    The fallback scans FIRST-PARENT history reachable from HEAD only
+    (r10 ADVICE): ``--all`` ordered reverse-chronologically would let a
+    stale or experimental branch carrying a same-named commit silently
+    hijack the baseline to the wrong tree; first-parent-from-HEAD is
+    exactly the driver's own commit line, where round breadcrumbs are
+    unique by construction.
     """
     import subprocess
 
@@ -450,7 +457,7 @@ def resolve_round_ref(here: str, ref: str) -> str:
     if probe.returncode == 0:
         return ref
     log = subprocess.run(
-        ["git", "-C", here, "log", "--format=%H %s", "--all"],
+        ["git", "-C", here, "log", "--first-parent", "--format=%H %s", "HEAD"],
         capture_output=True,
         text=True,
         check=True,

@@ -720,7 +720,14 @@ PARA_TOKENS = 8
     "ever computed, the q_k18 exact-integer convention). Plan: one "
     "bounded explode (len/8 rows per doc), blocks built by array "
     "SLICE not per-token explode, counts per (doc, block-hash) — "
-    "always partitioned by doc content, never a global window.",
+    "always partitioned by doc content, never a global window. "
+    "Collision contract (the k88/k90 convention): blocks group by "
+    "xxhash64(para) while the oracle groups by paragraph TEXT, so an "
+    "IN-DOCUMENT 64-bit collision would undercount n_distinct by one "
+    "and surface as an oracle mismatch, never silently — expected "
+    "collision mass per doc is C(n_paras,2)/2^64, ~1e-14 even for a "
+    "100M-token document, and cross-doc collisions are irrelevant "
+    "because the hash never leaves the (doc_id, source) group.",
     oracle=f"""
         WITH w AS (
             SELECT doc_id, source, string_split(text, ' ') AS ws
@@ -803,7 +810,13 @@ def q_k95_duplicate_paragraph_fraction(
     "n-grams built by array transform over the split-once token array "
     "(no per-token window, no posexplode), one hash agg per order with "
     "map-side partial distinct, three tiny per-source frames joined at "
-    "the end. The distinct shuffle carries (source, gram) pairs — "
+    "the end. Oracle-side cap (r10 ADVICE, guarded not silent): the "
+    "DuckDB oracle builds n-gram positions via generate_series(1, "
+    "100000) — positions past 100k tokens/doc would silently drop "
+    "while the Spark transform is unbounded, so the suite pins "
+    "max(len(ws)) << 100000 on every fixture the oracle runs against "
+    "(tests/test_oracle_series_cap.py); a fixture that outgrows the "
+    "cap fails THAT test loudly instead of hash-diverging here. The distinct shuffle carries (source, gram) pairs — "
     "gram strings stay because the oracle needs exact distinct "
     "semantics (k26 convention); the declared 100 TB variant swaps in "
     "xxhash64(gram) keys (8-byte shuffle, collision mass V^2/2^65 — "
@@ -1070,7 +1083,14 @@ PSI_T_BUCKETS = 128
     "rounded then DECIMAL-summed per source (q_k27/q_k38 bit-"
     "stability convention). Plan: one corpus token pass to the "
     "(source, half, bucket) table, scalar max broadcast for the "
-    "halfway point, everything after dimension-sized.",
+    "halfway point, everything after dimension-sized. Smoothing "
+    "semantics (r10 ADVICE, documented not changed to keep the oracle "
+    "text stable): contributions sum over the (source, bucket) cells "
+    "OCCUPIED in at least one half — buckets empty in BOTH halves are "
+    "dropped rather than contributing their (nonzero when t1 != t2) "
+    "Laplace-only term; both engines drop the same cells, so parity "
+    "is exact, and the metric is 'PSI over occupied cells' rather "
+    "than a dense 128-cell PSI when halves are unbalanced.",
     oracle=f"""
         WITH mx AS (SELECT MAX(doc_id) AS mx FROM documents),
         tok AS (

@@ -78,3 +78,45 @@ def test_resolve_round_ref_unknown_round_raises():
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with _pytest.raises(SystemExit, match="r9999"):
         bench.resolve_round_ref(here, "r9999")
+
+
+def test_resolve_round_ref_ignores_side_branch_commits(tmp_path):
+    """r10 ADVICE: the fallback must scan first-parent history from
+    HEAD, not ``--all`` — a stale experimental branch carrying a
+    same-named 'round N: verdict' commit (newer, so first in a
+    reverse-chronological --all scan) must NOT hijack the baseline."""
+    import subprocess
+
+    repo = str(tmp_path / "r")
+
+    def git(*a):
+        subprocess.run(
+            ["git", *a], cwd=repo, check=True, capture_output=True,
+            env={
+                "GIT_AUTHOR_NAME": "t", "GIT_AUTHOR_EMAIL": "t@t",
+                "GIT_COMMITTER_NAME": "t", "GIT_COMMITTER_EMAIL": "t@t",
+                "PATH": os.environ["PATH"],
+                "GIT_CONFIG_GLOBAL": "/dev/null",
+                "GIT_CONFIG_SYSTEM": "/dev/null",
+            },
+        )
+
+    import os
+    os.makedirs(repo)
+    git("init", "-b", "main")
+    (tmp_path / "r" / "f").write_text("1")
+    git("add", "f")
+    git("commit", "-m", "round 7: verdict/advice/correctness/bench")
+    main_sha = subprocess.run(
+        ["git", "rev-parse", "HEAD"], cwd=repo, capture_output=True,
+        text=True, check=True,
+    ).stdout.strip()
+    # a side branch with a NEWER same-named commit and a different tree
+    git("checkout", "-b", "stale")
+    (tmp_path / "r" / "f").write_text("2")
+    git("commit", "-am", "round 7: verdict/advice/correctness/bench")
+    git("checkout", "main")
+    (tmp_path / "r" / "f").write_text("3")
+    git("commit", "-am", "later work on main")
+
+    assert bench.resolve_round_ref(repo, "r7") == main_sha
