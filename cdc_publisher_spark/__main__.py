@@ -23,21 +23,15 @@ is the engine's equivalent surface, thin wrappers over the library:
                             (streaming/monitor_suite.py); --once drains
                             then exits, --maintain adds one commits-
                             log-watermarked maintenance pass
-  compact --corpus D --index D --pairs D --upto-batch N [--vacuum]
-                            compact incremental-dedup state dirs to a
-                            batch watermark (idempotent, crash-safe;
-                            superseded dirs deleted only with --vacuum)
-  compact-hll --state D --upto-batch N [--group-col C] [--vacuum]
-                            pre-merge HLL monitor register state to a
-                            batch watermark and print the per-group
-                            distinct estimates
-  compact-cm --state D --upto-batch N [--group-cols C1,C2] [--vacuum]
-                            pre-sum count-min monitor counter state to
-                            a batch watermark and print cell totals
-  compact-exposure --state D --upto-batch N [--vacuum]
-                            pre-sum rare-gram exposure monitor state to
-                            a batch watermark and print the per-source
-                            exposure report
+  compact / compact-hll / compact-cm / compact-exposure
+                            DEPRECATED aliases (VERDICT r10 ask #5):
+                            each now prints a notice and delegates to
+                            the one maintenance path (run_maintenance
+                            on the given dir(s), merge selected by the
+                            dir's _layout. marker) then prints the same
+                            per-monitor summary. Use `maintain
+                            --state-root D --upto-batch N [--vacuum]`
+                            instead; aliases kept for one round
   maintain --state-root D [--upto-batch N | --checkpoint C |
            --assume-all-committed] [--vacuum [--grace N]] [--dry-run]
                             one scheduled-job maintenance pass: discover
@@ -228,20 +222,46 @@ def cmd_monitors(args) -> int:
     return 0
 
 
-def cmd_compact(args) -> int:
-    from cdc_publisher_spark.streaming.incremental_dedup import (
-        compact_dedup_state,
-        read_dedup_state,
+def _deprecated_compact(spark, dirs: list[str], upto_batch: int, vacuum: bool,
+                        legacy: str) -> None:
+    """Shared body of the four legacy ``compact*`` subcommands
+    (VERDICT r10 ask #5): each is now a deprecation notice plus a
+    delegation to the ONE maintenance path — ``run_maintenance`` on
+    each given dir, whose ``_layout.`` marker (or full-signature
+    schema fallback for pre-marker state) selects the same merge the
+    per-monitor helpers hard-coded. Kept as aliases for one round;
+    the replacement is ``maintain --state-root <root> --upto-batch N
+    [--vacuum]`` over the common parent."""
+    from cdc_publisher_spark.streaming.maintenance import run_maintenance
+
+    print(
+        f"# deprecated: `{legacy}` is an alias for `maintain` now — use "
+        f"`maintain --state-root <root> --upto-batch {upto_batch}"
+        f"{' --vacuum' if vacuum else ''}` over the state root instead",
+        file=sys.stderr,
     )
+    for d in dirs:
+        plans = run_maintenance(
+            spark, d, upto_batch=upto_batch, vacuum=vacuum
+        )
+        for p in plans:
+            if p.kind == "unrecognized":
+                raise SystemExit(
+                    f"{p.path}: no layout marker and no schema match — "
+                    f"not a recognized state dir ({p.note})"
+                )
+
+
+def cmd_compact(args) -> int:
+    from cdc_publisher_spark.streaming.incremental_dedup import read_dedup_state
 
     spark = _session()
-    compact_dedup_state(
+    _deprecated_compact(
         spark,
-        args.corpus,
-        args.index,
-        args.pairs,
-        upto_batch=args.upto_batch,
-        vacuum=args.vacuum,
+        [args.corpus, args.index, args.pairs],
+        args.upto_batch,
+        args.vacuum,
+        "compact",
     )
     for label, d in (("corpus", args.corpus), ("index", args.index), ("pairs", args.pairs)):
         print(f"{label}: {read_dedup_state(spark, d).count()} rows")
@@ -249,18 +269,11 @@ def cmd_compact(args) -> int:
 
 
 def cmd_compact_hll(args) -> int:
-    from cdc_publisher_spark.streaming.hll_monitor import (
-        compact_hll_state,
-        hll_state_estimate,
-    )
+    from cdc_publisher_spark.streaming.hll_monitor import hll_state_estimate
 
     spark = _session()
-    compact_hll_state(
-        spark,
-        args.state,
-        upto_batch=args.upto_batch,
-        group_col=args.group_col,
-        vacuum=args.vacuum,
+    _deprecated_compact(
+        spark, [args.state], args.upto_batch, args.vacuum, "compact-hll"
     )
     est = hll_state_estimate(spark, args.state, args.group_col)
     for r in est.orderBy(args.group_col).collect():
@@ -269,20 +282,13 @@ def cmd_compact_hll(args) -> int:
 
 
 def cmd_compact_cm(args) -> int:
-    from cdc_publisher_spark.streaming.cm_monitor import (
-        compact_cm_state,
-        read_cm_cells,
-    )
+    from cdc_publisher_spark.streaming.cm_monitor import read_cm_cells
 
     spark = _session()
-    gcols = args.group_cols.split(",") if args.group_cols else []
-    compact_cm_state(
-        spark,
-        args.state,
-        upto_batch=args.upto_batch,
-        group_cols=gcols,
-        vacuum=args.vacuum,
+    _deprecated_compact(
+        spark, [args.state], args.upto_batch, args.vacuum, "compact-cm"
     )
+    gcols = args.group_cols.split(",") if args.group_cols else []
     cells = read_cm_cells(spark, args.state, gcols)
     from pyspark.sql import functions as F
 
@@ -292,17 +298,11 @@ def cmd_compact_cm(args) -> int:
 
 
 def cmd_compact_exposure(args) -> int:
-    from cdc_publisher_spark.streaming.exposure_monitor import (
-        compact_exposure_state,
-        read_exposure_report,
-    )
+    from cdc_publisher_spark.streaming.exposure_monitor import read_exposure_report
 
     spark = _session()
-    compact_exposure_state(
-        spark,
-        args.state,
-        upto_batch=args.upto_batch,
-        vacuum=args.vacuum,
+    _deprecated_compact(
+        spark, [args.state], args.upto_batch, args.vacuum, "compact-exposure"
     )
     rep = read_exposure_report(spark, args.state)
     for r in rep.collect():
@@ -406,8 +406,8 @@ def main(argv: list[str] | None = None) -> int:
 
     sp = sub.add_parser(
         "compact",
-        help="compact incremental-dedup state dirs up to a batch watermark "
-        "(crash-safe manifest flip; see streaming/incremental_dedup.py)",
+        help="DEPRECATED alias for `maintain` scoped to the three dedup "
+        "dirs (delegates to run_maintenance; use maintain --state-root)",
     )
     sp.add_argument("--corpus", required=True)
     sp.add_argument("--index", required=True)
@@ -424,8 +424,8 @@ def main(argv: list[str] | None = None) -> int:
 
     sp = sub.add_parser(
         "compact-hll",
-        help="pre-merge HLL monitor register state up to a batch watermark "
-        "and print per-group distinct estimates (streaming/hll_monitor.py)",
+        help="DEPRECATED alias for `maintain` scoped to one HLL state dir "
+        "(delegates to run_maintenance; use maintain --state-root)",
     )
     sp.add_argument("--state", required=True)
     sp.add_argument("--upto-batch", type=int, required=True)
@@ -440,8 +440,8 @@ def main(argv: list[str] | None = None) -> int:
 
     sp = sub.add_parser(
         "compact-cm",
-        help="pre-sum count-min monitor counter state up to a batch "
-        "watermark and print the merged cell totals (streaming/cm_monitor.py)",
+        help="DEPRECATED alias for `maintain` scoped to one count-min state "
+        "dir (delegates to run_maintenance; use maintain --state-root)",
     )
     sp.add_argument("--state", required=True)
     sp.add_argument("--upto-batch", type=int, required=True)
@@ -460,9 +460,8 @@ def main(argv: list[str] | None = None) -> int:
 
     sp = sub.add_parser(
         "compact-exposure",
-        help="pre-sum rare-gram exposure monitor state up to a batch "
-        "watermark and print the per-source report "
-        "(streaming/exposure_monitor.py)",
+        help="DEPRECATED alias for `maintain` scoped to one exposure state "
+        "dir (delegates to run_maintenance; use maintain --state-root)",
     )
     sp.add_argument("--state", required=True)
     sp.add_argument("--upto-batch", type=int, required=True)

@@ -104,7 +104,11 @@ def test_cli_compact_dedup_state(spark, tmp_path, capsys):
         "compact", "--corpus", dirs[0], "--index", dirs[1],
         "--pairs", dirs[2], "--upto-batch", "1", "--vacuum",
     ]) == 0
-    out = capsys.readouterr().out
+    cap = capsys.readouterr()
+    out = cap.out
+    # r10 ask #5: the legacy subcommand is a deprecated alias that
+    # delegates to the one maintenance path
+    assert "deprecated" in cap.err and "maintain" in cap.err
     assert "corpus: 3 rows" in out and "pairs:" in out
     assert all(k > 1 for k, _ in batch_dirs(spark, dirs[2]))
     after = sorted(map(tuple, read_dedup_state(spark, dirs[2]).collect()))
@@ -130,7 +134,9 @@ def test_cli_compact_hll_state(spark, tmp_path, capsys):
         hll_micro_batch(rows.filter(F.crc32("s") % 2 == b), b, state)
     before = sorted((r.source, r.bucket, r.M) for r in read_hll_registers(spark, state).collect())
     assert main(["compact-hll", "--state", state, "--upto-batch", "1"]) == 0
-    out = capsys.readouterr().out
+    cap = capsys.readouterr()
+    out = cap.out
+    assert "deprecated" in cap.err and "maintain" in cap.err
     assert "srcA: ~" in out and "srcB: ~" in out
     after = sorted((r.source, r.bucket, r.M) for r in read_hll_registers(spark, state).collect())
     assert after == before
