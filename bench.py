@@ -140,9 +140,11 @@ def main() -> None:
     # A subset run is a targeted query A/B — the streaming pipeline
     # bench would only add minutes of identical work to both sides.
     if only:
-        streaming_rps, cdc_metrics = None, None
+        streaming_rps, cdc_metrics, suite_rps = None, None, None
     else:
         streaming_rps, cdc_metrics = _bench_streaming(spark, sf_dir)
+        _session_gc(spark)
+        suite_rps = _bench_monitor_suite(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -156,6 +158,11 @@ def main() -> None:
                 "agg": "median",
                 "sf": float(sf),
                 "streaming_rows_per_sec": streaming_rps,
+                # the composed seven-monitor job (streaming/monitor_suite.py)
+                # — the engine's flagship streaming artifact, measured so
+                # monitor-layer regressions are visible the way batch/CDC
+                # ones are (VERDICT r10 ask #1)
+                "monitor_suite_rows_per_sec": suite_rps,
                 # the reference's four instrumented metrics (BASELINE.md):
                 # dequeue/enqueue counts via observe(), latency per batch,
                 # live-route gauge from the registry shape
@@ -247,6 +254,69 @@ def _bench_streaming(spark, sf_dir: str):
             "active_routes": 1,  # one topic route live in this pipeline
         }
         return round(n_rows / elapsed, 1), metrics
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+
+
+def _bench_monitor_suite(spark, sf_dir: str) -> float:
+    """Composed seven-monitor suite throughput (VERDICT r10 ask #1).
+
+    The corpus-stream shape tests/test_monitor_suite.py drives —
+    documents ⋈ embeddings (doc_id == vec_id, so every row carries
+    label+embedding and ALL seven consumers run, drift included) —
+    written once as a fixed 8-file parquet stream and drained through
+    streaming/monitor_suite.py at maxFilesPerTrigger=2: exactly 4
+    triggers regardless of sf. Figure = rows/s over the drain, median
+    of BENCH_RUNS runs, each against a FRESH state root + checkpoint
+    (dedup state accumulating across runs would make later runs probe
+    a larger index and understate throughput). A small warm-up drain
+    first, same rationale as the CDC streaming bench: the timed runs
+    measure the engine, not stream-query setup + codegen compilation.
+    """
+    from pyspark.sql import functions as F
+
+    from cdc_publisher_spark.streaming.monitor_suite import stream_monitor_suite
+    from cdc_publisher_spark.tables import load
+
+    wd = tempfile.mkdtemp(prefix="cdc_bench_suite_")
+    try:
+        docs = (
+            load(spark, sf_dir, "documents")
+            .join(
+                load(spark, sf_dir, "embeddings"),
+                F.col("doc_id") == F.col("vec_id"),
+            )
+            .select("doc_id", "text", "source", "label", "embedding")
+        )
+        src = os.path.join(wd, "src")
+        docs.withColumn(
+            "part", F.pmod("doc_id", F.lit(8)).cast("int")
+        ).repartition("part").write.partitionBy("part").parquet(src)
+        data_glob = f"{src}/part=*"
+        n_rows = spark.read.parquet(data_glob).count()
+        schema = spark.read.parquet(data_glob).schema
+
+        def drain(tag: str, max_files: str) -> float:
+            root = os.path.join(wd, f"state_{tag}")
+            ckpt = os.path.join(wd, f"ckpt_{tag}")
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", max_files)
+                .parquet(data_glob)
+            )
+            t0 = time.perf_counter()
+            q = stream_monitor_suite(stream, root, ckpt)
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            return time.perf_counter() - t0
+
+        drain("warm", "8")  # one-trigger warm-up drain
+        samples = [
+            n_rows / drain(f"run{i}", "2") for i in range(BENCH_RUNS)
+        ]
+        return round(statistics.median(samples), 1)
     finally:
         shutil.rmtree(wd, ignore_errors=True)
 
@@ -572,6 +642,15 @@ def run_ab(ref: str, repeats: int = 3, out: str | None = None) -> dict:
         )
         sa = med("a", lambda x: x["streaming_rows_per_sec"]) if have_streaming else None
         sb = med("b", lambda x: x["streaming_rows_per_sec"]) if have_streaming else None
+        # monitor-suite throughput (r10 ask #1): B-side trees older than
+        # the metric don't emit it — ratio only when BOTH sides did
+        have_suite = all(
+            x.get("monitor_suite_rows_per_sec") is not None
+            for side in runs.values()
+            for x in side
+        )
+        ma = med("a", lambda x: x["monitor_suite_rows_per_sec"]) if have_suite else None
+        mb = med("b", lambda x: x["monitor_suite_rows_per_sec"]) if have_suite else None
         result = {
             "metric": "same_host_ab",
             "a_ref": a_ref,
@@ -585,6 +664,11 @@ def run_ab(ref: str, repeats: int = 3, out: str | None = None) -> dict:
                 "a": sa,
                 "b": sb,
                 "ratio": round(sa / max(sb, 1e-9), 3) if have_streaming else None,
+            },
+            "monitor_suite_rows_per_sec": {
+                "a": ma,
+                "b": mb,
+                "ratio": round(ma / max(mb, 1e-9), 3) if have_suite else None,
             },
             "only_in_a": sorted(qa - qb),
             "only_in_b": sorted(qb - qa),

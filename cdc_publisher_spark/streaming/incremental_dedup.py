@@ -22,13 +22,20 @@ subdirectory (replay-idempotent), compaction flips a crash-safe
 manifest marker, and WITHIN each batch directory the data is
 Hive-partitioned on the key the next trigger will prune by:
 
-- ``index_dir/batch=N/band=B/bhm=M/`` — the persisted ``lsh_buckets``
-  frame, sub-partitioned by band and ``bhm = pmod(bh, bh_mod)``. A
-  micro-batch's probe touches at most ``bands × bh_mod`` (band, bhm)
-  cells — a CONSTANT — so the probe's index read prunes to those
-  directories regardless of how many batches of history exist
-  (partition pruning on the inferred batch/band/bhm columns; the scan
-  reads O(touched cells), not O(corpus)).
+- ``index_dir/batch=N/bhm=M/`` — the persisted ``lsh_buckets`` frame,
+  sub-partitioned by ``bhm = pmod(bh, bh_mod)`` ONLY (r11; band and
+  bh ride as data columns). Partitioning by band too was pure
+  overhead: every document populates every band by construction
+  (band is the signature slice index), so band= directories never
+  pruned a probe while multiplying the per-batch file count by
+  ``bands``. A micro-batch's probe touches at most ``bands × bh_mod``
+  distinct bhm values — a CONSTANT, and for small probes far fewer —
+  so the index read prunes to those directories regardless of how
+  many batches of history exist, and each batch write lands ≤
+  ``bh_mod`` partition-aligned files (one per touched bhm). Changing
+  the layout of a pre-r11 (band=B/bhm=M) dir is a compaction rewrite,
+  exactly like changing BH_MOD; ``maintain`` recognizes the legacy
+  marker and folds it into the new layout.
 - ``corpus_dir/batch=N/dh=D/`` — accumulated documents, sub-
   partitioned by ``dh = pmod(xxhash64(doc_id), doc_mod)``. The exact
   verify re-reads text ONLY for candidate-touching docs; candidates
@@ -490,9 +497,18 @@ def _dedup_micro_batch_body(
             pairs.write.mode("overwrite").parquet(
                 os.path.join(pairs_dir, f"batch={batch_id}")
             )
-        batch.withColumn("dh", _dh(id_col)).write.partitionBy("dh").mode(
-            "overwrite"
-        ).parquet(os.path.join(corpus_dir, f"batch={batch_id}"))
+        # Partition-ALIGNED writes (r11): repartition on the Hive key
+        # before partitionBy, so each dh= dir gets exactly one file per
+        # batch instead of one per (input-partition, dh) pair — without
+        # this a P-partition batch writes up to P×DOC_MOD tiny files
+        # per trigger and the next trigger's pruned probe pays a
+        # listing+task per file (measured 3-8x trigger latency at
+        # local[32]; at 100 TB it is the classic small-files failure).
+        # The hash-shuffle on dh costs one exchange of the batch — rows
+        # of one dh land in one task, so file count == touched dh dirs.
+        batch.withColumn("dh", _dh(id_col)).repartition(F.col("dh")).write.partitionBy(
+            "dh"
+        ).mode("overwrite").parquet(os.path.join(corpus_dir, f"batch={batch_id}"))
         # bloom delta rides beside the corpus write: any batch whose
         # offsets commit has both (replay rewrites both), so the filter
         # covers exactly the committed corpus ids — the guard's
@@ -500,16 +516,24 @@ def _dedup_micro_batch_body(
         id_bloom_delta(batch, id_col).write.mode("overwrite").parquet(
             os.path.join(bloom_dir, f"batch={batch_id}")
         )
-        new_buckets.write.partitionBy("band", "bhm").mode("overwrite").parquet(
-            os.path.join(index_dir, f"batch={batch_id}")
-        )
+        # Index dirs partition on bhm ALONE (r11). Every document
+        # populates every band by construction (band is the signature
+        # slice index), so band= dirs never prune a probe — the only
+        # selective key is bhm. bhm-only dirs cut the per-batch file
+        # count from ~bands × BH_MOD populated cells to ≤ BH_MOD
+        # (aligned: one file per touched bhm), while a small probe's
+        # read still prunes to its ≤ bands distinct bhm values; band
+        # and bh stay data columns the probe join filters in-scan.
+        new_buckets.repartition(F.col("bhm")).write.partitionBy("bhm").mode(
+            "overwrite"
+        ).parquet(os.path.join(index_dir, f"batch={batch_id}"))
         # declare each dir's merge algebra for the generic `maintain`
         # pass (explicit markers, not schema guessing — ADVICE r9)
         for d, layout in (
             (pairs_dir, "rows"),
             (corpus_dir, "rows-dh"),
             (bloom_dir, "bitor-mask"),
-            (index_dir, "rows-band-bhm"),
+            (index_dir, "rows-bhm"),
         ):
             write_layout_marker(spark, d, layout)
     finally:
@@ -533,7 +557,7 @@ def compact_dedup_state(
     reader is the one unsafe interleaving; see state.vacuum_state)."""
     bdir = bloom_dir or default_bloom_dir(corpus_dir)
     compact_state(spark, corpus_dir, upto_batch, partition_cols=("dh",))
-    compact_state(spark, index_dir, upto_batch, partition_cols=("band", "bhm"))
+    compact_state(spark, index_dir, upto_batch, partition_cols=("bhm",))
     compact_state(spark, pairs_dir, upto_batch)
     if batch_dirs(spark, bdir) or compacted_upto(spark, bdir) is not None:
         compact_state(

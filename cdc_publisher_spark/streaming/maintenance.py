@@ -32,8 +32,10 @@ be silently sum-merged. The declared layouts:
                        partial sums, ctx_monitor).
 - ``rows``           → row state, rewritten verbatim (dedup pairs).
 - ``rows-dh``        → row state partitioned by ``dh`` (dedup corpus).
-- ``rows-band-bhm``  → row state partitioned by (band, bhm) (dedup
-                       LSH index).
+- ``rows-bhm``       → row state partitioned by ``bhm`` (dedup LSH
+                       index since r11 — band dirs never pruned).
+- ``rows-band-bhm``  → row state partitioned by (band, bhm) (legacy
+                       pre-r11 dedup LSH index dirs).
 
 A dir with NO marker (state written by a pre-marker version) falls
 back to full-signature schema matching — each aggregate algebra
@@ -193,6 +195,11 @@ LAYOUTS: dict[str, LayoutSpec] = {
         ),
         LayoutSpec("rows", "rows", (), frozenset(), None),
         LayoutSpec("rows-dh", "rows", ("dh",), frozenset({"dh"}), None),
+        # the dedup LSH index since r11: bhm-only dirs (band never
+        # pruned anything — every doc populates every band)
+        LayoutSpec("rows-bhm", "rows", ("bhm",), frozenset({"bhm"}), None),
+        # legacy pre-r11 index dirs; compacting one folds it into the
+        # same (band,bhm)-dir shape it was written with
         LayoutSpec(
             "rows-band-bhm", "rows", ("band", "bhm"), frozenset({"band", "bhm"}), None
         ),
@@ -253,8 +260,11 @@ def _fallback_layout(columns: list[str]) -> LayoutSpec | None:
         return LAYOUTS["sum-cnt"]
     if "dh" in cols:
         return LAYOUTS["rows-dh"]
-    if {"band", "bhm"} <= cols:
-        return LAYOUTS["rows-band-bhm"]
+    if "bhm" in cols:
+        # marker-less index dirs (legacy Hive band=/bhm= and r11
+        # bhm-only read back with the same column set); fold to the
+        # r11 bhm-only layout — a correct rewrite of either
+        return LAYOUTS["rows-bhm"]
     return None
 
 

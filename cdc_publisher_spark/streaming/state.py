@@ -288,6 +288,11 @@ def compact_state(
     if merge is not None:
         df = merge(df)
     target = os.path.join(state_dir, "_compact", f"upto={upto_batch}")
+    if partition_cols:
+        # partition-aligned write (r11, same rationale as the dedup
+        # per-batch writes): one file per partition value in the
+        # compacted segment, not one per (task, value) pair
+        df = df.repartition(*[F.col(c) for c in partition_cols])
     writer = df.write.mode("overwrite")
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
