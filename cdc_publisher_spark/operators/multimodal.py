@@ -131,6 +131,22 @@ def decode_wav(payload: bytes) -> dict[str, Any]:
     PCM. Feature mapping onto the shared decode schema: width =
     frames per channel, height = sample rate, n_channels = channels,
     mean_luma = mean absolute amplitude normalized to [0, 1]."""
+    import numpy as np
+
+    samples, rate, channels = wav_samples(payload)
+    frames = len(samples) // max(channels, 1)
+    return {
+        "width": int(frames),
+        "height": int(rate),
+        "n_channels": int(channels),
+        "mean_luma": float(np.abs(samples).mean()) if len(samples) else 0.0,
+    }
+
+
+def wav_samples(payload: bytes):
+    """Raw PCM decode shared by the metadata decoder and the audio
+    fingerprint: (interleaved float64 samples in [-1, 1], rate,
+    channels). RIFF chunk walk, 8- or 16-bit PCM only."""
     import struct
 
     import numpy as np
@@ -162,13 +178,7 @@ def decode_wav(payload: bytes) -> dict[str, Any]:
         samples = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
     else:
         raise ValueError(f"unsupported PCM bit depth {bits}")
-    frames = len(samples) // max(channels, 1)
-    return {
-        "width": int(frames),
-        "height": int(rate),
-        "n_channels": int(channels),
-        "mean_luma": float(np.abs(samples).mean()) if len(samples) else 0.0,
-    }
+    return samples, int(rate), int(channels)
 
 
 def builtin_decoder(payload: bytes, media_type: str) -> dict[str, Any]:
@@ -413,3 +423,186 @@ def image_dhash(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(batches, schema=DHASH_FIELDS)
+
+
+# --------------------------------------------------------------------------
+# Audio fingerprinting (VERDICT r10 ask #2): Haitsma–Kalker-style
+# band-energy bits over the PCM WAV payloads the real decoder above
+# already parses. Reference: J. Haitsma & T. Kalker, "A Highly Robust
+# Audio Fingerprinting System" (ISMIR 2002) — 33 log-spaced spectral
+# bands per frame, one bit per band-pair from the sign of the
+# energy-difference difference across (band, time). This is the k55
+# dHash pattern for audio: Arrow-batched mapInPandas, and the only
+# thing that ever shuffles is (media_id, frame, 32-bit sub-fingerprint)
+# — three longs per frame, never the waveform.
+# --------------------------------------------------------------------------
+
+#: Fingerprint layout constants: 8 frames × 32 bits = a 256-bit
+#: fingerprint per clip. 33 bands give exactly 32 band-differences =
+#: 32 bits per frame (the HK sub-fingerprint width). Frames here are
+#: non-overlapping equal slices of the clip (HK overlaps frames 31/32
+#: for shift robustness; the deterministic synth corpus needs no shift
+#: invariance, and the layout constant is what a deployment tunes).
+AUDIO_FP_FRAMES = 8
+AUDIO_FP_BANDS = 33
+
+
+def synth_wav_from_text(
+    text: str,
+    rate: int = 4000,
+    samples_per_word: int = 64,
+    min_samples: int = 2048,
+    max_words: int = 256,
+) -> bytes:
+    """Deterministic 16-bit PCM WAV derived from a document's words:
+    each word maps (via md5) to a sine tone with its own frequency in
+    [200, 1800] Hz and amplitude in [0.3, 1.0]; the tone sequence is
+    tiled until ``min_samples`` (so even a one-word doc yields all
+    AUDIO_FP_FRAMES frames) and capped at ``max_words`` tones.
+    Identical text => identical audio, the synth_ppm_from_text
+    convention — the container ships no audio corpus or codecs, so the
+    fingerprint path is exercised against the driver's text tables."""
+    import hashlib
+    import struct
+
+    import numpy as np
+
+    toks = (text.split() or [""])[:max_words]
+    # short docs extend by CYCLING the words with a tile-salted hash —
+    # verbatim tiling would make every fingerprint frame identical and
+    # the time-difference bits all zero, turning (frame>=1, subfp=0)
+    # into a hot candidate bucket across all short docs
+    n_tones = max(len(toks), -(-min_samples // samples_per_word))
+    tones = []
+    t = np.arange(samples_per_word, dtype=np.float64)
+    for j in range(n_tones):
+        w, tile = toks[j % len(toks)], j // len(toks)
+        d = hashlib.md5(f"{tile}#{w}".encode("utf-8")).digest()
+        freq = 200.0 + (int.from_bytes(d[:4], "big") % 1600)
+        amp = 0.3 + 0.7 * (d[4] / 255.0)
+        tones.append(amp * np.sin(2.0 * np.pi * freq * t / rate))
+    sig = np.concatenate(tones)[: max(min_samples, len(toks) * samples_per_word)]
+    pcm = (np.clip(sig, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def audio_fp_frames(
+    payload: bytes,
+    n_frames: int = AUDIO_FP_FRAMES,
+    n_bands: int = AUDIO_FP_BANDS,
+) -> list[int]:
+    """The HK-style fingerprint of one WAV payload: ``n_frames``
+    32-bit sub-fingerprints (unsigned ints in [0, 2^32)). Per frame:
+    rFFT power spectrum, ``n_bands`` log-spaced bands, band-energy
+    differences d[m] = E[m] - E[m+1], and bit m set iff
+    d[m] - d_prev_frame[m] > 0 (frame 0 compares against zeros, i.e.
+    the plain band-difference sign). Deterministic pure-numpy math —
+    no codec dependencies."""
+    import numpy as np
+
+    samples, rate, channels = wav_samples(payload)
+    mono = (
+        samples.reshape(-1, channels).mean(axis=1) if channels > 1 else samples
+    )
+    if len(mono) < n_frames:
+        mono = np.pad(mono, (0, n_frames - len(mono)))
+    L = len(mono) // n_frames
+    prev = np.zeros(n_bands - 1)
+    out: list[int] = []
+    for i in range(n_frames):
+        spec = np.abs(np.fft.rfft(mono[i * L : (i + 1) * L])) ** 2
+        # log-spaced band edges over the positive-frequency bins; with
+        # short frames geomspace repeats integer edges — empty bands
+        # sum to 0, which is fine (the bits compare differences)
+        edges = np.geomspace(1, max(len(spec), 2), n_bands + 1).astype(int)
+        e = np.array(
+            [spec[a:b].sum() for a, b in zip(edges[:-1], edges[1:])]
+        )
+        d = e[:-1] - e[1:]
+        bits = (d - prev) > 0
+        prev = d
+        word = 0
+        for j, b in enumerate(bits[:32]):
+            if b:
+                word |= 1 << j
+        out.append(word)
+    return out
+
+
+AUDIO_FP_FIELDS = "media_id long, frame int, subfp long"
+
+
+def audio_fingerprint(df: DataFrame) -> DataFrame:
+    """mapInPandas fingerprint pass: (media_id, payload) ->
+    (media_id, frame, subfp) — AUDIO_FP_FRAMES rows per clip. The
+    canonical audio-near-dup signature pass at 100 TB: waveforms stay
+    inside the Arrow batch; three longs per frame shuffle."""
+    _ship_module_by_value()
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            ids, frames, fps = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                for fi, w in enumerate(audio_fp_frames(p)):
+                    ids.append(mid)
+                    frames.append(fi)
+                    fps.append(w)
+            yield pd.DataFrame(
+                {"media_id": ids, "frame": frames, "subfp": fps}
+            )
+
+    return df.mapInPandas(batches, schema=AUDIO_FP_FIELDS)
+
+
+def audio_candidate_pairs(fp: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Banded candidate join over sub-fingerprints — the k3 LSH
+    machinery with (frame, subfp) as the bucket key: two clips are
+    candidates iff ANY frame's 32-bit sub-fingerprint matches exactly
+    (the HK lookup strategy: a matching sub-fingerprint indexes the
+    candidate set; the full 256-bit Hamming check then verifies).
+    Bucket mass is n·P(subfp collision) per frame — bounded like a
+    band-hash bucket, never all-pairs. Returns distinct (d1, d2),
+    d1 < d2."""
+    a = fp.select(F.col(id_col).alias("d1"), "frame", "subfp")
+    b = fp.select(F.col(id_col).alias("d2"), "frame", "subfp")
+    return (
+        a.join(b, ["frame", "subfp"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+
+
+def audio_hamming_pairs(
+    fp: DataFrame,
+    cands: DataFrame,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Exact verify for candidate pairs: total Hamming distance over
+    the full fingerprint, all JVM-side — join each side's frame rows,
+    bit_count(xor) per frame, sum. Output (d1, d2, hamming) with
+    hamming in [0, AUDIO_FP_FRAMES*32]."""
+    f1 = fp.select(
+        F.col(id_col).alias("d1"), "frame", F.col("subfp").alias("s1")
+    )
+    f2 = fp.select(
+        F.col(id_col).alias("d2"), "frame", F.col("subfp").alias("s2")
+    )
+    return (
+        cands.join(f1, "d1")
+        .join(f2, ["d2", "frame"])
+        .groupBy("d1", "d2")
+        .agg(
+            F.sum(F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))))
+            .cast("long")
+            .alias("hamming")
+        )
+    )

@@ -116,6 +116,112 @@ def test_dhash_small_edit_changes_fewer_bits_than_rewrite():
     assert ham(h0, h1) < ham(h0, h2)
 
 
+# --------------------------------------------------------------------------
+# q_k106 semantics: HK-style audio fingerprint (operators/multimodal.py)
+# --------------------------------------------------------------------------
+
+
+def _rebuild_wav(samples, rate):
+    import struct
+
+    import numpy as np
+
+    pcm = (np.clip(samples, -1, 1) * 32767).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_audio_fp_deterministic_discriminative_and_long():
+    from cdc_publisher_spark.operators.multimodal import (
+        AUDIO_FP_FRAMES,
+        audio_fp_frames,
+        synth_wav_from_text,
+    )
+
+    t = "alpha beta gamma delta epsilon zeta"
+    a1, a2 = (audio_fp_frames(synth_wav_from_text(t)) for _ in range(2))
+    b = audio_fp_frames(synth_wav_from_text("totally different words here now"))
+    assert a1 == a2 and a1 != b
+    assert len(a1) == AUDIO_FP_FRAMES
+    assert all(0 <= w < (1 << 32) for w in a1)  # 32-bit words, LongType-safe
+    # one-word doc still yields a full fingerprint (tile-salted synth)
+    short = audio_fp_frames(synth_wav_from_text("solo"))
+    assert len(short) == AUDIO_FP_FRAMES and any(w != 0 for w in short[1:])
+
+
+def test_audio_fp_perturbation_hamming_smaller_than_rewrite():
+    """The HK property the banded join depends on: a small signal
+    perturbation (amplitude scale, mild additive noise) moves far
+    fewer fingerprint bits than different content — and uniform
+    amplitude scaling moves NONE (band-energy DIFFERENCES scale
+    together, preserving every sign)."""
+    import numpy as np
+
+    from cdc_publisher_spark.operators.multimodal import (
+        audio_fp_frames,
+        synth_wav_from_text,
+        wav_samples,
+    )
+
+    def ham(x, y):
+        return sum(bin(a ^ b).count("1") for a, b in zip(x, y))
+
+    t = " ".join(f"w{i}" for i in range(40))
+    w = synth_wav_from_text(t)
+    base = audio_fp_frames(w)
+    s, rate, _ = wav_samples(w)
+    scaled = audio_fp_frames(_rebuild_wav(s * 0.7, rate))
+    rng = np.random.default_rng(7)
+    noisy = audio_fp_frames(_rebuild_wav(s + rng.normal(0, 0.01, len(s)), rate))
+    other = audio_fp_frames(synth_wav_from_text(" ".join(f"z{i}" for i in range(40))))
+    assert ham(base, scaled) == 0
+    assert ham(base, noisy) < ham(base, other)
+    # the banded lookup finds the noisy near-dup: >=1 frame unchanged
+    assert any(a == b for a, b in zip(base, noisy))
+
+
+def test_audio_candidate_pairs_and_hamming_verify(spark):
+    """Spark-side banded join + bit_count(xor) verify: an exact dup
+    pair lands at Hamming 0, a noisy near-dup is a candidate with a
+    small distance, unrelated clips share no bucket or verify far."""
+    import numpy as np
+
+    from cdc_publisher_spark.operators.multimodal import (
+        audio_candidate_pairs,
+        audio_fingerprint,
+        audio_hamming_pairs,
+        synth_wav_from_text,
+        wav_samples,
+    )
+
+    t = " ".join(f"tok{i}" for i in range(40))
+    w = synth_wav_from_text(t)
+    s, rate, _ = wav_samples(w)
+    rng = np.random.default_rng(11)
+    payloads = [
+        (1, w),
+        (2, w),  # exact dup of 1
+        (3, _rebuild_wav(s + rng.normal(0, 0.01, len(s)), rate)),  # near-dup
+        (4, synth_wav_from_text(" ".join(f"other{i}" for i in range(40)))),
+    ]
+    media = spark.createDataFrame(payloads, "media_id long, payload binary")
+    fp = audio_fingerprint(media).persist()
+    try:
+        assert fp.count() == 4 * 8
+        cands = audio_candidate_pairs(fp)
+        ham = {
+            (r.d1, r.d2): r.hamming
+            for r in audio_hamming_pairs(fp, cands).collect()
+        }
+        assert ham.get((1, 2)) == 0
+        assert (1, 3) in ham and 0 < ham[(1, 3)] < 64
+        assert (1, 4) not in ham or ham[(1, 4)] > ham[(1, 3)]
+    finally:
+        fp.unpersist()
+
+
 def test_fuzzy_dedup_pairs_respect_threshold(spark, sf_oracle):
     from cdc_publisher_spark.queries.llm_select import (
         FUZZY_SIM,

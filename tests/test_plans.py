@@ -520,6 +520,12 @@ PERSIST_AUDIT_ALLOWLIST: dict[str, str] = {
     "decode+hash mapInPandas over raw media payloads (orders of magnitude "
     "larger) for the second audit consumer; at cluster scale this frame is "
     "the standard disk-backed fingerprint table",
+    "q_k106_audio_fingerprint": "per-media (frame, subfp) fingerprint "
+    "rows (8 x 24 B per clip): persisted once and reused by the banded "
+    "candidate join, the Hamming verify join-back, and the per-text "
+    "audits — recompute means re-running the synth+FFT mapInPandas over "
+    "the waveforms (orders of magnitude larger); the k55 contract for "
+    "audio",
 }
 
 
@@ -629,6 +635,11 @@ JOIN_AUDIT_ALLOWLIST: dict[str, str] = {
     "are required by definition",
     "q_k92_dedup_savings": "savings forecast over the k22 exact pair "
     "graph; same audit contract",
+    "q_k106_audio_fingerprint": "the banded audio-fingerprint candidate "
+    "join: keys are (frame, 32-bit HK sub-fingerprint) buckets — "
+    "expected bucket mass n·P(subfp collision) per frame, the HK lookup "
+    "strategy's declared bound (k3's contract for audio) — plus the "
+    "Hamming verify join-back on the candidate pair set",
 }
 
 
