@@ -359,6 +359,19 @@ SCALING_EXTRAS = (
     "q_k99_context_length_efficiency",
     "q_k100_distinct_ngram_diversity",
     "q_k101_dup_pressure_by_ingestion",
+    # r10 VERDICT ask #3: the round-10 shapes that skipped SCALING —
+    # JSD/PSI bucket-pair grids, block dedup screens, KMV containment,
+    # sum-vector anisotropy, the k105 bounded-head window — plus the
+    # r11 audio fingerprint (synth+FFT mapInPandas + banded join)
+    "q_k94_source_token_jsd",
+    "q_k95_duplicate_paragraph_fraction",
+    "q_k96_containment_sketch",
+    "q_k97_normalized_exact_decontam",
+    "q_k98_embedding_collapse",
+    "q_k102_boilerplate_prefix",
+    "q_k103_temperature_mixing_weights",
+    "q_k104_temporal_drift_psi",
+    "q_k106_audio_fingerprint",
 )
 
 
