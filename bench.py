@@ -158,7 +158,7 @@ def main() -> None:
                 "agg": "median",
                 "sf": float(sf),
                 "streaming_rows_per_sec": streaming_rps,
-                # the composed seven-monitor job (streaming/monitor_suite.py)
+                # the composed monitor suite (streaming/monitor_suite.py)
                 # — the engine's flagship streaming artifact, measured so
                 # monitor-layer regressions are visible the way batch/CDC
                 # ones are (VERDICT r10 ask #1)
@@ -263,7 +263,7 @@ def _bench_monitor_suite(spark, sf_dir: str) -> float:
 
     The corpus-stream shape tests/test_monitor_suite.py drives —
     documents ⋈ embeddings (doc_id == vec_id, so every row carries
-    label+embedding and ALL seven consumers run, drift included) —
+    label+embedding and ALL consumers run, drift included) —
     written once as a fixed 8-file parquet stream and drained through
     streaming/monitor_suite.py at maxFilesPerTrigger=2: exactly 4
     triggers regardless of sf. Figure = rows/s over the drain, median

@@ -16,9 +16,10 @@ is the engine's equivalent surface, thin wrappers over the library:
                             to stderr every --metrics-period seconds,
                             the reference's 10 s reporter cadence)
   monitors --src D --state-root D --checkpoint C [--once [--maintain]]
-                            composed seven-monitor job: one parquet
+                            composed eight-monitor job: one parquet
                             document stream fanned to dedup + HLL +
                             count-min + exposure + drift + vocabulary
+                            + ctx economics + the audio-dup guard
                             under one foreachBatch and one state root
                             (streaming/monitor_suite.py); --once drains
                             then exits, --maintain adds one commits-
@@ -184,7 +185,7 @@ def cmd_serve(args) -> int:
 
 def cmd_monitors(args) -> int:
     """The serve-style composed monitor job: one parquet document
-    stream fanned to all seven state consumers
+    stream fanned to all eight state consumers
     (streaming/monitor_suite.py). ``--once`` drains available input
     then exits; ``--maintain`` runs one maintenance pass after the
     drain with the watermark taken from this stream's own commits log
@@ -387,9 +388,10 @@ def main(argv: list[str] | None = None) -> int:
 
     sp = sub.add_parser(
         "monitors",
-        help="composed seven-monitor job over a parquet document stream "
-        "(dedup, HLL, count-min, exposure, drift, vocabulary — one "
-        "foreachBatch, one state root; streaming/monitor_suite.py)",
+        help="composed eight-monitor job over a parquet document stream "
+        "(dedup, HLL, count-min, exposure, drift, vocabulary, ctx, "
+        "audio-dup guard — one foreachBatch, one state root; "
+        "streaming/monitor_suite.py)",
     )
     sp.add_argument("--src", required=True, help="parquet dir to stream")
     sp.add_argument("--state-root", required=True)

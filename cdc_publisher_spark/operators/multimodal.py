@@ -606,3 +606,31 @@ def audio_hamming_pairs(
             .alias("hamming")
         )
     )
+
+
+def synth_media_from_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(media_id, payload) WAV clips synthesized deterministically from
+    a text column — the shared adapter the k106/k107 queries and the
+    streaming audio-dup monitor use to exercise the REAL decode and
+    fingerprint paths against the driver's text tables (the container
+    ships no audio corpus)."""
+    _ship_module_by_value()
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "payload": [synth_wav_from_text(t) for t in pdf[text_col]],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        batches, schema="media_id long, payload binary"
+    )

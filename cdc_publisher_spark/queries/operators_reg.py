@@ -532,3 +532,87 @@ def q_k106_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "zero_hamming_covers_exact_dups",
     )
+
+
+@register(
+    "q_k107_audio_clip_economics",
+    family="K",
+    doc="Audio corpus economics per source — the K-99 context-length "
+    "table for the audio modality: clips synthesized from each "
+    "document (synth_wav_from_text), decoded by the REAL RIFF/PCM "
+    "parser via the shared decode_media mapInPandas pass "
+    "(operators/multimodal.py), then one per-source agg over the "
+    "decoded metadata: clip count, total/max samples, total bytes, "
+    "total milliseconds. Unlike k55/k106 (perceptual invariants), "
+    "every column here is EXACT cross-engine: the deterministic synth "
+    "makes clip length a closed form of the word count — samples = "
+    "64 * GREATEST(LEAST(n_words, 256), 32), bytes = 44 + 2*samples "
+    "(44-byte RIFF header + 16-bit mono PCM), ms = samples/4 at 4 kHz "
+    "— so DuckDB recomputes the whole table from the text and the "
+    "hash must match, pinning header walk, sample math, and byte "
+    "accounting end to end. The all_rate_4khz boolean proves the "
+    "decoder read the rate from the actual fmt chunk. Plan: payload "
+    "bytes live only inside the Arrow batch (synth -> decode in two "
+    "chained mapInPandas passes); what shuffles is the decoded "
+    "metadata row, and the source join-back is an id equi-join.",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, source,
+                   64 * GREATEST(LEAST(len(string_split(text, ' ')), 256), 32)
+                       AS n_samples
+            FROM documents
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_clips,
+               CAST(SUM(n_samples) AS BIGINT) AS total_samples,
+               CAST(MAX(n_samples) AS BIGINT) AS max_clip_samples,
+               CAST(SUM(44 + 2 * n_samples) AS BIGINT) AS total_bytes,
+               CAST(SUM(n_samples) // 4 AS BIGINT) AS total_ms,
+               TRUE AS all_rate_4khz
+        FROM w
+        GROUP BY source
+        ORDER BY source
+    """,
+)
+def q_k107_audio_clip_economics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    from cdc_publisher_spark.operators import multimodal as MM
+
+    docs = load(spark, sf_dir, "documents")
+    MM._ship_module_by_value()
+
+    def synth(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "media_type": "audio/wav",
+                    "payload": [
+                        MM.synth_wav_from_text(t) for t in pdf["text"]
+                    ],
+                }
+            )
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        synth, schema="media_id long, media_type string, payload binary"
+    )
+    decoded = MM.decode_media(media)  # real RIFF/PCM decode
+    return (
+        decoded.join(
+            docs.select(F.col("doc_id").alias("media_id"), "source"),
+            "media_id",
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_clips"),
+            F.sum("width").cast("long").alias("total_samples"),
+            F.max("width").cast("long").alias("max_clip_samples"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            (F.sum("width").cast("long") / 4).cast("long").alias("total_ms"),
+            F.bool_and(F.col("height") == 4000).alias("all_rate_4khz"),
+        )
+        .orderBy("source")
+    )

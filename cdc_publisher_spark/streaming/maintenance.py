@@ -198,6 +198,8 @@ LAYOUTS: dict[str, LayoutSpec] = {
         # the dedup LSH index since r11: bhm-only dirs (band never
         # pruned anything — every doc populates every band)
         LayoutSpec("rows-bhm", "rows", ("bhm",), frozenset({"bhm"}), None),
+        # audio-dup monitor fingerprint keys (streaming/audio_monitor)
+        LayoutSpec("rows-fm", "rows", ("fm",), frozenset({"fm"}), None),
         # legacy pre-r11 index dirs; compacting one folds it into the
         # same (band,bhm)-dir shape it was written with
         LayoutSpec(
@@ -260,6 +262,8 @@ def _fallback_layout(columns: list[str]) -> LayoutSpec | None:
         return LAYOUTS["sum-cnt"]
     if "dh" in cols:
         return LAYOUTS["rows-dh"]
+    if "fm" in cols:
+        return LAYOUTS["rows-fm"]
     if "bhm" in cols:
         # marker-less index dirs (legacy Hive band=/bhm= and r11
         # bhm-only read back with the same column set); fold to the

@@ -1,12 +1,13 @@
-"""All seven state consumers behind ONE stream: the serve-style job.
+"""All eight state consumers behind ONE stream: the serve-style job.
 
-A real deployment does not run seven separate streams over the same
+A real deployment does not run eight separate streams over the same
 ingest — it runs one micro-batch loop that fans each trigger's rows
 out to every monitor (VERDICT r9 ask #2). This module composes the
 layer's consumers — incremental LSH dedup, HLL distinct-
 cardinality, count-min heavy hitters, rare-gram exposure, centroid
-drift, first-seen vocabulary, and context-length economics — under a
-single ``foreachBatch`` against one state root::
+drift, first-seen vocabulary, context-length economics, and the
+audio-fingerprint dup guard (r11) — under a single ``foreachBatch``
+against one state root::
 
     state_root/
       dedup/{corpus,idx,pairs,id_bloom}   incremental_dedup
@@ -16,12 +17,18 @@ single ``foreachBatch`` against one state root::
       drift/                              label-centroid drift
       vocab/                              first-seen vocabulary
       ctx/                                context-length economics
+      audio/{fpk,pairs}                   exact audio-dup detections
 
 Input contract: rows with ``doc_id, text, source`` and — for the
 drift monitor — ``label, embedding``; when those two columns are
 absent the drift consumer is skipped, the rest run. The trigger
-persists the batch once (seven consumers would otherwise re-run the
+persists the batch once (eight consumers would otherwise re-run the
 source scan) and derives the shared word frame once for HLL + CM.
+The audio guard runs over clips synthesized deterministically from
+the text column (operators/multimodal.synth_media_from_text — the
+sandbox ships no audio corpus); a deployment with real media swaps
+in its payload column via streaming/audio_monitor.stream_audio_dups
+directly.
 
 Because every consumer writes batch-addressed overwrite deltas to its
 own dir, the composed job inherits the layer's replay story wholesale:
@@ -41,6 +48,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cdc_publisher_spark.functions.text import words
+from cdc_publisher_spark.operators.multimodal import synth_media_from_text
+from cdc_publisher_spark.streaming.audio_monitor import audio_dup_micro_batch
 from cdc_publisher_spark.streaming.cm_monitor import cm_micro_batch
 from cdc_publisher_spark.streaming.ctx_monitor import ctx_micro_batch
 from cdc_publisher_spark.streaming.drift_monitor import drift_micro_batch
@@ -61,6 +70,8 @@ SUITE_DIRS = {
     "drift": "drift",
     "vocab": "vocab",
     "ctx": "ctx",
+    "audio_fpk": "audio/fpk",
+    "audio_pairs": "audio/pairs",
 }
 
 
@@ -79,7 +90,7 @@ def monitor_suite_batch(
     vec_col: str = "embedding",
     threshold: float = 0.5,
 ) -> None:
-    """foreachBatch body: one trigger's rows through all seven consumers.
+    """foreachBatch body: one trigger's rows through all eight consumers.
 
     Each consumer keeps its own idempotence contract (overwrite of its
     own ``batch=N``); the composition adds none of its own state. The
@@ -121,6 +132,12 @@ def monitor_suite_batch(
         ctx_micro_batch(
             batch, batch_id, suite_dir(state_root, "ctx"), text_col=text_col,
         )
+        audio_dup_micro_batch(
+            synth_media_from_text(batch, id_col=id_col, text_col=text_col),
+            batch_id,
+            suite_dir(state_root, "audio_fpk"),
+            suite_dir(state_root, "audio_pairs"),
+        )
         if label_col in batch.columns and vec_col in batch.columns:
             drift_micro_batch(
                 batch, batch_id, suite_dir(state_root, "drift"),
@@ -136,7 +153,7 @@ def stream_monitor_suite(
     checkpoint_dir: str,
     **kwargs,
 ):
-    """Start the composed job: one readStream in, seven monitors' state
+    """Start the composed job: one readStream in, eight monitors' state
     out, offsets committed to ``checkpoint_dir`` after each trigger
     completes EVERY consumer's write (commit-on-success — a crash
     mid-fan-out replays the whole trigger and each dir's overwrite

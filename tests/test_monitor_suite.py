@@ -1,7 +1,7 @@
-"""The composed seven-monitor job + maintenance against a LIVE stream.
+"""The composed eight-monitor job + maintenance against a LIVE stream.
 
 VERDICT r9 ask #2: the per-consumer contract harness drives each
-monitor alone; a real deployment runs all seven off ONE stream with
+monitor alone; a real deployment runs all eight off ONE stream with
 maintenance scheduled alongside. This test feeds one document+embedding
 stream through streaming/monitor_suite.py, runs ``maintain
 --state-root --checkpoint <stream ckpt>`` MID-stream (between triggers,
@@ -97,11 +97,12 @@ def test_suite_stream_with_live_maintenance_equals_batch(
         plans = run_maintenance(
             spark, root, checkpoint_dir=ckpt, vacuum=True, grace_batches=1
         )
-        assert len(plans) == 10  # dedup quad + hll/cm/exposure/drift/vocab/ctx
+        assert len(plans) == 12  # dedup quad + hll/cm/exposure/drift/vocab/ctx + audio fpk/pairs
         assert all(p.kind != "unrecognized" for p in plans), [
             (p.path, p.kind) for p in plans
         ]
-        for name in ("dedup_bloom", "hll", "cm", "exposure", "drift", "vocab", "ctx"):
+        for name in ("dedup_bloom", "hll", "cm", "exposure", "drift",
+                     "vocab", "ctx", "audio_fpk"):
             assert compacted_upto(spark, suite_dir(root, name)) == committed, name
         # the stream keeps running across the maintenance pass
         extra = docs.limit(40).withColumn(
@@ -181,3 +182,32 @@ def test_suite_stream_with_live_maintenance_equals_batch(
         "doc_id"
     )
     assert _rows(got_ids) == _rows(full.select("doc_id"))
+
+    # audio guard: the accumulated exact-dup detections over any
+    # slicing equal the batch-mode same-fpk pair set (here: the exact
+    # text-dup pairs, since the synth is deterministic per text), and
+    # the fpk state holds exactly one row per input clip
+    from cdc_publisher_spark.streaming.audio_monitor import (
+        read_audio_dups,
+        read_audio_fpk_state,
+    )
+
+    fpk_state = read_audio_fpk_state(spark, suite_dir(root, "audio_fpk"))
+    assert _rows(fpk_state.select("media_id")) == _rows(full.select("doc_id"))
+    got = read_audio_dups(spark, suite_dir(root, "audio_pairs"))
+    want = (
+        full.select(F.md5("text").alias("tk"), "doc_id")
+        .groupBy("tk")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (a, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), b -> "
+                    "struct(a as orig_id, b as dup_id))))"
+                )
+            ).alias("p")
+        )
+        .select("p.orig_id", "p.dup_id")
+    )
+    assert _rows(got) == _rows(want)
