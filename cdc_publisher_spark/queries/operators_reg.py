@@ -391,6 +391,9 @@ def q_k55_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_k106_audio_fingerprint",
     family="K",
+    bench=True,  # the k105/k90 precedent: the round's newest
+    # nontrivial plan shape — synth+FFT mapInPandas feeding a banded
+    # candidate join + bit_count verify — joins the headline set
     doc="Audio near-dup signature pass (VERDICT r10 ask #2 — the "
     "second REAL multimodal signature beside k55's image dHash): "
     "deterministic PCM WAVs synthesized from each document's words "
@@ -429,29 +432,10 @@ def q_k55_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_k106_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from collections.abc import Iterator
-
     from cdc_publisher_spark.operators import multimodal as MM
 
     docs = load(spark, sf_dir, "documents")
-    MM._ship_module_by_value()
-
-    def synth(it: Iterator) -> Iterator:
-        import pandas as pd
-
-        for pdf in it:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["doc_id"],
-                    "payload": [
-                        MM.synth_wav_from_text(t) for t in pdf["text"]
-                    ],
-                }
-            )
-
-    media = docs.select("doc_id", "text").mapInPandas(
-        synth, schema="media_id long, payload binary"
-    )
+    media = MM.synth_media_from_text(docs, id_col="doc_id", text_col="text")
     # fingerprint once; the candidate join, verify join-back, and the
     # per-text audits below all reuse the frame rows
     fp = track_persist(MM.audio_fingerprint(media))
@@ -575,30 +559,12 @@ def q_k106_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_k107_audio_clip_economics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from collections.abc import Iterator
-
     from cdc_publisher_spark.operators import multimodal as MM
 
     docs = load(spark, sf_dir, "documents")
-    MM._ship_module_by_value()
-
-    def synth(it: Iterator) -> Iterator:
-        import pandas as pd
-
-        for pdf in it:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["doc_id"],
-                    "media_type": "audio/wav",
-                    "payload": [
-                        MM.synth_wav_from_text(t) for t in pdf["text"]
-                    ],
-                }
-            )
-
-    media = docs.select("doc_id", "text").mapInPandas(
-        synth, schema="media_id long, media_type string, payload binary"
-    )
+    media = MM.synth_media_from_text(
+        docs, id_col="doc_id", text_col="text"
+    ).withColumn("media_type", F.lit("audio/wav"))
     decoded = MM.decode_media(media)  # real RIFF/PCM decode
     return (
         decoded.join(
