@@ -372,6 +372,7 @@ SCALING_EXTRAS = (
     "q_k103_temperature_mixing_weights",
     "q_k104_temporal_drift_psi",
     "q_k106_audio_fingerprint",
+    "q_k107_audio_clip_economics",
 )
 
 
