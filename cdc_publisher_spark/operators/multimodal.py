@@ -643,3 +643,66 @@ def synth_media_from_text(
         .repartition(F.col(id_col))
         .mapInPandas(batches, schema="media_id long, payload binary")
     )
+
+
+DECODED_TOLERANT_FIELDS = (
+    DECODED_FIELDS + ", ok boolean, err string"
+)
+
+
+def decode_media_tolerant(df: DataFrame, batch_wise: bool = True) -> DataFrame:
+    """decode_media with the dead-letter contract: a payload the
+    decoder rejects yields a row with ``ok=false``, the exception text
+    in ``err``, and NULL feature columns — it never fails the batch.
+    The CDC pipeline's split_wire discipline (streaming/pipeline.py)
+    applied to media: at 100 TB some blobs WILL be truncated or
+    mislabeled, and one bad byte string must cost one quarantined row,
+    not a stage retry storm. Filter ``ok`` downstream; route ``NOT
+    ok`` rows to the quarantine sink with their err reason."""
+    _ship_module_by_value()
+    decoder = _decoder()
+
+    def batches(it: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, mt, p in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
+                base = {
+                    "media_id": mid,
+                    "media_type": mt,
+                    "n_bytes": len(p),
+                    "sha256": hashlib.sha256(p).hexdigest(),
+                }
+                try:
+                    f = decoder(p, mt)
+                    rows.append(
+                        base
+                        | {
+                            "width": f["width"],
+                            "height": f["height"],
+                            "n_channels": f["n_channels"],
+                            "mean_luma": f["mean_luma"],
+                            "ok": True,
+                            "err": None,
+                        }
+                    )
+                except Exception as e:  # quarantine, never fail the batch
+                    rows.append(
+                        base
+                        | {
+                            "width": None,
+                            "height": None,
+                            "n_channels": None,
+                            "mean_luma": None,
+                            "ok": False,
+                            "err": f"{type(e).__name__}: {e}",
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(batches, schema=DECODED_TOLERANT_FIELDS)

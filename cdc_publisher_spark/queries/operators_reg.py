@@ -582,3 +582,90 @@ def q_k107_audio_clip_economics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: Every doc_id divisible by this is corrupted before decode in
+#: q_k108 — the deterministic quarantine cohort both engines compute.
+DEADLETTER_MOD = 97
+
+
+@register(
+    "q_k108_media_decode_deadletter",
+    family="K",
+    doc="Media decode dead-letter audit — the error path as a first-"
+    "class query (the CDC split_wire discipline applied to media): "
+    "clips synthesized per document, then every doc_id divisible by "
+    f"{DEADLETTER_MOD} deliberately corrupted (RIFF magic overwritten "
+    "— a truncated/mislabeled blob, the dominant failure a 100 TB "
+    "media crawl actually sees), decoded by decode_media_tolerant "
+    "(operators/multimodal.py): a rejected payload yields ok=false + "
+    "the exception text and NULL features, never a stage failure. "
+    "Per source: total/ok/quarantined counts as exact BIGINTs — the "
+    "corruption cohort is pure doc_id arithmetic, so DuckDB "
+    "recomputes the whole table and the hash must match — plus "
+    "failures_expected (quarantined set == the corrupted cohort, "
+    "both directions) and ok_decodes_complete (no NULL feature among "
+    "ok rows) booleans pinning that the tolerant decoder quarantines "
+    "EXACTLY the bad payloads and decodes everything else.",
+    oracle=f"""
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_media,
+               CAST(COUNT(*) FILTER (WHERE doc_id % {DEADLETTER_MOD} != 0)
+                   AS BIGINT) AS n_ok,
+               CAST(COUNT(*) FILTER (WHERE doc_id % {DEADLETTER_MOD} = 0)
+                   AS BIGINT) AS n_quarantined,
+               TRUE AS failures_expected,
+               TRUE AS ok_decodes_complete
+        FROM documents
+        GROUP BY source
+        ORDER BY source
+    """,
+)
+def q_k108_media_decode_deadletter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cdc_publisher_spark.operators import multimodal as MM
+
+    docs = load(spark, sf_dir, "documents")
+    media = MM.synth_media_from_text(docs, id_col="doc_id", text_col="text")
+    corrupted = media.select(
+        "media_id",
+        F.lit("audio/wav").alias("media_type"),
+        F.when(
+            F.col("media_id") % DEADLETTER_MOD == 0,
+            # overwrite the RIFF magic: byte-level corruption the
+            # chunk walk rejects with a typed error
+            F.concat(
+                F.lit(b"XXXX"), F.expr("substring(payload, 5)")
+            ),
+        )
+        .otherwise(F.col("payload"))
+        .alias("payload"),
+    )
+    dec = MM.decode_media_tolerant(corrupted)
+    per_doc = dec.join(
+        docs.select(F.col("doc_id").alias("media_id"), "source"), "media_id"
+    )
+    expected_bad = F.col("media_id") % DEADLETTER_MOD == 0
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_media"),
+            F.sum(F.col("ok").cast("long")).cast("long").alias("n_ok"),
+            F.sum((~F.col("ok")).cast("long")).cast("long").alias("n_quarantined"),
+            # quarantined set == corrupted cohort, both directions
+            F.bool_and(F.col("ok") != expected_bad).alias("failures_expected"),
+            F.coalesce(
+                F.bool_and(
+                    F.when(
+                        F.col("ok"),
+                        F.col("width").isNotNull()
+                        & F.col("height").isNotNull()
+                        & F.col("mean_luma").isNotNull(),
+                    ).otherwise(True)
+                ),
+                F.lit(True),
+            ).alias("ok_decodes_complete"),
+        )
+        .orderBy("source")
+    )

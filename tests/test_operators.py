@@ -1384,3 +1384,35 @@ def test_two_level_prefix_sums_matches_naive_window(spark):
         assert got == want
 
     check()
+
+
+def test_decode_media_tolerant_quarantines_bad_payloads(spark):
+    """The media dead-letter contract (q_k108's operator): a rejected
+    payload yields ok=false + the exception text + NULL features and
+    never fails the batch; good payloads decode identically to the
+    strict path."""
+    from cdc_publisher_spark.operators.multimodal import (
+        decode_media,
+        decode_media_tolerant,
+        synth_wav_from_text,
+    )
+
+    good = synth_wav_from_text("alpha beta gamma delta")
+    bad = b"XXXX" + good[4:]          # RIFF magic destroyed
+    short = b"RIFF"                   # truncated past usefulness
+    media = spark.createDataFrame(
+        [(1, "audio/wav", good), (2, "audio/wav", bad), (3, "audio/wav", short)],
+        "media_id long, media_type string, payload binary",
+    )
+    rows = {r.media_id: r for r in decode_media_tolerant(media).collect()}
+    assert rows[1].ok and rows[1].err is None
+    assert not rows[2].ok and "ValueError" in rows[2].err
+    assert rows[2].width is None and rows[2].mean_luma is None
+    assert not rows[3].ok
+    # good rows match the strict decoder bit-for-bit
+    strict = decode_media(media.filter("media_id = 1")).first()
+    assert (rows[1].width, rows[1].height, rows[1].n_channels, rows[1].mean_luma) == (
+        strict.width, strict.height, strict.n_channels, strict.mean_luma,
+    )
+    # n_bytes/sha256 are payload facts, present on quarantined rows too
+    assert rows[2].n_bytes == len(bad) and len(rows[2].sha256) == 64
