@@ -373,6 +373,9 @@ SCALING_EXTRAS = (
     "q_k104_temporal_drift_psi",
     "q_k106_audio_fingerprint",
     "q_k107_audio_clip_economics",
+    # r11 VERDICT ask #2: the tolerant-decode mapInPandas pass (new
+    # plan shape, registered after the r11 --scaling freeze)
+    "q_k108_media_decode_deadletter",
 )
 
 

@@ -461,13 +461,21 @@ def synth_wav_from_text(
     AUDIO_FP_FRAMES frames) and capped at ``max_words`` tones.
     Identical text => identical audio, the synth_ppm_from_text
     convention — the container ships no audio corpus or codecs, so the
-    fingerprint path is exercised against the driver's text tables."""
+    fingerprint path is exercised against the driver's text tables.
+
+    Tokenization is ``split(' ')`` — single-space, empties kept — NOT
+    ``split()``: the k107/k108 oracles count words with DuckDB's
+    ``string_split(text, ' ')``, and the clip-length closed form only
+    stays EXACT cross-engine if both sides tokenize identically. On
+    the shipped fixtures (single-space-joined tokens) the two agree,
+    but a future fixture with doubled spaces/tabs/newlines would
+    silently hash-diverge under ``split()`` (ADVICE r11)."""
     import hashlib
     import struct
 
     import numpy as np
 
-    toks = (text.split() or [""])[:max_words]
+    toks = (text.split(" ") or [""])[:max_words]
     # short docs extend by CYCLING the words with a tile-salted hash —
     # verbatim tiling would make every fingerprint frame identical and
     # the time-difference bits all zero, turning (frame>=1, subfp=0)
