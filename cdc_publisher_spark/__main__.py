@@ -24,15 +24,6 @@ is the engine's equivalent surface, thin wrappers over the library:
                             (streaming/monitor_suite.py); --once drains
                             then exits, --maintain adds one commits-
                             log-watermarked maintenance pass
-  compact / compact-hll / compact-cm / compact-exposure
-                            DEPRECATED aliases (VERDICT r10 ask #5):
-                            each now prints a notice and delegates to
-                            the one maintenance path (run_maintenance
-                            on the given dir(s), merge selected by the
-                            dir's _layout. marker) then prints the same
-                            per-monitor summary. Use `maintain
-                            --state-root D --upto-batch N [--vacuum]`
-                            instead; aliases kept for one round
   maintain --state-root D [--upto-batch N | --checkpoint C |
            --assume-all-committed] [--vacuum [--grace N]] [--dry-run]
                             one scheduled-job maintenance pass: discover
@@ -223,97 +214,6 @@ def cmd_monitors(args) -> int:
     return 0
 
 
-def _deprecated_compact(spark, dirs: list[str], upto_batch: int, vacuum: bool,
-                        legacy: str) -> None:
-    """Shared body of the four legacy ``compact*`` subcommands
-    (VERDICT r10 ask #5): each is now a deprecation notice plus a
-    delegation to the ONE maintenance path — ``run_maintenance`` on
-    each given dir, whose ``_layout.`` marker (or full-signature
-    schema fallback for pre-marker state) selects the same merge the
-    per-monitor helpers hard-coded. Kept as aliases for one round;
-    the replacement is ``maintain --state-root <root> --upto-batch N
-    [--vacuum]`` over the common parent."""
-    from cdc_publisher_spark.streaming.maintenance import run_maintenance
-
-    print(
-        f"# deprecated: `{legacy}` is an alias for `maintain` now — use "
-        f"`maintain --state-root <root> --upto-batch {upto_batch}"
-        f"{' --vacuum' if vacuum else ''}` over the state root instead",
-        file=sys.stderr,
-    )
-    for d in dirs:
-        plans = run_maintenance(
-            spark, d, upto_batch=upto_batch, vacuum=vacuum
-        )
-        for p in plans:
-            if p.kind == "unrecognized":
-                raise SystemExit(
-                    f"{p.path}: no layout marker and no schema match — "
-                    f"not a recognized state dir ({p.note})"
-                )
-
-
-def cmd_compact(args) -> int:
-    from cdc_publisher_spark.streaming.incremental_dedup import read_dedup_state
-
-    spark = _session()
-    _deprecated_compact(
-        spark,
-        [args.corpus, args.index, args.pairs],
-        args.upto_batch,
-        args.vacuum,
-        "compact",
-    )
-    for label, d in (("corpus", args.corpus), ("index", args.index), ("pairs", args.pairs)):
-        print(f"{label}: {read_dedup_state(spark, d).count()} rows")
-    return 0
-
-
-def cmd_compact_hll(args) -> int:
-    from cdc_publisher_spark.streaming.hll_monitor import hll_state_estimate
-
-    spark = _session()
-    _deprecated_compact(
-        spark, [args.state], args.upto_batch, args.vacuum, "compact-hll"
-    )
-    est = hll_state_estimate(spark, args.state, args.group_col)
-    for r in est.orderBy(args.group_col).collect():
-        print(f"{r[args.group_col]}: ~{round(r['hll_estimate'], 1)} distinct")
-    return 0
-
-
-def cmd_compact_cm(args) -> int:
-    from cdc_publisher_spark.streaming.cm_monitor import read_cm_cells
-
-    spark = _session()
-    _deprecated_compact(
-        spark, [args.state], args.upto_batch, args.vacuum, "compact-cm"
-    )
-    gcols = args.group_cols.split(",") if args.group_cols else []
-    cells = read_cm_cells(spark, args.state, gcols)
-    from pyspark.sql import functions as F
-
-    (n_cells, total) = cells.agg(F.count("*"), F.sum("cnt")).first()
-    print(f"cells: {n_cells} rows, total count {total}")
-    return 0
-
-
-def cmd_compact_exposure(args) -> int:
-    from cdc_publisher_spark.streaming.exposure_monitor import read_exposure_report
-
-    spark = _session()
-    _deprecated_compact(
-        spark, [args.state], args.upto_batch, args.vacuum, "compact-exposure"
-    )
-    rep = read_exposure_report(spark, args.state)
-    for r in rep.collect():
-        print(
-            f"{r.source}: {r.n_grams} grams, {r.n_unique} unique, "
-            f"{r.n_rare} rare (unique_frac {r.unique_frac})"
-        )
-    return 0
-
-
 def cmd_maintain(args) -> int:
     from cdc_publisher_spark.streaming.maintenance import run_maintenance
 
@@ -405,75 +305,6 @@ def main(argv: list[str] | None = None) -> int:
         "watermark from this stream's commits log, vacuum grace 1",
     )
     sp.set_defaults(fn=cmd_monitors)
-
-    sp = sub.add_parser(
-        "compact",
-        help="DEPRECATED alias for `maintain` scoped to the three dedup "
-        "dirs (delegates to run_maintenance; use maintain --state-root)",
-    )
-    sp.add_argument("--corpus", required=True)
-    sp.add_argument("--index", required=True)
-    sp.add_argument("--pairs", required=True)
-    sp.add_argument("--upto-batch", type=int, required=True)
-    sp.add_argument(
-        "--vacuum",
-        action="store_true",
-        help="also delete superseded per-batch dirs (opt-in: unsafe only "
-        "against an unsynchronized concurrent reader — see "
-        "streaming/state.py vacuum_state)",
-    )
-    sp.set_defaults(fn=cmd_compact)
-
-    sp = sub.add_parser(
-        "compact-hll",
-        help="DEPRECATED alias for `maintain` scoped to one HLL state dir "
-        "(delegates to run_maintenance; use maintain --state-root)",
-    )
-    sp.add_argument("--state", required=True)
-    sp.add_argument("--upto-batch", type=int, required=True)
-    sp.add_argument("--group-col", default="source")
-    sp.add_argument(
-        "--vacuum",
-        action="store_true",
-        help="also delete superseded per-batch dirs (opt-in; see "
-        "streaming/state.py vacuum_state)",
-    )
-    sp.set_defaults(fn=cmd_compact_hll)
-
-    sp = sub.add_parser(
-        "compact-cm",
-        help="DEPRECATED alias for `maintain` scoped to one count-min state "
-        "dir (delegates to run_maintenance; use maintain --state-root)",
-    )
-    sp.add_argument("--state", required=True)
-    sp.add_argument("--upto-batch", type=int, required=True)
-    sp.add_argument(
-        "--group-cols",
-        default="",
-        help="comma-separated group columns the monitor was started with",
-    )
-    sp.add_argument(
-        "--vacuum",
-        action="store_true",
-        help="also delete superseded per-batch dirs (opt-in; see "
-        "streaming/state.py vacuum_state)",
-    )
-    sp.set_defaults(fn=cmd_compact_cm)
-
-    sp = sub.add_parser(
-        "compact-exposure",
-        help="DEPRECATED alias for `maintain` scoped to one exposure state "
-        "dir (delegates to run_maintenance; use maintain --state-root)",
-    )
-    sp.add_argument("--state", required=True)
-    sp.add_argument("--upto-batch", type=int, required=True)
-    sp.add_argument(
-        "--vacuum",
-        action="store_true",
-        help="also delete superseded per-batch dirs (opt-in; see "
-        "streaming/state.py vacuum_state)",
-    )
-    sp.set_defaults(fn=cmd_compact_exposure)
 
     sp = sub.add_parser(
         "maintain",

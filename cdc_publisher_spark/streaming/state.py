@@ -9,8 +9,8 @@ cannot express: the incremental LSH dedup
 (streaming/cm_monitor.py), the rare-gram exposure monitor
 (streaming/exposure_monitor.py), the centroid-drift monitor
 (streaming/drift_monitor.py), the first-seen vocabulary monitor
-(streaming/vocab_monitor.py), and the per-layout ``compact-*`` /
-unified ``maintain`` CLI subcommands (streaming/maintenance.py). It
+(streaming/vocab_monitor.py), and the unified ``maintain`` CLI
+subcommand (streaming/maintenance.py). It
 was promoted out of ``incremental_dedup`` (VERDICT r6 ask #2) so the
 contract is explicit and the consumers can evolve independently.
 

@@ -82,14 +82,17 @@ def test_cli_serve_once_publishes_metrics_snapshot(spark, tmp_path, capsys):
     assert m.get("dequeue_count") == 1
 
 
-def test_cli_compact_dedup_state(spark, tmp_path, capsys):
-    """compact subcommand: batch dirs at/below the watermark are folded
-    into the compact segment with the unified pair set unchanged."""
+def test_cli_maintain_compacts_dedup_state(spark, tmp_path, capsys):
+    """maintain over a dedup state root (the surface that replaced the
+    removed `compact` alias, VERDICT r11 ask #3): batch dirs at/below
+    the watermark fold into the compact segment with the unified pair
+    set unchanged, and the auto-created id-Bloom sibling is discovered
+    and compacted in the same pass (the alias used to miss it)."""
     from cdc_publisher_spark.streaming.incremental_dedup import (
         dedup_micro_batch,
         read_dedup_state,
     )
-    from cdc_publisher_spark.streaming.state import batch_dirs
+    from cdc_publisher_spark.streaming.state import batch_dirs, compacted_upto
 
     base = " ".join(f"tok{i}" for i in range(30))
     dirs = [str(tmp_path / d) for d in ("corpus", "idx", "pairs")]
@@ -101,23 +104,25 @@ def test_cli_compact_dedup_state(spark, tmp_path, capsys):
         map(tuple, read_dedup_state(spark, dirs[2]).collect())
     )
     assert main([
-        "compact", "--corpus", dirs[0], "--index", dirs[1],
-        "--pairs", dirs[2], "--upto-batch", "1", "--vacuum",
+        "maintain", "--state-root", str(tmp_path), "--upto-batch", "1",
+        "--vacuum",
     ]) == 0
-    cap = capsys.readouterr()
-    out = cap.out
-    # r10 ask #5: the legacy subcommand is a deprecated alias that
-    # delegates to the one maintenance path
-    assert "deprecated" in cap.err and "maintain" in cap.err
-    assert "corpus: 3 rows" in out and "pairs:" in out
+    out = capsys.readouterr().out
+    # all four dedup dirs discovered — including the id_bloom sibling
+    # dedup_micro_batch created implicitly
+    assert out.count("compact\t") == 4, out
+    assert "id_bloom" in out
+    assert compacted_upto(spark, str(tmp_path / "id_bloom")) == 1
     assert all(k > 1 for k, _ in batch_dirs(spark, dirs[2]))
     after = sorted(map(tuple, read_dedup_state(spark, dirs[2]).collect()))
     assert after == before
+    assert read_dedup_state(spark, dirs[0]).count() == 3
 
 
-def test_cli_compact_hll_state(spark, tmp_path, capsys):
-    """compact-hll subcommand: register deltas fold into a pre-merged
-    segment, estimates print per group and survive the compaction."""
+def test_cli_maintain_compacts_hll_state(spark, tmp_path, capsys):
+    """maintain over an HLL state dir (replaced the `compact-hll`
+    alias): register deltas fold into a pre-merged segment and the
+    estimates survive the compaction."""
     from pyspark.sql import functions as F
 
     from cdc_publisher_spark.streaming.hll_monitor import (
@@ -133,13 +138,22 @@ def test_cli_compact_hll_state(spark, tmp_path, capsys):
     for b in range(2):
         hll_micro_batch(rows.filter(F.crc32("s") % 2 == b), b, state)
     before = sorted((r.source, r.bucket, r.M) for r in read_hll_registers(spark, state).collect())
-    assert main(["compact-hll", "--state", state, "--upto-batch", "1"]) == 0
-    cap = capsys.readouterr()
-    out = cap.out
-    assert "deprecated" in cap.err and "maintain" in cap.err
-    assert "srcA: ~" in out and "srcB: ~" in out
+    assert main(["maintain", "--state-root", state, "--upto-batch", "1"]) == 0
+    out = capsys.readouterr().out
+    assert out.count("compact\thll\t") == 1, out
     after = sorted((r.source, r.bucket, r.M) for r in read_hll_registers(spark, state).collect())
     assert after == before
+
+
+def test_cli_compact_aliases_removed():
+    """The deprecated compact* aliases (kept one round per VERDICT r10
+    ask #5) are gone: argparse rejects them."""
+    import pytest
+
+    for legacy in ("compact", "compact-hll", "compact-cm", "compact-exposure"):
+        with pytest.raises(SystemExit) as e:
+            main([legacy, "--help"])
+        assert e.value.code == 2
 
 
 def test_cli_maintain_covers_all_four_layouts(spark, tmp_path, capsys):
