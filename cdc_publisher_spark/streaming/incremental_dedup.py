@@ -32,10 +32,15 @@ Hive-partitioned on the key the next trigger will prune by:
   distinct bhm values — a CONSTANT, and for small probes far fewer —
   so the index read prunes to those directories regardless of how
   many batches of history exist, and each batch write lands ≤
-  ``bh_mod`` partition-aligned files (one per touched bhm). Changing
-  the layout of a pre-r11 (band=B/bhm=M) dir is a compaction rewrite,
-  exactly like changing BH_MOD; ``maintain`` recognizes the legacy
-  marker and folds it into the new layout.
+  ``bh_mod`` partition-aligned files (one per touched bhm). A pre-r11
+  (band=B/bhm=M) dir KEEPS its legacy structure — the writer resolves
+  the dir's layout (``index_layout``) before every write, because
+  mixing bhm-only batch dirs into a legacy dir breaks the probe's
+  union read (conflicting partition schemes — ADVICE r11, medium);
+  ``maintain`` compacts a legacy dir in its own shape, and moving it
+  forward is the explicit offline ``migrate_index_layout`` rewrite,
+  which also REPLACES the layout marker rather than accumulating a
+  second one.
 - ``corpus_dir/batch=N/dh=D/`` — accumulated documents, sub-
   partitioned by ``dh = pmod(xxhash64(doc_id), doc_mod)``. The exact
   verify re-reads text ONLY for candidate-touching docs; candidates
@@ -100,8 +105,11 @@ from cdc_publisher_spark.streaming.state import (
     batch_dirs,
     compact_state,
     compacted_upto,
+    hadoop_fs,
     in_stream_watermark,
+    read_layout_marker,
     read_state,
+    replace_layout_marker,
     vacuum_state,
     write_layout_marker,
     write_manifest,
@@ -310,6 +318,123 @@ def default_bloom_dir(corpus_dir: str) -> str:
     return os.path.join(os.path.dirname(corpus_dir.rstrip("/")), "id_bloom")
 
 
+# --------------------------------------------------------------------------
+# Index layout resolution + migration (ADVICE r11, medium)
+# --------------------------------------------------------------------------
+def _inner_partition_prefixes(spark: SparkSession, state_dir: str) -> set[str]:
+    """Partition-column names physically present in the dir's live
+    ``batch=N`` children (falling back to the compact segments when no
+    live dirs exist) — the marker-less layout sniff."""
+    fs, _ = hadoop_fs(spark, state_dir)
+    jvm = spark._jvm
+    roots = [d for _, d in batch_dirs(spark, state_dir)]
+    croot = jvm.org.apache.hadoop.fs.Path(os.path.join(state_dir, "_compact"))
+    if not roots and fs.exists(croot):
+        roots = [
+            st.getPath().toString()
+            for st in fs.listStatus(croot)
+            if st.getPath().getName().startswith("upto=")
+        ]
+    found: set[str] = set()
+    for r in roots:
+        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(r)):
+            name = st.getPath().getName()
+            if st.isDirectory() and "=" in name:
+                found.add(name.split("=", 1)[0])
+    return found
+
+
+def index_layout(
+    spark: SparkSession, index_dir: str
+) -> tuple[str, tuple[str, ...]]:
+    """(layout marker, inner partition cols) the index WRITER must use
+    for this dir. A pre-r11 dir keeps its ``(band=, bhm=)`` structure —
+    mixing a bhm-only batch dir into it would make the next probe's
+    union read fail on conflicting partition schemes and crash-loop the
+    stream (ADVICE r11, medium) — so the writer follows the dir, never
+    the code default. Fresh dirs get the r11 bhm-only layout.
+
+    Resolution order: the ``_layout.`` marker (authoritative;
+    ``read_layout_marker`` raises a migrate-first error if a damaged
+    dir accumulated BOTH markers), else the physical structure of the
+    live batch dirs (state written before markers existed), else the
+    current default. Moving a legacy dir forward is an explicit
+    offline ``migrate_index_layout`` call, not an in-place drift."""
+    marker = read_layout_marker(spark, index_dir)  # raises on conflict
+    if marker == "rows-band-bhm":
+        return marker, ("band", "bhm")
+    if marker == "rows-bhm":
+        return marker, ("bhm",)
+    if marker is not None:
+        raise ValueError(
+            f"{index_dir} declares layout {marker!r}, which is not an LSH "
+            "index layout — refusing to write into it"
+        )
+    phys = _inner_partition_prefixes(spark, index_dir)
+    if "band" in phys:
+        return "rows-band-bhm", ("band", "bhm")
+    return "rows-bhm", ("bhm",)
+
+
+def migrate_index_layout(
+    spark: SparkSession, index_dir: str, vacuum: bool = True
+) -> None:
+    """Offline rewrite of a legacy ``(band=, bhm=)`` — or a damaged
+    MIXED — index dir into the r11 bhm-only layout: every batch dir is
+    read individually (a mixed dir cannot be union-read through one
+    basePath, which is exactly the crash this migration repairs),
+    folded with any existing compact segment into ``_compact/upto=max``,
+    and the layout marker is REPLACED, not accumulated
+    (state.replace_layout_marker — ADVICE r11).
+
+    Run with the stream STOPPED CLEANLY: the fold includes every
+    on-disk batch, so an uncommitted crash-leftover batch would be
+    baked into the segment (same contract as ``maintain
+    --assume-all-committed``). Idempotent — re-running on an
+    already-bhm-only dir rewrites it verbatim."""
+    upto = compacted_upto(spark, index_dir)
+    live = batch_dirs(spark, index_dir)
+    parts: list[DataFrame] = []
+    if upto is not None:
+        parts.append(
+            spark.read.parquet(os.path.join(index_dir, "_compact", f"upto={upto}"))
+        )
+    for k, d in live:
+        parts.append(spark.read.parquet(d).withColumn("batch", F.lit(k)))
+    if not parts:
+        return
+    marks = [k for k, _ in live] + ([upto] if upto is not None else [])
+    m = max(marks)
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    cols = [c for c in df.columns if c != "bhm"] + ["bhm"]
+    # stage through an underscore temp (invisible to readers) and swap:
+    # the target segment path can be one of the INPUTS (compact-only
+    # dir, m == upto), and parquet cannot overwrite a path it is
+    # reading. The delete->rename window is the one non-crash-safe
+    # step — acceptable under the stream-stopped offline contract.
+    tmp = os.path.join(index_dir, "_compact", "_migrating")
+    target = os.path.join(index_dir, "_compact", f"upto={m}")
+    (
+        df.select(*cols)
+        .repartition(F.col("bhm"))
+        .write.partitionBy("bhm")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    fs, _ = hadoop_fs(spark, index_dir)
+    jvm = spark._jvm
+    jtarget = jvm.org.apache.hadoop.fs.Path(target)
+    if fs.exists(jtarget):
+        fs.delete(jtarget, True)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), jtarget)
+    write_manifest(spark, index_dir, m)
+    replace_layout_marker(spark, index_dir, "rows-bhm")
+    if vacuum:
+        vacuum_state(spark, index_dir)
+
+
 def read_dedup_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
     """Public unified view of a dedup state dir (corpus / index /
     pairs / bloom): compacted segment + live batch dirs. Downstream
@@ -419,6 +544,12 @@ def _dedup_micro_batch_body(
 ) -> None:
     if not batch.take(1):
         return
+    # resolve the index dir's layout BEFORE any write: a pre-r11
+    # (band=, bhm=) dir keeps its legacy structure — mixing layouts
+    # inside one dir breaks the union read (ADVICE r11, medium) — and
+    # a conflicted dir fails fast here with the migrate-first error
+    # instead of crash-looping the probe
+    idx_marker, idx_cols = index_layout(spark, index_dir)
     new_buckets = lsh_buckets(minhash_signatures(batch, id_col, text_col))
     new_buckets = new_buckets.withColumn(
         "bhm", F.pmod(F.col("bh"), F.lit(BH_MOD)).cast("int")
@@ -516,24 +647,27 @@ def _dedup_micro_batch_body(
         id_bloom_delta(batch, id_col).write.mode("overwrite").parquet(
             os.path.join(bloom_dir, f"batch={batch_id}")
         )
-        # Index dirs partition on bhm ALONE (r11). Every document
-        # populates every band by construction (band is the signature
-        # slice index), so band= dirs never prune a probe — the only
-        # selective key is bhm. bhm-only dirs cut the per-batch file
-        # count from ~bands × BH_MOD populated cells to ≤ BH_MOD
-        # (aligned: one file per touched bhm), while a small probe's
-        # read still prunes to its ≤ bands distinct bhm values; band
-        # and bh stay data columns the probe join filters in-scan.
-        new_buckets.repartition(F.col("bhm")).write.partitionBy("bhm").mode(
-            "overwrite"
-        ).parquet(os.path.join(index_dir, f"batch={batch_id}"))
+        # Index dirs partition on bhm ALONE for fresh state (r11).
+        # Every document populates every band by construction (band is
+        # the signature slice index), so band= dirs never prune a probe
+        # — the only selective key is bhm. bhm-only dirs cut the
+        # per-batch file count from ~bands × BH_MOD populated cells to
+        # ≤ BH_MOD (aligned: one file per touched bhm), while a small
+        # probe's read still prunes to its ≤ bands distinct bhm values;
+        # band and bh stay data columns the probe join filters in-scan.
+        # A dir that already holds LEGACY (band=, bhm=) state keeps
+        # that structure (idx_cols, resolved above) until an explicit
+        # migrate_index_layout — never an in-place layout mix.
+        new_buckets.repartition(*[F.col(c) for c in idx_cols]).write.partitionBy(
+            *idx_cols
+        ).mode("overwrite").parquet(os.path.join(index_dir, f"batch={batch_id}"))
         # declare each dir's merge algebra for the generic `maintain`
         # pass (explicit markers, not schema guessing — ADVICE r9)
         for d, layout in (
             (pairs_dir, "rows"),
             (corpus_dir, "rows-dh"),
             (bloom_dir, "bitor-mask"),
-            (index_dir, "rows-bhm"),
+            (index_dir, idx_marker),
         ):
             write_layout_marker(spark, d, layout)
     finally:
@@ -557,7 +691,13 @@ def compact_dedup_state(
     reader is the one unsafe interleaving; see state.vacuum_state)."""
     bdir = bloom_dir or default_bloom_dir(corpus_dir)
     compact_state(spark, corpus_dir, upto_batch, partition_cols=("dh",))
-    compact_state(spark, index_dir, upto_batch, partition_cols=("bhm",))
+    # the index compacts in ITS OWN layout — folding a legacy
+    # (band=, bhm=) dir into bhm-only dirs mid-stream would mix
+    # structures under the legacy marker (migration is explicit)
+    compact_state(
+        spark, index_dir, upto_batch,
+        partition_cols=index_layout(spark, index_dir)[1],
+    )
     compact_state(spark, pairs_dir, upto_batch)
     if batch_dirs(spark, bdir) or compacted_upto(spark, bdir) is not None:
         compact_state(

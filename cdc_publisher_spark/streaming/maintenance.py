@@ -366,8 +366,17 @@ def plan_maintenance(
     )
     plans: list[MaintenancePlan] = []
     for d in discover_state_dirs(spark, state_root):
-        cols = read_state(spark, d).columns
-        classified = classify_state_dir(cols, read_layout_marker(spark, d))
+        conflict = None
+        try:
+            # a dir caught mid-upgrade (two markers, or mixed inner
+            # partition structures Spark refuses to union-read) must
+            # become a skip-with-note, not crash the whole walk —
+            # maintenance is the scheduled job that has to keep running
+            # for every OTHER dir while the bad one awaits migration
+            cols = read_state(spark, d).columns
+            classified = classify_state_dir(cols, read_layout_marker(spark, d))
+        except Exception as e:  # conflicting markers / partition schemes
+            classified, conflict = None, str(e).splitlines()[0][:160]
         prev = compacted_upto(spark, d)
         dirs = [k for k, _ in batch_dirs(spark, d)]
         own_max = max(dirs) if dirs else prev
@@ -377,7 +386,9 @@ def plan_maintenance(
         if classified is None:
             kind, pcols = "unrecognized", ()
             target = None
-            note = "no layout marker and no full-signature schema match; skipped"
+            note = conflict or (
+                "no layout marker and no full-signature schema match; skipped"
+            )
         else:
             kind, pcols, _ = classified
         live = [k for k in dirs if prev is None or k > prev]

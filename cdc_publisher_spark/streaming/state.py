@@ -125,16 +125,49 @@ def write_layout_marker(spark: SparkSession, path: str, layout: str) -> None:
 
 def read_layout_marker(spark: SparkSession, path: str) -> str | None:
     """The declared layout name for a state dir, or None when the dir
-    predates markers (schema-signature fallback applies)."""
+    predates markers (schema-signature fallback applies).
+
+    MULTIPLE markers raise: a dir can only have accumulated two
+    ``_layout.`` files by having writers of different layout versions
+    write into it without a migration (the ADVICE r11 in-place-upgrade
+    hazard), and silently picking one — the old sorted()[0] behavior —
+    let the stale marker shadow the live one forever. The fix is a
+    layout migration (e.g. ``incremental_dedup.migrate_index_layout``),
+    which rewrites the data and REPLACES the marker
+    (``replace_layout_marker``) instead of adding a second one."""
     fs, jpath = hadoop_fs(spark, path)
     if not fs.exists(jpath):
         return None
-    names = [
+    names = sorted(
         st.getPath().getName()[len(LAYOUT_PREFIX):]
         for st in fs.listStatus(jpath)
         if st.getPath().getName().startswith(LAYOUT_PREFIX)
-    ]
-    return sorted(names)[0] if names else None
+    )
+    if len(names) > 1:
+        raise ValueError(
+            f"conflicting layout markers {names} at {path}: the dir holds "
+            "state written under two different layouts — run the layout's "
+            "migration (which rewrites the data and replaces the marker) "
+            "before reading or writing it"
+        )
+    return names[0] if names else None
+
+
+def replace_layout_marker(spark: SparkSession, path: str, layout: str) -> None:
+    """Swap a state dir's layout declaration: remove every existing
+    ``_layout.`` marker, then create ``_layout.<layout>``. For
+    MIGRATIONS only — a crash between the delete and the create leaves
+    the dir marker-less, which degrades to the schema-signature
+    fallback (safe: unrecognized schemas are skipped, never merged
+    wrongly), whereas the accumulate-both alternative left a stale
+    marker permanently shadowing the live one (ADVICE r11)."""
+    fs, jpath = hadoop_fs(spark, path)
+    if fs.exists(jpath):
+        for st in fs.listStatus(jpath):
+            name = st.getPath().getName()
+            if name.startswith(LAYOUT_PREFIX) and name != f"{LAYOUT_PREFIX}{layout}":
+                fs.delete(st.getPath(), False)
+    write_layout_marker(spark, path, layout)
 
 
 def checkpoint_committed_upto(spark: SparkSession, checkpoint_dir: str) -> int | None:
@@ -365,6 +398,7 @@ __all__ = [
     "in_stream_watermark",
     "read_layout_marker",
     "read_state",
+    "replace_layout_marker",
     "vacuum_state",
     "write_layout_marker",
     "write_manifest",
