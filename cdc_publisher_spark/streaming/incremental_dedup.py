@@ -107,6 +107,7 @@ from cdc_publisher_spark.streaming.state import (
     compacted_upto,
     hadoop_fs,
     in_stream_watermark,
+    inner_partition_prefixes,
     read_layout_marker,
     read_state,
     replace_layout_marker,
@@ -321,29 +322,6 @@ def default_bloom_dir(corpus_dir: str) -> str:
 # --------------------------------------------------------------------------
 # Index layout resolution + migration (ADVICE r11, medium)
 # --------------------------------------------------------------------------
-def _inner_partition_prefixes(spark: SparkSession, state_dir: str) -> set[str]:
-    """Partition-column names physically present in the dir's live
-    ``batch=N`` children (falling back to the compact segments when no
-    live dirs exist) — the marker-less layout sniff."""
-    fs, _ = hadoop_fs(spark, state_dir)
-    jvm = spark._jvm
-    roots = [d for _, d in batch_dirs(spark, state_dir)]
-    croot = jvm.org.apache.hadoop.fs.Path(os.path.join(state_dir, "_compact"))
-    if not roots and fs.exists(croot):
-        roots = [
-            st.getPath().toString()
-            for st in fs.listStatus(croot)
-            if st.getPath().getName().startswith("upto=")
-        ]
-    found: set[str] = set()
-    for r in roots:
-        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(r)):
-            name = st.getPath().getName()
-            if st.isDirectory() and "=" in name:
-                found.add(name.split("=", 1)[0])
-    return found
-
-
 def index_layout(
     spark: SparkSession, index_dir: str
 ) -> tuple[str, tuple[str, ...]]:
@@ -370,7 +348,7 @@ def index_layout(
             f"{index_dir} declares layout {marker!r}, which is not an LSH "
             "index layout — refusing to write into it"
         )
-    phys = _inner_partition_prefixes(spark, index_dir)
+    phys = inner_partition_prefixes(spark, index_dir)
     if "band" in phys:
         return "rows-band-bhm", ("band", "bhm")
     return "rows-bhm", ("bhm",)

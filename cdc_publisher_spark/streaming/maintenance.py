@@ -36,6 +36,10 @@ be silently sum-merged. The declared layouts:
                        index since r11 — band dirs never pruned).
 - ``rows-band-bhm``  → row state partitioned by (band, bhm) (legacy
                        pre-r11 dedup LSH index dirs).
+- ``rows-fm-1024`` / ``rows-fm``
+                     → audio-dup fpk state partitioned by ``fm``
+                       (r12 1024-way fan / legacy r11 64-way fan —
+                       the marker name carries the modulus).
 
 A dir with NO marker (state written by a pre-marker version) falls
 back to full-signature schema matching — each aggregate algebra
@@ -198,7 +202,12 @@ LAYOUTS: dict[str, LayoutSpec] = {
         # the dedup LSH index since r11: bhm-only dirs (band never
         # pruned anything — every doc populates every band)
         LayoutSpec("rows-bhm", "rows", ("bhm",), frozenset({"bhm"}), None),
-        # audio-dup monitor fingerprint keys (streaming/audio_monitor)
+        # audio-dup monitor fingerprint keys (streaming/audio_monitor):
+        # the r12 1024-way fan carries the modulus in the marker name;
+        # the legacy unversioned marker is the r11 64-way fan. Both
+        # compact identically (verbatim rewrite keeping fm dirs — fm
+        # values were assigned under the dir's own modulus)
+        LayoutSpec("rows-fm-1024", "rows", ("fm",), frozenset({"fm"}), None),
         LayoutSpec("rows-fm", "rows", ("fm",), frozenset({"fm"}), None),
         # legacy pre-r11 index dirs; compacting one folds it into the
         # same (band,bhm)-dir shape it was written with

@@ -207,6 +207,30 @@ def batch_dirs(spark: SparkSession, path: str) -> list[tuple[int, str]]:
     return sorted(out)
 
 
+def inner_partition_prefixes(spark: SparkSession, state_dir: str) -> set[str]:
+    """Partition-column names physically present in the dir's live
+    ``batch=N`` children (falling back to the compact segments when no
+    live dirs exist) — the marker-less layout sniff the writers use to
+    keep following a legacy dir's structure (ADVICE r11)."""
+    fs, _ = hadoop_fs(spark, state_dir)
+    jvm = spark._jvm
+    roots = [d for _, d in batch_dirs(spark, state_dir)]
+    croot = jvm.org.apache.hadoop.fs.Path(os.path.join(state_dir, "_compact"))
+    if not roots and fs.exists(croot):
+        roots = [
+            st.getPath().toString()
+            for st in fs.listStatus(croot)
+            if st.getPath().getName().startswith("upto=")
+        ]
+    found: set[str] = set()
+    for r in roots:
+        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(r)):
+            name = st.getPath().getName()
+            if st.isDirectory() and "=" in name:
+                found.add(name.split("=", 1)[0])
+    return found
+
+
 def read_state(
     spark: SparkSession,
     path: str,
@@ -396,6 +420,7 @@ __all__ = [
     "compacted_upto",
     "hadoop_fs",
     "in_stream_watermark",
+    "inner_partition_prefixes",
     "read_layout_marker",
     "read_state",
     "replace_layout_marker",

@@ -153,6 +153,128 @@ def test_audio_state_compaction_and_maintain(spark, tmp_path):
     assert final == before
 
 
+def test_audio_pairs_normalized_and_no_self_pairs(spark, tmp_path):
+    """ADVICE r11: pair identity must be slicing-independent — the
+    history leg used to emit (historical, newcomer), so ids arriving
+    out of id order produced (5,3) where batch mode said (3,5) — and a
+    cross-batch re-delivery of the same media_id must not emit (X,X)."""
+    docs = _docs(spark)
+    state, pairs = str(tmp_path / "fpk"), str(tmp_path / "pairs")
+    # batch 0 carries the LATER ids, batch 1 the earlier ones: every
+    # history-leg match in batch 1 sees history ids LARGER than its own
+    audio_dup_micro_batch(_media(docs.filter(F.col("doc_id") > 6)), 0, state, pairs)
+    audio_dup_micro_batch(_media(docs.filter(F.col("doc_id") <= 6)), 1, state, pairs)
+    got = sorted(
+        (r.orig_id, r.dup_id) for r in read_audio_dups(spark, pairs).collect()
+    )
+    assert got == _expected_pairs(docs)  # already (min, max), no re-sort
+    assert all(a < b for a, b in got)
+    # re-deliver id 12 (the singleton) under a NEW batch id — an
+    # id-contract violation upstream; the guard must stay silent
+    audio_dup_micro_batch(
+        _media(docs.filter(F.col("doc_id") == 12)), 2, state, pairs
+    )
+    got2 = sorted(
+        (r.orig_id, r.dup_id) for r in read_audio_dups(spark, pairs).collect()
+    )
+    assert got2 == got  # no (12, 12) self-pair
+
+
+def test_audio_empty_batch_is_a_no_op(spark, tmp_path):
+    """ADVICE r11: an empty trigger must not write a file-less
+    batch dir — if the only live dirs are file-less, a later trigger's
+    read_state fails schema inference and kills the stream."""
+    docs = _docs(spark)
+    state, pairs = str(tmp_path / "fpk"), str(tmp_path / "pairs")
+    empty = docs.filter(F.lit(False))
+    audio_dup_micro_batch(_media(empty), 0, state, pairs)
+    assert not batch_dirs(spark, state) and not batch_dirs(spark, pairs)
+    # the interleaving the ADVICE describes: empty trigger(s) then data
+    audio_dup_micro_batch(_media(docs), 1, state, pairs)
+    audio_dup_micro_batch(_media(empty), 2, state, pairs)
+    assert [k for k, _ in batch_dirs(spark, state)] == [1]
+    got = sorted(
+        tuple(p) for p in read_audio_dups(spark, pairs).collect()
+    )
+    assert got == _expected_pairs(docs)
+
+
+def test_audio_legacy_64_fan_is_followed_and_migrates(spark, tmp_path):
+    """VERDICT r11 ask #5: fresh dirs get the 1024-way fm fan; a dir
+    written under the r11 64-way scheme (marker ``rows-fm``) keeps it —
+    mixing moduli would silently miss probes — until an explicit
+    migrate_audio_layout, which re-derives fm and replaces the marker."""
+    import pyspark.sql.functions as SF
+
+    from cdc_publisher_spark.streaming.audio_monitor import (
+        FPK_MOD,
+        LEGACY_FPK_MOD,
+        audio_state_layout,
+        migrate_audio_layout,
+    )
+    from cdc_publisher_spark.streaming.state import (
+        read_layout_marker,
+        write_layout_marker,
+    )
+
+    docs = _docs(spark)
+    state, pairs = str(tmp_path / "fpk"), str(tmp_path / "pairs")
+
+    # build a genuine legacy dir: batch 0 through the current writer,
+    # then rewrite its fm values under the 64-way fan + legacy marker
+    first = docs.filter(F.col("doc_id") <= 6)
+    audio_dup_micro_batch(_media(first), 0, state, pairs)
+    assert read_layout_marker(spark, state) == f"rows-fm-{FPK_MOD}"
+    rows = (
+        spark.read.parquet(f"{state}/batch=0")
+        .select("media_id", "fpk")
+        .collect()
+    )
+    import os as _os
+    import shutil
+
+    shutil.rmtree(f"{state}/batch=0")
+    _os.remove(f"{state}/_layout.rows-fm-{FPK_MOD}")
+    (
+        spark.createDataFrame(rows, "media_id long, fpk long")
+        .withColumn("fm", SF.pmod("fpk", SF.lit(LEGACY_FPK_MOD)).cast("int"))
+        .repartition(F.col("fm"))
+        .write.partitionBy("fm")
+        .parquet(f"{state}/batch=0")
+    )
+    write_layout_marker(spark, state, "rows-fm")
+    assert audio_state_layout(spark, state) == ("rows-fm", LEGACY_FPK_MOD)
+
+    # the writer follows the dir: new fm values stay under mod 64 and
+    # the cross-batch probe still matches (pair completeness holds)
+    audio_dup_micro_batch(
+        _media(docs.filter(F.col("doc_id") > 6)), 1, state, pairs
+    )
+    assert read_layout_marker(spark, state) == "rows-fm"
+    st = read_audio_fpk_state(spark, state)
+    assert st.agg(F.max("fm")).first()[0] < LEGACY_FPK_MOD
+    before_rows = sorted((r.media_id, r.fpk) for r in st.collect())
+    got = sorted(tuple(p) for p in read_audio_dups(spark, pairs).collect())
+    assert got == _expected_pairs(docs)
+
+    # explicit migration: fm re-derived under the 1024 fan, marker
+    # replaced, state rows unchanged, and the stream resumes correctly
+    migrate_audio_layout(spark, state)
+    assert read_layout_marker(spark, state) == f"rows-fm-{FPK_MOD}"
+    st2 = read_audio_fpk_state(spark, state)
+    assert sorted((r.media_id, r.fpk) for r in st2.collect()) == before_rows
+    fm_ok = st2.filter(
+        F.col("fm") != F.pmod("fpk", F.lit(FPK_MOD)).cast("int")
+    ).count()
+    assert fm_ok == 0
+    extra = spark.createDataFrame(
+        [(13, "alpha beta gamma delta")], "doc_id long, text string"
+    )  # dup of the 1/3/6 family, arriving post-migration
+    audio_dup_micro_batch(_media(extra), 2, state, pairs)
+    got = sorted(tuple(p) for p in read_audio_dups(spark, pairs).collect())
+    assert got == sorted(_expected_pairs(docs) + [(1, 13), (3, 13), (6, 13)])
+
+
 def test_audio_fpk_digest_matches_batch_query_grouping(spark):
     """audio_fpk's digest must equal for identical clips and differ
     for different ones — the property the guard's equi-join rides."""
