@@ -376,6 +376,10 @@ SCALING_EXTRAS = (
     # r11 VERDICT ask #2: the tolerant-decode mapInPandas pass (new
     # plan shape, registered after the r11 --scaling freeze)
     "q_k108_media_decode_deadletter",
+    # r12 additions: banded random-sign signature matmul + candidate
+    # join (the ninth consumer's batch twin) and its bucket histogram
+    "q_k109_incremental_embedding_neardup",
+    "q_k110_embedding_bucket_skew",
 )
 
 

@@ -16,11 +16,12 @@ is the engine's equivalent surface, thin wrappers over the library:
                             to stderr every --metrics-period seconds,
                             the reference's 10 s reporter cadence)
   monitors --src D --state-root D --checkpoint C [--once [--maintain]]
-                            composed eight-monitor job: one parquet
+                            composed nine-monitor job: one parquet
                             document stream fanned to dedup + HLL +
                             count-min + exposure + drift + vocabulary
-                            + ctx economics + the audio-dup guard
-                            under one foreachBatch and one state root
+                            + ctx economics + the audio-dup guard +
+                            the embedding near-dup monitor under one
+                            foreachBatch and one state root
                             (streaming/monitor_suite.py); --once drains
                             then exits, --maintain adds one commits-
                             log-watermarked maintenance pass
@@ -176,7 +177,7 @@ def cmd_serve(args) -> int:
 
 def cmd_monitors(args) -> int:
     """The serve-style composed monitor job: one parquet document
-    stream fanned to all eight state consumers
+    stream fanned to all nine state consumers
     (streaming/monitor_suite.py). ``--once`` drains available input
     then exits; ``--maintain`` runs one maintenance pass after the
     drain with the watermark taken from this stream's own commits log
@@ -288,10 +289,10 @@ def main(argv: list[str] | None = None) -> int:
 
     sp = sub.add_parser(
         "monitors",
-        help="composed eight-monitor job over a parquet document stream "
+        help="composed nine-monitor job over a parquet document stream "
         "(dedup, HLL, count-min, exposure, drift, vocabulary, ctx, "
-        "audio-dup guard — one foreachBatch, one state root; "
-        "streaming/monitor_suite.py)",
+        "audio-dup guard, embedding near-dup — one foreachBatch, one "
+        "state root; streaming/monitor_suite.py)",
     )
     sp.add_argument("--src", required=True, help="parquet dir to stream")
     sp.add_argument("--state-root", required=True)

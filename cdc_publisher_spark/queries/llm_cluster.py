@@ -701,3 +701,95 @@ def q_k101_dup_pressure_by_ingestion(
         )
         .orderBy("decile")
     )
+
+
+#: q_k109 new-ingest boundary — the q_k25/q_k79 convention applied to
+#: the embeddings table (vec_id >= 450 is "this ingest").
+EMBED_INCR_NEW_FROM = 450
+
+# The banded random-sign scheme's constants are baked into the oracle
+# text at registration time (registry contract: oracle strings never
+# change), so the import is at module scope on purpose.
+from cdc_publisher_spark.operators.embed_lsh import (  # noqa: E402
+    RH_BANDS,
+    RH_BITS,
+    embedding_neardup_banded,
+    rh_oracle_sql,
+)
+
+
+@register(
+    "q_k109_incremental_embedding_neardup",
+    family="K",
+    doc="K-2/K-79 incremental embedding near-dup, the batch twin of "
+    "the ninth state consumer (streaming/embed_monitor.py): banded "
+    "random-sign signatures (operators/embed_lsh.py — integer-exact, "
+    "md5-derived Rademacher signs over ROUND(v*1e6) quantization, "
+    "Charikar 2002) nominate candidate pairs by shared (band, bh) "
+    "bucket, exact cosine verifies at the q_k21 threshold, restricted "
+    "to pairs touching the new ingest (vec_id >= 450). Unlike the "
+    "float-plane LSH (q_k12), the ENTIRE nominate stage is replayed "
+    "by the DuckDB oracle — candidate-set equality is exact, not "
+    "fixture-recall luck.",
+    oracle=rh_oracle_sql(NEARDUP_COS_THRESHOLD, new_from=EMBED_INCR_NEW_FROM),
+)
+def q_k109_incremental_embedding_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return embedding_neardup_banded(
+        e, NEARDUP_COS_THRESHOLD, new_from=EMBED_INCR_NEW_FROM
+    ).orderBy("i", "j")
+
+
+@register(
+    "q_k110_embedding_bucket_skew",
+    family="K",
+    doc="K-3 banded-signature bucket histogram: (band, bh, n_vecs) for "
+    "every populated random-sign bucket — the skew audit a deployment "
+    "runs before trusting the banded index's probe-cost model "
+    "(expected mass n/2^bits per band), and the full-coverage "
+    "cross-engine pin of the signature pipeline itself: every one of "
+    "the corpus's bands*n signature rows participates in the exact "
+    "integer hash compare (q_k109's pair output only samples the "
+    "threshold tail).",
+    oracle=f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+        q AS (
+            SELECT vec_id,
+                   list_transform(e, x -> CAST(ROUND(x * 1000000) AS BIGINT)) w
+            FROM v
+        ),
+        proj AS (
+            SELECT vec_id, b.bit,
+                   SUM(CASE WHEN ('0x' || substr(
+                                md5('rh:' || b.bit || ':' || d.j),
+                                1, 2))::UBIGINT % 2 = 0
+                            THEN w[d.j + 1] ELSE -w[d.j + 1] END) AS s
+            FROM q,
+                 generate_series(0, {RH_BANDS * RH_BITS - 1}) b(bit),
+                 generate_series(0, 63) d(j)
+            GROUP BY 1, 2
+        ),
+        sig AS (
+            SELECT vec_id, CAST(b.bit // {RH_BITS} AS INT) AS band,
+                   CAST(SUM(CASE WHEN s > 0
+                                 THEN (1 << (b.bit % {RH_BITS})) ELSE 0 END)
+                        AS BIGINT) AS bh
+            FROM proj b GROUP BY 1, 2
+        )
+        SELECT band, bh, CAST(COUNT(*) AS BIGINT) AS n_vecs
+        FROM sig GROUP BY band, bh
+        ORDER BY band, bh
+    """,
+)
+def q_k110_embedding_bucket_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_publisher_spark.operators.embed_lsh import rh_band_rows
+
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        rh_band_rows(e)
+        .groupBy("band", "bh")
+        .agg(F.count("*").cast("long").alias("n_vecs"))
+        .orderBy("band", "bh")
+    )

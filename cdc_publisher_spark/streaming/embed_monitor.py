@@ -1,0 +1,311 @@
+"""Streaming incremental embedding near-dup: the ninth state consumer
+(VERDICT r11 ask #4).
+
+The shingle space has an incremental production path (the q_k79 probe
+over the persisted LSH index, streaming/incremental_dedup.py) and the
+audio space has the exact-dup guard (streaming/audio_monitor.py); this
+monitor closes the embedding space: per trigger, which incoming
+vectors are near-duplicates (cosine ≥ threshold) of anything already
+ingested. Batch twins q_k21/q_k35 mine the full corpus; a real ingest
+pipeline dedups NEW vectors against history incrementally — candidate
+cost O(batch × collisions) per trigger, history-vs-history pairs never
+recomputed.
+
+Signatures are the banded random-sign scheme from
+operators/embed_lsh.py — the same rows the oracle-audited batch twin
+(q_k109) rides, so the streamed index is probe-compatible with the
+audited semantics. State rides streaming/state.py:
+
+- ``idx_dir/batch=N/ebm=M/`` — (id, band, bh) signature bucket rows,
+  Hive-partitioned by ``ebm = pmod(xxhash64(band, bh), EB_MOD)``. With
+  EB_MOD = 128 = bands·2^bits every possible (band, bh) cell gets its
+  own directory, so the probe reads EXACTLY the cells the batch's own
+  signatures touch — ≤ min(batch·bands, 128) dirs per trigger however
+  much history exists. Writes are partition-aligned (one file per
+  touched ebm per batch — the r11 small-files rule).
+- ``vecs_dir/batch=N/vh=D/`` — accumulated vectors, partitioned by
+  ``vh = pmod(xxhash64(id), VEC_MOD)``. The exact cosine verify
+  re-reads vectors ONLY for candidate-touching ids: candidates
+  materialize first, their ≤ VEC_MOD distinct vh values collect
+  (bounded by the LAYOUT), and the vector read prunes to those dirs —
+  the dedup corpus-dir contract.
+- ``pairs_dir/batch=N/`` — (i, j, cosine) detections, NORMALIZED to
+  ``i = least, j = greatest`` (the audio-guard ADVICE r11 lesson:
+  pair identity must be slicing-independent).
+
+Completeness (pytest-pinned, the incremental_dedup theorem shape):
+every near-dup pair {a, b} of the BANDED-NOMINATE + EXACT-VERIFY
+semantics is emitted exactly once, in the trigger where the LATER
+vector arrives — history×batch matches plus within-batch matches — so
+the union of per-batch emissions over ANY slicing equals the batch
+twin ``embedding_neardup_banded(corpus, threshold)`` pair set. The
+history leg filters ``a != b`` so a cross-batch re-delivery of the
+same id (an upstream id-contract violation) degrades to a no-op.
+
+Scheme constants (bands, bits, RH_SCALE — hence the signature values)
+and EB_MOD/VEC_MOD are LAYOUT constants of the persisted index:
+changing them makes history unprobeable, so a change is a state
+rebuild, exactly like BH_MOD.
+
+Replay: every write overwrites this batch's own ``batch=N`` dirs and
+the probe excludes them by construction; an EMPTY trigger returns
+before any write (the audio-guard ADVICE r11 fix, applied from birth).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_publisher_spark.functions.vectors import cosine_with_norms, l2_norm
+from cdc_publisher_spark.operators.embed_lsh import RH_BANDS, RH_BITS, rh_band_rows
+from cdc_publisher_spark.streaming.state import (
+    compact_state,
+    in_stream_watermark,
+    read_state,
+    vacuum_state,
+    write_layout_marker,
+)
+
+#: Hive fans (layout constants — see module docstring). EB_MOD equals
+#: the scheme's total cell count bands·2^bits, so partition pruning is
+#: exact: one dir per possible (band, bh) cell.
+EB_MOD = RH_BANDS * (1 << RH_BITS)
+VEC_MOD = 64
+
+#: Production default: re-upload / mirror-crawl territory. The suite
+#: and the fixture-facing tests run at the q_k21 audit threshold 0.42
+#: (random synthetic embeddings have no true near-dups).
+EMBED_COS_THRESHOLD = 0.9
+
+
+def _ebm(band, bh) -> F.Column:
+    return F.pmod(F.xxhash64(band, bh), F.lit(EB_MOD)).cast("int")
+
+
+def _vh(col) -> F.Column:
+    return F.pmod(F.xxhash64(col), F.lit(VEC_MOD)).cast("int")
+
+
+def embed_dup_micro_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    idx_dir: str,
+    vecs_dir: str,
+    pairs_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = EMBED_COS_THRESHOLD,
+) -> None:
+    """foreachBatch body: sign the batch once, probe the persisted
+    signature index reading ONLY the touched ``ebm=`` cells,
+    exact-verify cosine reading ONLY the candidate ids' ``vh=`` vector
+    partitions, emit normalized (i, j, cosine) detections, and
+    overwrite this batch's own state deltas."""
+    if not batch_df.take(1):
+        return  # file-less batch dirs poison later schema inference
+    spark = batch_df.sparkSession
+    base = (
+        batch_df.select(id_col, vec_col).dropDuplicates([id_col]).persist()
+    )
+    try:
+        sig = (
+            rh_band_rows(base, id_col, vec_col)
+            .withColumn("ebm", _ebm(F.col("band"), F.col("bh")))
+            .persist()
+        )
+        try:
+            # ≤ EB_MOD distinct values by construction — bounded collect
+            ebms = [r[0] for r in sig.select("ebm").distinct().collect()]
+            hist_idx = read_state(
+                spark,
+                idx_dir,
+                exclude_batch=batch_id,
+                part_filter=F.col("ebm").isin(ebms),
+            )
+            probe = sig.select(F.col(id_col).alias("_b"), "band", "bh")
+            legs = []
+            if hist_idx is not None:
+                legs.append(
+                    hist_idx.select(F.col(id_col).alias("_a"), "band", "bh")
+                    .join(probe, ["band", "bh"])
+                    # redelivered id (contract violation) -> no-op,
+                    # never a self-pair
+                    .filter(F.col("_a") != F.col("_b"))
+                )
+            legs.append(  # within-batch matches, counted once
+                sig.select(F.col(id_col).alias("_a"), "band", "bh")
+                .join(probe, ["band", "bh"])
+                .filter(F.col("_a") < F.col("_b"))
+            )
+            raw = legs[0] if len(legs) == 1 else legs[0].unionByName(legs[1])
+            cand = (
+                raw.select(
+                    F.least("_a", "_b").alias("i"),
+                    F.greatest("_a", "_b").alias("j"),
+                )
+                .distinct()
+                .persist()
+            )
+            try:
+                # candidate ids' vh values: ≤ VEC_MOD distinct by
+                # construction — bounded collect
+                vhs = [
+                    r[0]
+                    for r in cand.select(F.explode(F.array("i", "j")).alias("_i"))
+                    .select(_vh("_i").alias("_v"))
+                    .distinct()
+                    .collect()
+                ]
+                hist_vecs = (
+                    read_state(
+                        spark,
+                        vecs_dir,
+                        exclude_batch=batch_id,
+                        part_filter=F.col("vh").isin(vhs) if vhs else F.lit(False),
+                    )
+                    if vhs
+                    else None
+                )
+                vecs = base
+                if hist_vecs is not None:
+                    vecs = hist_vecs.select(id_col, vec_col).unionByName(base)
+                v = vecs.select(
+                    F.col(id_col).alias("_vid"),
+                    F.col(vec_col).alias("_v"),
+                    l2_norm(F.col(vec_col)).alias("_n"),
+                )
+                pairs = (
+                    cand.join(
+                        v.select(
+                            F.col("_vid").alias("i"),
+                            F.col("_v").alias("_va"),
+                            F.col("_n").alias("_na"),
+                        ),
+                        "i",
+                    )
+                    .join(
+                        v.select(
+                            F.col("_vid").alias("j"),
+                            F.col("_v").alias("_vb"),
+                            F.col("_n").alias("_nb"),
+                        ),
+                        "j",
+                    )
+                    .select(
+                        "i",
+                        "j",
+                        cosine_with_norms(
+                            F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
+                        ).alias("_cos"),
+                    )
+                    .filter(F.col("_cos") >= threshold)
+                    .select("i", "j", F.round("_cos", 4).alias("cosine"))
+                )
+                pairs.write.mode("overwrite").parquet(
+                    os.path.join(pairs_dir, f"batch={batch_id}")
+                )
+            finally:
+                cand.unpersist()
+            # partition-ALIGNED deltas (the r11 small-files rule)
+            base.withColumn("vh", _vh(F.col(id_col))).repartition(
+                F.col("vh")
+            ).write.partitionBy("vh").mode("overwrite").parquet(
+                os.path.join(vecs_dir, f"batch={batch_id}")
+            )
+            sig.repartition(F.col("ebm")).write.partitionBy("ebm").mode(
+                "overwrite"
+            ).parquet(os.path.join(idx_dir, f"batch={batch_id}"))
+            for d, layout in (
+                (pairs_dir, "rows"),
+                (vecs_dir, "rows-vh"),
+                (idx_dir, "rows-ebm"),
+            ):
+                write_layout_marker(spark, d, layout)
+        finally:
+            sig.unpersist()
+    finally:
+        base.unpersist()
+
+
+def read_embed_pairs(spark: SparkSession, pairs_dir: str) -> DataFrame | None:
+    """All emitted (i, j, cosine) detections; None when no state."""
+    df = read_state(spark, pairs_dir)
+    return None if df is None else df.select("i", "j", "cosine")
+
+
+def read_embed_index(spark: SparkSession, idx_dir: str) -> DataFrame | None:
+    return read_state(spark, idx_dir)
+
+
+def read_embed_vec_state(spark: SparkSession, vecs_dir: str) -> DataFrame | None:
+    return read_state(spark, vecs_dir)
+
+
+def compact_embed_state(
+    spark: SparkSession,
+    idx_dir: str,
+    vecs_dir: str,
+    pairs_dir: str,
+    upto_batch: int,
+    vacuum: bool = False,
+) -> None:
+    """Compact all three dirs keeping each one's prune partitioning."""
+    compact_state(spark, idx_dir, upto_batch, partition_cols=("ebm",))
+    compact_state(spark, vecs_dir, upto_batch, partition_cols=("vh",))
+    compact_state(spark, pairs_dir, upto_batch)
+    if vacuum:
+        for d in (idx_dir, vecs_dir, pairs_dir):
+            vacuum_state(spark, d)
+
+
+def stream_embedding_dups(
+    stream_df: DataFrame,
+    idx_dir: str,
+    vecs_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = EMBED_COS_THRESHOLD,
+    compact_every: int | None = None,
+    vacuum_grace: int | None = None,
+):
+    """Start the monitor: vectors in, near-dup detections out. Offsets
+    commit after all three writes (commit-on-success); in-stream
+    compaction folds COMMITTED batches only (state.in_stream_watermark)."""
+
+    def body(df: DataFrame, bid: int) -> None:
+        embed_dup_micro_batch(
+            df, bid, idx_dir, vecs_dir, pairs_dir, id_col, vec_col, threshold
+        )
+        upto = in_stream_watermark(df.sparkSession, vecs_dir, bid, compact_every)
+        if upto is not None:
+            compact_embed_state(
+                df.sparkSession, idx_dir, vecs_dir, pairs_dir, upto_batch=upto
+            )
+            if vacuum_grace is not None:
+                for d in (idx_dir, vecs_dir, pairs_dir):
+                    vacuum_state(df.sparkSession, d, grace_batches=vacuum_grace)
+
+    return (
+        stream_df.writeStream.foreachBatch(body)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+
+
+__all__ = [
+    "EB_MOD",
+    "EMBED_COS_THRESHOLD",
+    "VEC_MOD",
+    "compact_embed_state",
+    "embed_dup_micro_batch",
+    "read_embed_index",
+    "read_embed_pairs",
+    "read_embed_vec_state",
+    "stream_embedding_dups",
+]

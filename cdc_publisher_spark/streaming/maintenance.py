@@ -32,6 +32,9 @@ be silently sum-merged. The declared layouts:
                        partial sums, ctx_monitor).
 - ``rows``           → row state, rewritten verbatim (dedup pairs).
 - ``rows-dh``        → row state partitioned by ``dh`` (dedup corpus).
+- ``rows-ebm`` / ``rows-vh``
+                     → embedding near-dup monitor: signature index
+                       cells / vector store (embed_monitor).
 - ``rows-bhm``       → row state partitioned by ``bhm`` (dedup LSH
                        index since r11 — band dirs never pruned).
 - ``rows-band-bhm``  → row state partitioned by (band, bhm) (legacy
@@ -199,6 +202,11 @@ LAYOUTS: dict[str, LayoutSpec] = {
         ),
         LayoutSpec("rows", "rows", (), frozenset(), None),
         LayoutSpec("rows-dh", "rows", ("dh",), frozenset({"dh"}), None),
+        # embedding near-dup monitor (streaming/embed_monitor): the
+        # signature index's (band, bh)-cell fan and the vector store's
+        # id-hash fan
+        LayoutSpec("rows-ebm", "rows", ("ebm",), frozenset({"ebm"}), None),
+        LayoutSpec("rows-vh", "rows", ("vh",), frozenset({"vh"}), None),
         # the dedup LSH index since r11: bhm-only dirs (band never
         # pruned anything — every doc populates every band)
         LayoutSpec("rows-bhm", "rows", ("bhm",), frozenset({"bhm"}), None),
@@ -273,6 +281,10 @@ def _fallback_layout(columns: list[str]) -> LayoutSpec | None:
         return LAYOUTS["rows-dh"]
     if "fm" in cols:
         return LAYOUTS["rows-fm"]
+    if "ebm" in cols:
+        return LAYOUTS["rows-ebm"]
+    if "vh" in cols:
+        return LAYOUTS["rows-vh"]
     if "bhm" in cols:
         # marker-less index dirs (legacy Hive band=/bhm= and r11
         # bhm-only read back with the same column set); fold to the

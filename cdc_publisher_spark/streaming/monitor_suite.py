@@ -1,13 +1,14 @@
-"""All eight state consumers behind ONE stream: the serve-style job.
+"""All nine state consumers behind ONE stream: the serve-style job.
 
-A real deployment does not run eight separate streams over the same
+A real deployment does not run nine separate streams over the same
 ingest — it runs one micro-batch loop that fans each trigger's rows
 out to every monitor (VERDICT r9 ask #2). This module composes the
 layer's consumers — incremental LSH dedup, HLL distinct-
 cardinality, count-min heavy hitters, rare-gram exposure, centroid
-drift, first-seen vocabulary, context-length economics, and the
-audio-fingerprint dup guard (r11) — under a single ``foreachBatch``
-against one state root::
+drift, first-seen vocabulary, context-length economics, the
+audio-fingerprint dup guard (r11), and the incremental embedding
+near-dup monitor (r12) — under a single ``foreachBatch`` against one
+state root::
 
     state_root/
       dedup/{corpus,idx,pairs,id_bloom}   incremental_dedup
@@ -18,17 +19,21 @@ against one state root::
       vocab/                              first-seen vocabulary
       ctx/                                context-length economics
       audio/{fpk,pairs}                   exact audio-dup detections
+      embed/{idx,vecs,pairs}              embedding near-dup detections
 
 Input contract: rows with ``doc_id, text, source`` and — for the
-drift monitor — ``label, embedding``; when those two columns are
-absent the drift consumer is skipped, the rest run. The trigger
-persists the batch once (eight consumers would otherwise re-run the
-source scan) and derives the shared word frame once for HLL + CM.
-The audio guard runs over clips synthesized deterministically from
-the text column (operators/multimodal.synth_media_from_text — the
-sandbox ships no audio corpus); a deployment with real media swaps
-in its payload column via streaming/audio_monitor.stream_audio_dups
-directly.
+drift and embedding-dedup monitors — ``label, embedding``; when
+``embedding`` is absent those two consumers are skipped, the rest
+run. The trigger persists the batch once (the consumers would
+otherwise re-run the source scan) and derives the shared word frame
+once for HLL + CM. The audio guard runs over clips synthesized
+deterministically from the text column
+(operators/multimodal.synth_media_from_text — the sandbox ships no
+audio corpus); a deployment with real media swaps in its payload
+column via streaming/audio_monitor.stream_audio_dups directly. The
+embedding monitor runs at the q_k21 audit threshold (the synthetic
+embeddings are random — a production deployment passes its own
+``embed_threshold``).
 
 Because every consumer writes batch-addressed overwrite deltas to its
 own dir, the composed job inherits the layer's replay story wholesale:
@@ -53,6 +58,7 @@ from cdc_publisher_spark.streaming.audio_monitor import audio_dup_micro_batch
 from cdc_publisher_spark.streaming.cm_monitor import cm_micro_batch
 from cdc_publisher_spark.streaming.ctx_monitor import ctx_micro_batch
 from cdc_publisher_spark.streaming.drift_monitor import drift_micro_batch
+from cdc_publisher_spark.streaming.embed_monitor import embed_dup_micro_batch
 from cdc_publisher_spark.streaming.exposure_monitor import exposure_micro_batch
 from cdc_publisher_spark.streaming.hll_monitor import hll_micro_batch
 from cdc_publisher_spark.streaming.incremental_dedup import dedup_micro_batch
@@ -72,6 +78,9 @@ SUITE_DIRS = {
     "ctx": "ctx",
     "audio_fpk": "audio/fpk",
     "audio_pairs": "audio/pairs",
+    "embed_idx": "embed/idx",
+    "embed_vecs": "embed/vecs",
+    "embed_pairs": "embed/pairs",
 }
 
 
@@ -89,13 +98,16 @@ def monitor_suite_batch(
     label_col: str = "label",
     vec_col: str = "embedding",
     threshold: float = 0.5,
+    embed_threshold: float = 0.42,
 ) -> None:
-    """foreachBatch body: one trigger's rows through all eight consumers.
+    """foreachBatch body: one trigger's rows through all nine consumers.
 
     Each consumer keeps its own idempotence contract (overwrite of its
     own ``batch=N``); the composition adds none of its own state. The
     input batch is persisted for the trigger — the dedup consumer alone
     reads it five times — and the word explode is shared by HLL and CM.
+    ``embed_threshold`` defaults to the q_k21 audit value (0.42, the
+    synthetic-fixture near-dup tail); production passes its own.
     """
     batch = batch_df.persist()
     try:
@@ -138,6 +150,17 @@ def monitor_suite_batch(
             suite_dir(state_root, "audio_fpk"),
             suite_dir(state_root, "audio_pairs"),
         )
+        if vec_col in batch.columns:
+            embed_dup_micro_batch(
+                batch.select(F.col(id_col), F.col(vec_col)),
+                batch_id,
+                suite_dir(state_root, "embed_idx"),
+                suite_dir(state_root, "embed_vecs"),
+                suite_dir(state_root, "embed_pairs"),
+                id_col=id_col,
+                vec_col=vec_col,
+                threshold=embed_threshold,
+            )
         if label_col in batch.columns and vec_col in batch.columns:
             drift_micro_batch(
                 batch, batch_id, suite_dir(state_root, "drift"),
@@ -153,7 +176,7 @@ def stream_monitor_suite(
     checkpoint_dir: str,
     **kwargs,
 ):
-    """Start the composed job: one readStream in, eight monitors' state
+    """Start the composed job: one readStream in, nine monitors' state
     out, offsets committed to ``checkpoint_dir`` after each trigger
     completes EVERY consumer's write (commit-on-success — a crash
     mid-fan-out replays the whole trigger and each dir's overwrite

@@ -97,12 +97,14 @@ def test_suite_stream_with_live_maintenance_equals_batch(
         plans = run_maintenance(
             spark, root, checkpoint_dir=ckpt, vacuum=True, grace_batches=1
         )
-        assert len(plans) == 12  # dedup quad + hll/cm/exposure/drift/vocab/ctx + audio fpk/pairs
+        # dedup quad + hll/cm/exposure/drift/vocab/ctx + audio fpk/pairs
+        # + embed idx/vecs/pairs
+        assert len(plans) == 15
         assert all(p.kind != "unrecognized" for p in plans), [
             (p.path, p.kind) for p in plans
         ]
         for name in ("dedup_bloom", "hll", "cm", "exposure", "drift",
-                     "vocab", "ctx", "audio_fpk"):
+                     "vocab", "ctx", "audio_fpk", "embed_idx"):
             assert compacted_upto(spark, suite_dir(root, name)) == committed, name
         # the stream keeps running across the maintenance pass
         extra = docs.limit(40).withColumn(
@@ -211,3 +213,22 @@ def test_suite_stream_with_live_maintenance_equals_batch(
         .select("p.orig_id", "p.dup_id")
     )
     assert _rows(got) == _rows(want)
+
+    # embedding near-dup (ninth consumer): the accumulated detections
+    # over any slicing equal the banded-nominate + exact-verify batch
+    # twin at the suite's threshold, and the vector store holds
+    # exactly one row per input id
+    from cdc_publisher_spark.operators.embed_lsh import embedding_neardup_banded
+    from cdc_publisher_spark.streaming.embed_monitor import (
+        read_embed_pairs,
+        read_embed_vec_state,
+    )
+
+    vec_state = read_embed_vec_state(spark, suite_dir(root, "embed_vecs"))
+    assert _rows(vec_state.select("doc_id")) == _rows(full.select("doc_id"))
+    got = read_embed_pairs(spark, suite_dir(root, "embed_pairs"))
+    want = embedding_neardup_banded(
+        full.select(F.col("doc_id").alias("vec_id"), "embedding"), 0.42
+    ).select("i", "j", "cosine")
+    assert _rows(got) == _rows(want)
+    assert got.count() > 0  # non-vacuous at the audit threshold

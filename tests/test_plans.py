@@ -640,6 +640,13 @@ JOIN_AUDIT_ALLOWLIST: dict[str, str] = {
     "expected bucket mass n·P(subfp collision) per frame, the HK lookup "
     "strategy's declared bound (k3's contract for audio) — plus the "
     "Hamming verify join-back on the candidate pair set",
+    "q_k109_incremental_embedding_neardup": "the banded random-sign "
+    "candidate join itself: keys are (band, bh) buckets with the "
+    "scheme's declared bound — expected bucket mass n/2^bits per band "
+    "for near-isotropic embeddings (Charikar sign-LSH), bits a layout "
+    "constant a deployment raises for selectivity — this IS the "
+    "embedding-space scale path (k3's contract), and the stream twin "
+    "probes it incrementally (streaming/embed_monitor.py)",
 }
 
 
