@@ -259,7 +259,7 @@ def _bench_streaming(spark, sf_dir: str):
 
 
 def _bench_monitor_suite(spark, sf_dir: str) -> float:
-    """Composed seven-monitor suite throughput (VERDICT r10 ask #1).
+    """Composed nine-monitor suite throughput (VERDICT r10 ask #1).
 
     The corpus-stream shape tests/test_monitor_suite.py drives —
     documents ⋈ embeddings (doc_id == vec_id, so every row carries
