@@ -48,12 +48,19 @@ from pyspark.sql import functions as F
 #: structure, far above float noise.
 RH_SCALE = 1_000_000
 
-#: Default banding: 8 bands × 4 bits = 32 signature bits. Small-bucket
-#: fan (2^4 = 16 buckets/band) chosen so the FIXTURE's weak near-dup
-#: tail (max cosine ≈ 0.6) still collides; a production deployment
-#: with true near-dups (cosine ≥ 0.9) raises ``bits`` for selectivity.
+#: Default banding: 8 bands × 8 bits = 64 signature bits (the SimHash
+#: width). 2^8 = 256 buckets/band bounds nominate mass at n²/256 per
+#: band for near-isotropic data — a 4-bit variant was tried first and
+#: rejected measured: at sf1 (20k vectors) its 16-bucket bands
+#: produced ~100M candidate pairs and a 29.6× sf0.1→sf1 wall-clock
+#: ratio (SCALING red-flag territory), where 8-bit bands keep the
+#: fixture audit non-trivial at every sf AND the candidate mass 16×
+#: lower. At truly selective thresholds (cosine ≥ 0.9 production
+#: near-dups) the collision probability p^8 concentrates sharply, so
+#: the same width serves both regimes; ``bits`` stays a layout
+#: constant a deployment tunes with corpus size.
 RH_BANDS = 8
-RH_BITS = 4
+RH_BITS = 8
 
 RH_SALT = "rh"
 

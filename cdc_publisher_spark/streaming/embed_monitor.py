@@ -17,12 +17,12 @@ operators/embed_lsh.py — the same rows the oracle-audited batch twin
 audited semantics. State rides streaming/state.py:
 
 - ``idx_dir/batch=N/ebm=M/`` — (id, band, bh) signature bucket rows,
-  Hive-partitioned by ``ebm = pmod(xxhash64(band, bh), EB_MOD)``. With
-  EB_MOD = 128 = bands·2^bits every possible (band, bh) cell gets its
-  own directory, so the probe reads EXACTLY the cells the batch's own
-  signatures touch — ≤ min(batch·bands, 128) dirs per trigger however
-  much history exists. Writes are partition-aligned (one file per
-  touched ebm per batch — the r11 small-files rule).
+  Hive-partitioned by ``ebm = pmod(xxhash64(band, bh), EB_MOD)``. The
+  scheme's bands·2^bits cells hash onto EB_MOD = 256 directories, so
+  the probe reads only the dirs the batch's own signatures touch —
+  ≤ min(batch·bands, 256) per trigger however much history exists.
+  Writes are partition-aligned (one file per touched ebm per batch —
+  the r11 small-files rule).
 - ``vecs_dir/batch=N/vh=D/`` — accumulated vectors, partitioned by
   ``vh = pmod(xxhash64(id), VEC_MOD)``. The exact cosine verify
   re-reads vectors ONLY for candidate-touching ids: candidates
@@ -60,7 +60,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_publisher_spark.functions.vectors import cosine_with_norms, l2_norm
-from cdc_publisher_spark.operators.embed_lsh import RH_BANDS, RH_BITS, rh_band_rows
+from cdc_publisher_spark.operators.embed_lsh import rh_band_rows
 from cdc_publisher_spark.streaming.state import (
     compact_state,
     in_stream_watermark,
@@ -69,10 +69,13 @@ from cdc_publisher_spark.streaming.state import (
     write_layout_marker,
 )
 
-#: Hive fans (layout constants — see module docstring). EB_MOD equals
-#: the scheme's total cell count bands·2^bits, so partition pruning is
-#: exact: one dir per possible (band, bh) cell.
-EB_MOD = RH_BANDS * (1 << RH_BITS)
+#: Hive fans (layout constants — see module docstring). The scheme's
+#: bands·2^bits = 2048 possible (band, bh) cells hash 8-to-1 onto
+#: EB_MOD = 256 directories — cell-exact pruning would mean up to
+#: 2048 tiny files per batch (the small-files failure the audio
+#: guard's fan sizing balances against); at 8 cells/dir the probe
+#: still reads ≤ min(touched cells, 256) dirs per trigger.
+EB_MOD = 256
 VEC_MOD = 64
 
 #: Production default: re-upload / mirror-crawl territory. The suite
