@@ -264,7 +264,7 @@ def test_cli_maintain_covers_all_four_layouts(spark, tmp_path, capsys):
 
 def test_cli_monitors_composed_job(spark, tmp_path, capsys):
     """monitors subcommand: one parquet document stream fanned to all
-    six consumers, --once drains, --maintain folds with the stream's
+    nine consumers, --once drains, --maintain folds with the stream's
     own commits-log watermark (the live-stream contract end-to-end
     through the CLI)."""
     from cdc_publisher_spark.streaming.monitor_suite import SUITE_DIRS, suite_dir
