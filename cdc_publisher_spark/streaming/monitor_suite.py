@@ -43,11 +43,25 @@ Maintenance against the LIVE stream is the ``maintain`` CLI with
 exactly the batches that are safe to fold, and vacuuming between
 triggers with a grace margin honors state.vacuum_state's concurrency
 contract (pinned by tests/test_monitor_suite.py).
+
+Fan-out is CONCURRENT (``SUITE_PARALLELISM`` threads): the consumers
+are independent job DAGs over the one persisted batch, writing
+disjoint state dirs, so the trigger's wall is the longest consumer
+chain instead of the sum of all nine. Sequential submission left the
+cluster idle through each chain's driver-side barriers (bounded
+collects, state-dir listings, write commits) — profiled at sf0.1,
+the three heavy consumers (LSH dedup, audio guard, embedding dedup)
+were 117 s of a 129 s drain run back-to-back. Spark schedules jobs
+submitted from separate threads concurrently; a failure in any
+consumer fails the whole trigger (the thread pool re-raises), so
+commit-on-success and the replay contract are unchanged — pinned by
+the slicing-independent equality suite in tests/test_monitor_suite.py.
 """
 
 from __future__ import annotations
 
 import os
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -84,6 +98,15 @@ SUITE_DIRS = {
 }
 
 
+#: Concurrent consumer chains per trigger. 4 overlaps the three heavy
+#: consumers (the profiled 90% of trigger wall) while cycling the six
+#: cheap ones through the remaining slot, and bounds how many
+#: consumers' persisted intermediates are live at once — raise it on
+#: executors with memory headroom, or pass ``parallelism=1`` to
+#: ``monitor_suite_batch`` for strictly sequential fan-out.
+SUITE_PARALLELISM = 4
+
+
 def suite_dir(state_root: str, name: str) -> str:
     return os.path.join(state_root, SUITE_DIRS[name])
 
@@ -99,73 +122,100 @@ def monitor_suite_batch(
     vec_col: str = "embedding",
     threshold: float = 0.5,
     embed_threshold: float = 0.42,
+    parallelism: int | None = None,
 ) -> None:
     """foreachBatch body: one trigger's rows through all nine consumers.
 
     Each consumer keeps its own idempotence contract (overwrite of its
     own ``batch=N``); the composition adds none of its own state. The
-    input batch is persisted for the trigger — the dedup consumer alone
-    reads it five times — and the word explode is shared by HLL and CM.
-    ``embed_threshold`` defaults to the q_k21 audit value (0.42, the
-    synthetic-fixture near-dup tail); production passes its own.
+    input batch is persisted and fully materialized once up front, then
+    the consumer chains run CONCURRENTLY (``parallelism`` threads,
+    default ``SUITE_PARALLELISM``) — they are independent DAGs over the
+    cached batch writing disjoint dirs, so the trigger's wall is the
+    longest chain, not the sum. Any consumer's failure propagates and
+    fails the trigger before the offset commits. The word explode is
+    shared by HLL and CM. ``embed_threshold`` defaults to the q_k21
+    audit value (0.42, the synthetic-fixture near-dup tail);
+    production passes its own.
     """
     batch = batch_df.persist()
     try:
-        dedup_micro_batch(
-            batch,
-            batch_id,
-            suite_dir(state_root, "dedup_corpus"),
-            suite_dir(state_root, "dedup_index"),
-            suite_dir(state_root, "dedup_pairs"),
-            id_col=id_col,
-            text_col=text_col,
-            threshold=threshold,
-        )
+        if not batch.take(1):
+            return  # every consumer is a no-op on an empty trigger
+        batch.count()  # materialize the cache once, before the fan-out
         word_rows = batch.select(
             F.col(source_col).alias("source"),
             F.explode(words(F.col(text_col))).alias("w"),
         )
-        hll_micro_batch(
-            word_rows, batch_id, suite_dir(state_root, "hll"),
-            group_col="source", value_col="w",
-        )
-        cm_micro_batch(
-            word_rows, batch_id, suite_dir(state_root, "cm"),
-            value_col="w", group_cols=["source"],
-        )
-        exposure_micro_batch(
-            batch, batch_id, suite_dir(state_root, "exposure"),
-            id_col=id_col, text_col=text_col, source_col=source_col,
-        )
-        vocab_micro_batch(
-            batch, batch_id, suite_dir(state_root, "vocab"),
-            text_col=text_col, source_col=source_col,
-        )
-        ctx_micro_batch(
-            batch, batch_id, suite_dir(state_root, "ctx"), text_col=text_col,
-        )
-        audio_dup_micro_batch(
-            synth_media_from_text(batch, id_col=id_col, text_col=text_col),
-            batch_id,
-            suite_dir(state_root, "audio_fpk"),
-            suite_dir(state_root, "audio_pairs"),
-        )
-        if vec_col in batch.columns:
-            embed_dup_micro_batch(
-                batch.select(F.col(id_col), F.col(vec_col)),
+        thunks = [
+            lambda: dedup_micro_batch(
+                batch,
                 batch_id,
-                suite_dir(state_root, "embed_idx"),
-                suite_dir(state_root, "embed_vecs"),
-                suite_dir(state_root, "embed_pairs"),
+                suite_dir(state_root, "dedup_corpus"),
+                suite_dir(state_root, "dedup_index"),
+                suite_dir(state_root, "dedup_pairs"),
                 id_col=id_col,
-                vec_col=vec_col,
-                threshold=embed_threshold,
+                text_col=text_col,
+                threshold=threshold,
+            ),
+            lambda: audio_dup_micro_batch(
+                synth_media_from_text(batch, id_col=id_col, text_col=text_col),
+                batch_id,
+                suite_dir(state_root, "audio_fpk"),
+                suite_dir(state_root, "audio_pairs"),
+            ),
+            lambda: hll_micro_batch(
+                word_rows, batch_id, suite_dir(state_root, "hll"),
+                group_col="source", value_col="w",
+            ),
+            lambda: cm_micro_batch(
+                word_rows, batch_id, suite_dir(state_root, "cm"),
+                value_col="w", group_cols=["source"],
+            ),
+            lambda: exposure_micro_batch(
+                batch, batch_id, suite_dir(state_root, "exposure"),
+                id_col=id_col, text_col=text_col, source_col=source_col,
+            ),
+            lambda: vocab_micro_batch(
+                batch, batch_id, suite_dir(state_root, "vocab"),
+                text_col=text_col, source_col=source_col,
+            ),
+            lambda: ctx_micro_batch(
+                batch, batch_id, suite_dir(state_root, "ctx"),
+                text_col=text_col,
+            ),
+        ]
+        if vec_col in batch.columns:
+            thunks.insert(  # heavy chain — submit with the other two
+                1,
+                lambda: embed_dup_micro_batch(
+                    batch.select(F.col(id_col), F.col(vec_col)),
+                    batch_id,
+                    suite_dir(state_root, "embed_idx"),
+                    suite_dir(state_root, "embed_vecs"),
+                    suite_dir(state_root, "embed_pairs"),
+                    id_col=id_col,
+                    vec_col=vec_col,
+                    threshold=embed_threshold,
+                ),
             )
-        if label_col in batch.columns and vec_col in batch.columns:
-            drift_micro_batch(
-                batch, batch_id, suite_dir(state_root, "drift"),
-                label_col=label_col, vec_col=vec_col,
-            )
+            if label_col in batch.columns:
+                thunks.append(
+                    lambda: drift_micro_batch(
+                        batch, batch_id, suite_dir(state_root, "drift"),
+                        label_col=label_col, vec_col=vec_col,
+                    )
+                )
+        workers = parallelism if parallelism is not None else SUITE_PARALLELISM
+        if workers <= 1:
+            for t in thunks:
+                t()
+        else:
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                # list() drains the iterator so every future resolves;
+                # the first consumer exception re-raises here and fails
+                # the trigger BEFORE the stream commits the offset
+                list(pool.map(lambda t: t(), thunks))
     finally:
         batch.unpersist()
 
