@@ -63,6 +63,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from cdc_publisher_spark.functions import text as TX
 from cdc_publisher_spark.functions import vectors as VX
 from cdc_publisher_spark.queries.llm import K2_ORACLE, q_k2_jaccard_neardup
 from cdc_publisher_spark.queries.llm_ml import K47_ORACLE, q_k47_naive_bayes_langid
@@ -687,4 +688,153 @@ def q_k80_budget_enforced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_tok").cast("bigint").alias("cum_tok"),
         )
         .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q_k111 — kNN hubness audit (k-occurrence distribution)
+# --------------------------------------------------------------------------
+@register(
+    "q_k111_knn_hubness",
+    family="K",
+    doc="K-111 kNN hubness audit (Radovanovic et al. 2010, 'Hubs in "
+    "Space'): the k-occurrence N_k(x) — how many probes list x among "
+    "their top-5 exact cosine neighbors — whose right-skewed "
+    "distribution is the classic high-dimensional retrieval pathology "
+    "(a few hub vectors dominate every neighbor list and poison "
+    "ANN-based dedup/retrieval). Output is the exact integer "
+    "k-occurrence histogram over ALL vectors, 0-bucket included, so "
+    "both engines agree bit-for-bit. Probe set is the q_k73 bounded "
+    "md5 draw (seed 'hubq'): cost O(probes * n) with the probe block "
+    "broadcast, ranking windows per probe, and a final tiny histogram "
+    "aggregate — never O(n^2), scale-safe at any corpus size.",
+    oracle=f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+        q AS (
+            SELECT * FROM v
+            ORDER BY md5('hubq' || vec_id), vec_id
+            LIMIT {KNN_PROBES}
+        ),
+        scored AS (
+            SELECT c.vec_id AS cid,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_dot_product(q.e, c.e)
+                                / (sqrt(list_dot_product(q.e, q.e))
+                                   * sqrt(list_dot_product(c.e, c.e))) DESC,
+                                c.vec_id) AS rk
+            FROM q JOIN v c ON c.vec_id <> q.vec_id
+        ),
+        occ AS (
+            SELECT cid, COUNT(*) AS k_occ FROM scored WHERE rk <= {KNN_K}
+            GROUP BY cid
+        )
+        SELECT CAST(COALESCE(occ.k_occ, 0) AS BIGINT) AS k_occ,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors
+        FROM v LEFT JOIN occ ON occ.cid = v.vec_id
+        GROUP BY 1
+        ORDER BY 1
+    """,
+)
+def q_k111_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    probes = (
+        e.select("vec_id", "embedding")
+        .orderBy(
+            F.md5(F.concat(F.lit("hubq"), F.col("vec_id").cast("string"))),
+            "vec_id",
+        )
+        .limit(KNN_PROBES)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qv"),
+            VX.l2_norm(F.col("embedding")).alias("qn"),
+        )
+    )
+    cand = e.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cv"),
+        VX.l2_norm(F.col("embedding")).alias("cn"),
+    )
+    scored = (
+        cand.crossJoin(F.broadcast(probes))
+        .filter(F.col("cand_id") != F.col("qid"))
+        .select(
+            "qid",
+            "cand_id",
+            VX.cosine_with_norms(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+            ).alias("cos"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    occ = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KNN_K)
+        .groupBy("cand_id")
+        .agg(F.count("*").alias("k_occ"))
+    )
+    return (
+        e.select(F.col("vec_id").alias("cand_id"))
+        .join(occ, "cand_id", "left")
+        .select(F.coalesce(F.col("k_occ"), F.lit(0)).cast("bigint").alias("k_occ"))
+        .groupBy("k_occ")
+        .agg(F.count("*").cast("bigint").alias("n_vectors"))
+        .orderBy("k_occ")
+    )
+
+
+# --------------------------------------------------------------------------
+# q_k112 — duplicate-cluster metadata-conflict audit
+# --------------------------------------------------------------------------
+@register(
+    "q_k112_dup_metadata_conflicts",
+    family="K",
+    doc="K-112 duplicate-cluster metadata-conflict audit: clusters of "
+    "documents with identical bag-of-words content (the q_k9 "
+    "order-insensitive set fingerprint) whose members DISAGREE on lang "
+    "or source — the labeling-noise shape dedup pipelines must "
+    "adjudicate before keeping one canonical doc per cluster (a wrong "
+    "language tag survives dedup verbatim; a cross-source mirror "
+    "inflates per-source statistics). Emits one row per conflicted "
+    "cluster with the exact member/lang/source counts and the sorted "
+    "lang list. Scale: ONE hash aggregate keyed by the 32-hex "
+    "fingerprint (map-side combine, no self-join, no window); "
+    "collect_set is bounded by language-tag cardinality.",
+    oracle="""
+        SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               MIN(doc_id) AS first_doc,
+               array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs
+        FROM documents
+        GROUP BY 1
+        HAVING COUNT(*) > 1
+           AND (COUNT(DISTINCT lang) > 1 OR COUNT(DISTINCT source) > 1)
+        ORDER BY first_doc
+    """,
+)
+def q_k112_dup_metadata_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            TX.set_fingerprint(F.col("text")).alias("fp"),
+            "doc_id",
+            "lang",
+            "source",
+        )
+        .groupBy("fp")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.min("doc_id").alias("first_doc"),
+            F.concat_ws(",", F.array_sort(F.collect_set("lang"))).alias("langs"),
+        )
+        .filter(
+            (F.col("n_docs") > 1)
+            & ((F.col("n_langs") > 1) | (F.col("n_sources") > 1))
+        )
+        .orderBy("first_doc")
     )

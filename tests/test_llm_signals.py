@@ -17,6 +17,8 @@ from cdc_publisher_spark.queries.llm import q_k2_jaccard_neardup
 from cdc_publisher_spark.queries.llm_audit import (
     q_k73_knn_label_purity,
     q_k76_cleaning_yield,
+    q_k111_knn_hubness,
+    q_k112_dup_metadata_conflicts,
 )
 from cdc_publisher_spark.queries.llm_signals import (
     q_k67_containment_neardup,
@@ -909,3 +911,53 @@ def test_bloom_flag_null_id_passes_through_clean(spark, tmp_path):
     corpus = inc.read_dedup_state(spark, dirs[0])
     got = {r.doc_id for r in corpus.select("doc_id").collect()}
     assert got == {1, 7, 9, None}
+
+
+def test_knn_hubness_histogram_exact_on_hub_construction(spark, tmp_path_factory):
+    """One deliberate hub (the all-ones vector) among 11 orthogonal
+    one-hot vectors, corpus smaller than KNN_PROBES so every vector
+    probes. All cosines are exact doubles (1/sqrt(11) for hub-axis, 0
+    for axis-axis), so the cand_id tiebreak makes every top-5 list
+    hand-computable: the hub sits in all 11 axis probes' lists
+    (k_occ=11), the cand_id tiebreak hands e1..e4 a seat in every
+    other probe's list (k_occ=11), e5 only where no smaller id was
+    evicted (k_occ=5), and e6..e11 never appear (k_occ=0)."""
+    dim = 11
+    rows = [(0, [1.0] * dim, 0)]  # hub
+    for i in range(1, 12):
+        v = [0.0] * dim
+        v[i - 1] = 1.0
+        rows.append((i, v, 0))
+    d = tmp_path_factory.mktemp("hub")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(d), "embeddings.parquet")
+    )
+    got = {r.k_occ: r.n_vectors for r in q_k111_knn_hubness(spark, str(d)).collect()}
+    assert got == {0: 6, 5: 1, 11: 5}
+    # occupancy conservation: 12 probes x 5 seats
+    assert sum(k * n for k, n in got.items()) == 60
+
+
+def test_dup_metadata_conflicts_flags_only_conflicted_clusters(
+    spark, tmp_path_factory
+):
+    """Same bag-of-words under two langs -> conflicted; an exact dup
+    pair agreeing on lang AND source -> a dup cluster but NOT a
+    conflict; a unique doc -> no cluster at all. Word-order shuffling
+    must not split the cluster (set fingerprint, not text hash)."""
+    rows = [
+        (1, "alpha beta gamma", "en", "web", 16),
+        (2, "gamma alpha beta", "fr", "web", 16),  # same set, lang conflict
+        (3, "delta epsilon", "en", "web", 13),
+        (4, "delta epsilon", "en", "web", 13),  # dup, zero conflicts
+        (5, "zeta eta theta", "en", "web", 14),  # unique
+    ]
+    d = _write_docs(spark, tmp_path_factory.mktemp("conflicts"), rows)
+    out = q_k112_dup_metadata_conflicts(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.first_doc, r.n_docs, r.n_langs, r.n_sources, r.langs) == (
+        1, 2, 2, 1, "en,fr",
+    )
