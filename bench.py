@@ -380,6 +380,12 @@ SCALING_EXTRAS = (
     # join (the ninth consumer's batch twin) and its bucket histogram
     "q_k109_incremental_embedding_neardup",
     "q_k110_embedding_bucket_skew",
+    # r12 session-2 additions: probe-bounded brute kNN histogram, the
+    # set-fingerprint hash-aggregate conflict screen, and the packing
+    # boundary audit riding the k17 bucketed-cumsum decomposition
+    "q_k111_knn_hubness",
+    "q_k112_dup_metadata_conflicts",
+    "q_k113_packing_boundary_audit",
 )
 
 

@@ -508,3 +508,77 @@ def q_k17_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack_id.alias("pack_id"),
         (F.col("_start") - pack_id * budget).alias("pack_offset"),
     ).orderBy("source", "doc_id")
+
+
+# --------------------------------------------------------------------------
+# q_k113 — packing boundary-contamination audit
+# --------------------------------------------------------------------------
+@register(
+    "q_k113_packing_boundary_audit",
+    family="K",
+    doc="K-113 packing boundary-contamination audit over the q_k17 "
+    "greedy packing: per source, how many documents SPAN a pack "
+    "boundary (their token span crosses a multiple of the 2048 "
+    "budget) — each such document is split across two training "
+    "sequences, truncating its left part's continuation and leaking "
+    "unrelated context into the right part unless the attention mask "
+    "resets (the cost axis packing papers trade against padding, "
+    "Krell et al. 2022). Pure closed-form integer algebra over the "
+    "packing columns (span start/end div budget), so the whole table "
+    "is exact cross-engine; crossing_frac is one division of exact "
+    "counts. Scale: inherits q_k17's bucketed running-sum "
+    "decomposition plus ONE per-source hash aggregate.",
+    oracle="""
+        WITH sized AS (
+            SELECT source, doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+                       OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+            FROM documents
+        ),
+        spans AS (
+            SELECT source, n_tokens,
+                   cum_tokens - n_tokens AS s,
+                   cum_tokens - 1 AS e
+            FROM sized
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN s // 2048 <> e // 2048 THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_crossing,
+               CAST(MAX(e) // 2048 + 1 AS BIGINT) AS n_packs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               ROUND(SUM(CASE WHEN s // 2048 <> e // 2048 THEN 1 ELSE 0 END) / (1.0 * COUNT(*)), 4) AS crossing_frac
+        FROM spans
+        GROUP BY source
+        ORDER BY source
+    """,
+)
+def q_k113_packing_boundary_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    budget = 2048
+    packed = q_k17_sequence_packing(spark, sf_dir)
+    spans = packed.select(
+        "source",
+        "n_tokens",
+        (F.col("pack_id") * budget + F.col("pack_offset")).alias("_s"),
+        (
+            F.col("pack_id") * budget + F.col("pack_offset")
+            + F.col("n_tokens") - 1
+        ).alias("_e"),
+    ).withColumn(
+        "_crosses",
+        (F.expr(f"_s div {budget}") != F.expr(f"_e div {budget}")).cast("int"),
+    )
+    return (
+        spans.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("_crosses").cast("bigint").alias("n_boundary_crossing"),
+            (F.expr(f"max(_e) div {budget}") + 1).cast("bigint").alias("n_packs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(F.sum("_crosses") / (1.0 * F.count("*")), 4).alias(
+                "crossing_frac"
+            ),
+        )
+        .orderBy("source")
+    )

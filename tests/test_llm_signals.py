@@ -961,3 +961,27 @@ def test_dup_metadata_conflicts_flags_only_conflicted_clusters(
     assert (r.first_doc, r.n_docs, r.n_langs, r.n_sources, r.langs) == (
         1, 2, 2, 1, "en,fr",
     )
+
+
+def test_packing_boundary_audit_closed_form(spark, tmp_path_factory):
+    """Hand-packed source: doc1 fills tokens 0..1999 (inside pack 0),
+    doc2 spans 2000..2099 (crosses the 2048 boundary), doc3 spans
+    2100..4095 (ends exactly at pack 1's last slot, no cross)."""
+    from cdc_publisher_spark.queries.llm import q_k113_packing_boundary_audit
+
+    def toks(n, p):
+        return " ".join(f"{p}{i}" for i in range(n))
+
+    rows = [
+        (1, toks(2000, "a"), "en", "s", 1),
+        (2, toks(100, "b"), "en", "s", 1),
+        (3, toks(1996, "c"), "en", "s", 1),
+    ]
+    d = _write_docs(spark, tmp_path_factory.mktemp("packb"), rows)
+    out = q_k113_packing_boundary_audit(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (
+        r.n_docs, r.n_boundary_crossing, r.n_packs, r.total_tokens,
+        r.crossing_frac,
+    ) == (3, 1, 2, 4096, 0.3333)
