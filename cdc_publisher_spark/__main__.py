@@ -193,7 +193,12 @@ def cmd_monitors(args) -> int:
         .option("maxFilesPerTrigger", str(args.max_files_per_trigger))
         .parquet(args.src)
     )
-    q = stream_monitor_suite(stream, args.state_root, args.checkpoint)
+    q = stream_monitor_suite(
+        stream,
+        args.state_root,
+        args.checkpoint,
+        **({"parallelism": args.parallelism} if args.parallelism is not None else {}),
+    )
     try:
         if args.once:
             q.processAllAvailable()
@@ -304,6 +309,13 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="with --once: one maintenance pass after the drain, "
         "watermark from this stream's commits log, vacuum grace 1",
+    )
+    sp.add_argument(
+        "--parallelism",
+        type=int,
+        default=None,
+        help="concurrent consumer chains per trigger (default "
+        "SUITE_PARALLELISM=4; 1 = strictly sequential fan-out)",
     )
     sp.set_defaults(fn=cmd_monitors)
 

@@ -290,6 +290,10 @@ def test_cli_monitors_composed_job(spark, tmp_path, capsys):
         [
             "monitors", "--src", src, "--state-root", root,
             "--checkpoint", ckpt, "--max-files-per-trigger", "2",
+            # exercise the sequential fan-out path end-to-end through
+            # the CLI (the default is the concurrent pool; results
+            # must be identical either way)
+            "--parallelism", "1",
             "--once", "--maintain",
         ]
     ) == 0
