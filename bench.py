@@ -386,6 +386,7 @@ SCALING_EXTRAS = (
     "q_k111_knn_hubness",
     "q_k112_dup_metadata_conflicts",
     "q_k113_packing_boundary_audit",
+    "q_k114_label_frechet_distance",
 )
 
 

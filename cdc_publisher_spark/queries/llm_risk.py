@@ -625,3 +625,123 @@ def q_k98_embedding_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# q_k114 — label-pair Fréchet distance (FID-style cohort separation)
+# --------------------------------------------------------------------------
+@register(
+    "q_k114_label_frechet_distance",
+    family="K",
+    doc="K-114 label-pair Fréchet distance, diagonal covariance — the "
+    "FID construction (Heusel et al. 2017) specialized to per-label "
+    "embedding cohorts: d²(a,b) = Σ_d (μ_ad − μ_bd)² + Σ_d (σ²_ad + "
+    "σ²_bd − 2·sqrt(σ²_ad·σ²_bd)). Distribution-LEVEL separation "
+    "between cohorts (mean shift + spread mismatch), complementing "
+    "q_k89's centroid-direction drift and q_k98's within-cohort "
+    "collapse: two labels can share a centroid direction yet differ "
+    "badly in spread — this catches that. mean_term/cov_term are "
+    "emitted separately so the diagnosis is readable. Scale: ONE "
+    "posexplode + map-side-combined (label, p) aggregate over 8dp-"
+    "rounded DECIMAL partials (the k89 discipline — order-independent "
+    "exact sums, so the per-dim moment table is bit-identical cross-"
+    "engine); everything after runs on the ≤ labels×64 moment frame "
+    "and the labels² pair grid. Variances are clamped at 0 (greatest/"
+    "GREATEST) against float cancellation; per-dim terms round to 8dp "
+    "DECIMALs before the dim-sum so the total is order-free.",
+    oracle="""
+        WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+        el AS (
+            SELECT label, i, v[i] AS x
+            FROM e CROSS JOIN generate_series(1, 100000) g(i)
+            WHERE i <= len(v)
+        ),
+        m AS (
+            SELECT label, i,
+                   COUNT(*) AS n,
+                   SUM(CAST(ROUND(x, 8) AS DECIMAL(20, 8))) AS s1,
+                   SUM(CAST(ROUND(x * x, 8) AS DECIMAL(24, 8))) AS s2
+            FROM el GROUP BY label, i
+        ),
+        mv AS (
+            SELECT label, i, n,
+                   CAST(s1 AS DOUBLE) / n AS mu,
+                   GREATEST(0.0, CAST(s2 AS DOUBLE) / n
+                            - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS var
+            FROM m
+        ),
+        pairs AS (
+            SELECT a.label AS label_a, b.label AS label_b,
+                   a.n AS n_a, b.n AS n_b,
+                   SUM(CAST(ROUND((a.mu - b.mu) * (a.mu - b.mu), 8)
+                            AS DECIMAL(28, 8))) AS mean_sum,
+                   SUM(CAST(ROUND(a.var + b.var - 2 * SQRT(a.var * b.var), 8)
+                            AS DECIMAL(28, 8))) AS cov_sum
+            FROM mv a JOIN mv b ON a.i = b.i AND a.label < b.label
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT CAST(label_a AS BIGINT) AS label_a,
+               CAST(label_b AS BIGINT) AS label_b,
+               CAST(n_a AS BIGINT) AS n_a,
+               CAST(n_b AS BIGINT) AS n_b,
+               ROUND(CAST(mean_sum AS DOUBLE), 4) AS mean_term,
+               ROUND(CAST(cov_sum AS DOUBLE), 4) AS cov_term,
+               ROUND(CAST(mean_sum AS DOUBLE) + CAST(cov_sum AS DOUBLE), 4) AS frechet_sq
+        FROM pairs
+        ORDER BY label_a, label_b
+    """,
+)
+def q_k114_label_frechet_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    el = e.select("label", F.posexplode("embedding").alias("p", "x"))
+    x = F.col("x").cast("double")
+    # the ONLY corpus-scale aggregate: exact order-free DECIMAL partials
+    m = el.groupBy("label", "p").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(x, 8).cast("decimal(20,8)")).alias("s1"),
+        F.sum(F.round(x * x, 8).cast("decimal(24,8)")).alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    mv = m.select(
+        "label",
+        "p",
+        "n",
+        mu.alias("mu"),
+        F.greatest(
+            F.lit(0.0), F.col("s2").cast("double") / F.col("n") - mu * mu
+        ).alias("var"),
+    )
+    a = mv.select(
+        F.col("label").alias("label_a"), "p",
+        F.col("n").alias("n_a"), F.col("mu").alias("mu_a"),
+        F.col("var").alias("var_a"),
+    )
+    b = mv.select(
+        F.col("label").alias("label_b"), "p",
+        F.col("n").alias("n_b"), F.col("mu").alias("mu_b"),
+        F.col("var").alias("var_b"),
+    )
+    dmu = F.col("mu_a") - F.col("mu_b")
+    cov = (
+        F.col("var_a") + F.col("var_b")
+        - 2 * F.sqrt(F.col("var_a") * F.col("var_b"))
+    )
+    pairs = (
+        a.join(b, (a["p"] == b["p"]) & (F.col("label_a") < F.col("label_b")))
+        .groupBy("label_a", "label_b", "n_a", "n_b")
+        .agg(
+            F.sum(F.round(dmu * dmu, 8).cast("decimal(28,8)")).alias("mean_sum"),
+            F.sum(F.round(cov, 8).cast("decimal(28,8)")).alias("cov_sum"),
+        )
+    )
+    return pairs.select(
+        F.col("label_a").cast("bigint").alias("label_a"),
+        F.col("label_b").cast("bigint").alias("label_b"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(F.col("mean_sum").cast("double"), 4).alias("mean_term"),
+        F.round(F.col("cov_sum").cast("double"), 4).alias("cov_term"),
+        F.round(
+            F.col("mean_sum").cast("double") + F.col("cov_sum").cast("double"), 4
+        ).alias("frechet_sq"),
+    ).orderBy("label_a", "label_b")

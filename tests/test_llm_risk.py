@@ -209,3 +209,36 @@ def test_quasi_identifier_ladder_hand_counts(spark, qi_docs_dir):
     # a lone document can never reach k=2 by generalizing length
     assert (bad.singletons_w16, bad.singletons_w1024) == (1, 1)
     assert bad.min_safe_width == -1
+
+
+def test_label_frechet_distance_closed_form(spark, tmp_path_factory):
+    """Hand-computable cohorts in 2-D: label 0 = {(0,0),(2,0)} (mean
+    (1,0), vars (1,0)), label 1 = {(5,0),(5,0)} (mean (5,0), vars 0),
+    label 2 = a copy of label 0's distribution. d²(0,1) = 4² mean
+    shift + (1+0-2·√0)=1 spread mismatch = 17; d²(0,2) = 0 exactly
+    (identical distributions); d²(1,2) mirrors (0,1)."""
+    from cdc_publisher_spark.queries.llm_risk import q_k114_label_frechet_distance
+
+    rows = [
+        (1, [0.0, 0.0], 0),
+        (2, [2.0, 0.0], 0),
+        (3, [5.0, 0.0], 1),
+        (4, [5.0, 0.0], 1),
+        (5, [0.0, 0.0], 2),
+        (6, [2.0, 0.0], 2),
+    ]
+    d = tmp_path_factory.mktemp("frechet")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(d), "embeddings.parquet")
+    )
+    out = {
+        (r.label_a, r.label_b): (r.mean_term, r.cov_term, r.frechet_sq)
+        for r in q_k114_label_frechet_distance(spark, str(d)).collect()
+    }
+    assert out == {
+        (0, 1): (16.0, 1.0, 17.0),
+        (0, 2): (0.0, 0.0, 0.0),
+        (1, 2): (16.0, 1.0, 17.0),
+    }
