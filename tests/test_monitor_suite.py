@@ -232,3 +232,27 @@ def test_suite_stream_with_live_maintenance_equals_batch(
     ).select("i", "j", "cosine")
     assert _rows(got) == _rows(want)
     assert got.count() > 0  # non-vacuous at the audit threshold
+
+
+def test_suite_consumer_failure_fails_the_trigger(spark, tmp_path, monkeypatch):
+    """Commit-on-success under the concurrent fan-out: an exception in
+    ANY consumer must propagate out of monitor_suite_batch (so the
+    stream never commits the trigger's offsets), in both the pooled
+    and the sequential submission modes — and the concurrent pool must
+    surface the ORIGINAL error, not swallow it into a pool shutdown."""
+    import pytest
+
+    from cdc_publisher_spark.streaming import monitor_suite as ms
+
+    def boom(*a, **k):
+        raise RuntimeError("exposure consumer blew up")
+
+    monkeypatch.setattr(ms, "exposure_micro_batch", boom)
+    batch = spark.createDataFrame(
+        [(1, "alpha beta gamma", "s0"), (2, "delta eps zeta", "s1")],
+        "doc_id long, text string, source string",
+    )
+    for parallelism in (None, 1):
+        root = str(tmp_path / f"state_{parallelism}")
+        with pytest.raises(RuntimeError, match="exposure consumer blew up"):
+            ms.monitor_suite_batch(batch, 0, root, parallelism=parallelism)
