@@ -455,3 +455,118 @@ def q_k72_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: q_k115 candidate grids (percent thresholds), spanning the fixture
+#: distributions (TTR 0.28-1.0 median 0.46; top-word frac 0.05-0.30
+#: median 0.09) so every curve has both passing and failing mass.
+TTR_GRID = (30, 40, 50, 60, 70)
+REP_GRID = (5, 10, 15, 20, 25)
+
+
+# --------------------------------------------------------------------------
+# q_k115 — quality-threshold sensitivity sweep
+# --------------------------------------------------------------------------
+@register(
+    "q_k115_threshold_sensitivity",
+    family="K",
+    doc="K-115 quality-threshold sensitivity sweep: for the two "
+    "continuous Gopher screens (type-token floor, top-word repetition "
+    "cap — q_k71's ttr_ok/rep_ok), how many documents pass at each "
+    "candidate percent threshold. The tuning table read before "
+    "committing to a cut: a steep step between adjacent thresholds "
+    "means the screen is load-bearing there; a flat one means the "
+    "knob is free. Every comparison is EXACT integer algebra "
+    "(nd·100 ≥ t·nw, topc·100 ≤ t·nw — no float ratio ever computed), "
+    "so the whole count table is bit-identical cross-engine; "
+    "pass_frac is one 4dp division of exact counts. Scale: the q_k71 "
+    "per-doc stats pass (one (doc, word) top-word aggregate) + a "
+    "constant 10-way threshold explode + one hash aggregate.",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS nw,
+                   len(list_distinct(string_split(text, ' '))) AS nd
+            FROM documents
+        ),
+        topw AS (
+            SELECT doc_id, MAX(c) AS topc FROM (
+                SELECT doc_id, COUNT(*) AS c
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                      FROM documents)
+                GROUP BY doc_id, t
+            ) GROUP BY doc_id
+        ),
+        stats AS (
+            SELECT base.doc_id, nw, nd, topc
+            FROM base JOIN topw ON topw.doc_id = base.doc_id
+        ),
+        grid AS (
+            SELECT 'ttr_floor' AS rule, t
+            FROM (VALUES {", ".join(f"({t})" for t in TTR_GRID)}) g(t)
+            UNION ALL
+            SELECT 'rep_cap' AS rule, t
+            FROM (VALUES {", ".join(f"({t})" for t in REP_GRID)}) g(t)
+        )
+        SELECT grid.rule,
+               CAST(grid.t AS BIGINT) AS threshold_pct,
+               CAST(SUM(CASE WHEN (grid.rule = 'ttr_floor' AND nd * 100 >= grid.t * nw)
+                               OR (grid.rule = 'rep_cap' AND topc * 100 <= grid.t * nw)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND(SUM(CASE WHEN (grid.rule = 'ttr_floor' AND nd * 100 >= grid.t * nw)
+                                OR (grid.rule = 'rep_cap' AND topc * 100 <= grid.t * nw)
+                              THEN 1 ELSE 0 END) / (1.0 * COUNT(*)), 4) AS pass_frac
+        FROM stats CROSS JOIN grid
+        GROUP BY grid.rule, grid.t
+        ORDER BY rule, threshold_pct
+    """,
+)
+def q_k115_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ws = words(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        F.size(ws).alias("nw"),
+        F.size(F.array_distinct(ws)).alias("nd"),
+    )
+    topw = (
+        docs.select("doc_id", F.explode(ws).alias("t"))
+        .groupBy("doc_id", "t")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("topc"))
+    )
+    stats = base.join(topw, "doc_id")
+    grid = spark.createDataFrame(
+        [("ttr_floor", t) for t in TTR_GRID] + [("rep_cap", t) for t in REP_GRID],
+        "rule string, t int",
+    )
+    passes = F.when(
+        (
+            (F.col("rule") == "ttr_floor")
+            & (F.col("nd") * 100 >= F.col("t") * F.col("nw"))
+        )
+        | (
+            (F.col("rule") == "rep_cap")
+            & (F.col("topc") * 100 <= F.col("t") * F.col("nw"))
+        ),
+        1,
+    ).otherwise(0)
+    return (
+        stats.crossJoin(F.broadcast(grid))
+        .groupBy("rule", "t")
+        .agg(
+            F.sum(passes).cast("bigint").alias("n_pass"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.sum(passes) / (1.0 * F.count("*")), 4).alias("pass_frac"),
+        )
+        .select(
+            "rule",
+            F.col("t").cast("bigint").alias("threshold_pct"),
+            "n_pass",
+            "n_docs",
+            "pass_frac",
+        )
+        .orderBy("rule", "threshold_pct")
+    )

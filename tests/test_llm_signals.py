@@ -985,3 +985,30 @@ def test_packing_boundary_audit_closed_form(spark, tmp_path_factory):
         r.n_docs, r.n_boundary_crossing, r.n_packs, r.total_tokens,
         r.crossing_frac,
     ) == (3, 1, 2, 4096, 0.3333)
+
+
+def test_threshold_sensitivity_exact_boundary_algebra(spark, tmp_path_factory):
+    """Two hand-built docs: 'x x x y z' (nw=5, nd=3, topc=3) sits
+    EXACTLY on the 60% TTR boundary (3·100 == 60·5 — the >= must
+    include it) and fails the rep cap at every grid point; 'a b c d'
+    (nd=nw, topc=1) passes every TTR floor and reaches the rep cap
+    only at exactly 25% (1·100 == 25·4)."""
+    from cdc_publisher_spark.queries.llm_signals import (
+        q_k115_threshold_sensitivity,
+    )
+
+    rows = [
+        (1, "x x x y z", "en", "s", 9),
+        (2, "a b c d", "en", "s", 7),
+    ]
+    d = _write_docs(spark, tmp_path_factory.mktemp("thresh"), rows)
+    out = {
+        (r.rule, r.threshold_pct): r.n_pass
+        for r in q_k115_threshold_sensitivity(spark, d).collect()
+    }
+    assert out == {
+        ("ttr_floor", 30): 2, ("ttr_floor", 40): 2, ("ttr_floor", 50): 2,
+        ("ttr_floor", 60): 2, ("ttr_floor", 70): 1,
+        ("rep_cap", 5): 0, ("rep_cap", 10): 0, ("rep_cap", 15): 0,
+        ("rep_cap", 20): 0, ("rep_cap", 25): 1,
+    }
