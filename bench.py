@@ -381,12 +381,19 @@ SCALING_EXTRAS = (
     "q_k109_incremental_embedding_neardup",
     "q_k110_embedding_bucket_skew",
     # r12 session-2 additions: probe-bounded brute kNN histogram, the
-    # set-fingerprint hash-aggregate conflict screen, and the packing
-    # boundary audit riding the k17 bucketed-cumsum decomposition
+    # set-fingerprint hash-aggregate conflict screen, the packing
+    # boundary audit riding the k17 bucketed-cumsum decomposition, and
+    # the label-pair Fréchet distance (ONE corpus-scale posexplode +
+    # DECIMAL moment aggregate; everything after is labels×dim-sized)
     "q_k111_knn_hubness",
     "q_k112_dup_metadata_conflicts",
     "q_k113_packing_boundary_audit",
     "q_k114_label_frechet_distance",
+    # r13 (r12 VERDICT ask #3): the quality-threshold sensitivity sweep
+    # — previously excluded as a cheap rider on the q_k71 stats pass
+    # (same one-pass corpus scan × a broadcast constant grid), now
+    # given its own cross-sf row so the claim is measured, not argued
+    "q_k115_threshold_sensitivity",
 )
 
 
@@ -506,7 +513,21 @@ def write_scaling(path: str = "SCALING.md") -> None:
             "span with its data, restoring linearity); q_k92 composes "
             "the k22 exact pair graph and inherits q_k2/q_k21's "
             "declared-exact quadratic contract (JOIN_AUDIT_ALLOWLIST, "
-            "tests/test_plans.py).\n\n"
+            "tests/test_plans.py); q_k109's nominate mass at the "
+            "default 8-bit banding is ~n^2*bands/2^bits IN EXPECTATION "
+            "on near-isotropic fixtures (non-near-dup pairs collide "
+            "per band with p ~ (1/2)^bits; operators/embed_lsh.py:49), "
+            "so its sf1 cell drifts upward as that term emerges — the "
+            "r13 controlled re-measure (fresh JVM, 3 reps, GC between) "
+            "read sf1 at 5.4-6.5 s (~3.5x/decade, SUB-linear; the "
+            "committed r12 23.45 s cell was end-of-sweep host "
+            "contention, not plan growth), and `bits` is the LAYOUT "
+            "knob a deployment widens with corpus size (the measured "
+            "4-bit -> 8-bit history cut candidate mass 16x); q_k111 is "
+            "linear BY DESIGN — O(probes*n) with the bounded probe "
+            "block broadcast — so its per-decade ratio should read "
+            "~linear, not sub-linear, and that is correct, not a "
+            "regression.\n\n"
         )
         hdr = " | ".join(f"sf{s}" for s in sfs)
         ratios_hdr = " | ".join(f"x({a}->{b})" for a, b in zip(sfs, sfs[1:]))

@@ -140,9 +140,17 @@ def monitor_suite_batch(
     """
     batch = batch_df.persist()
     try:
-        if not batch.take(1):
+        # One driver job both materializes the cache (before the
+        # fan-out) and probes for the empty trigger — no separate
+        # take(1). The early return skips the per-consumer batch=N
+        # overwrites, which is safe because Structured Streaming file
+        # sources are immutable-by-contract: a replayed trigger carries
+        # the same rows as the failed attempt, so an EMPTY replay of a
+        # previously non-empty batch id (the only path to a stale
+        # batch=N dir surviving) can only happen if source files
+        # mutated under the stream — outside the source contract.
+        if batch.count() == 0:
             return  # every consumer is a no-op on an empty trigger
-        batch.count()  # materialize the cache once, before the fan-out
         word_rows = batch.select(
             F.col(source_col).alias("source"),
             F.explode(words(F.col(text_col))).alias("w"),
@@ -211,11 +219,34 @@ def monitor_suite_batch(
             for t in thunks:
                 t()
         else:
+            # With PYSPARK_PIN_THREAD (default since Spark 3.2) each
+            # Python thread pins to its own JVM thread, so plain pool
+            # threads would NOT inherit this trigger's job group /
+            # local properties — query.stop() could not cancel
+            # in-flight consumer jobs and Spark-UI attribution to the
+            # streaming query would be lost. Clone the parent thread's
+            # JVM local properties once and install them in each
+            # worker before its thunk runs — the pyspark
+            # InheritableThread recipe applied to a pool.
+            sc = batch.sparkSession.sparkContext
+            try:
+                parent_props = sc._jsc.sc().getLocalProperties().clone()
+            except Exception:  # non-JVM test doubles
+                parent_props = None
+
+            def run_inheriting(t):
+                if parent_props is not None:
+                    try:
+                        sc._jsc.sc().setLocalProperties(parent_props)
+                    except Exception:
+                        pass
+                return t()
+
             with ThreadPoolExecutor(max_workers=workers) as pool:
                 # list() drains the iterator so every future resolves;
                 # the first consumer exception re-raises here and fails
                 # the trigger BEFORE the stream commits the offset
-                list(pool.map(lambda t: t(), thunks))
+                list(pool.map(run_inheriting, thunks))
     finally:
         batch.unpersist()
 
