@@ -256,3 +256,72 @@ def test_suite_consumer_failure_fails_the_trigger(spark, tmp_path, monkeypatch):
         root = str(tmp_path / f"state_{parallelism}")
         with pytest.raises(RuntimeError, match="exposure consumer blew up"):
             ms.monitor_suite_batch(batch, 0, root, parallelism=parallelism)
+
+
+def test_suite_embed_consumer_at_production_threshold(spark, tmp_path):
+    """r12 VERDICT ask #6: the suite elsewhere drives the embedding
+    consumer at the fixture AUDIT threshold (0.42 — the synthetic
+    corpus's near-dup tail); production runs at 0.9
+    (embed_monitor.EMBED_DUP_THRESHOLD's default regime). This drives
+    the full nine-consumer streaming path at threshold 0.9 over a
+    corpus with PLANTED true near-dups — three families of base +
+    tiny-noise copies (cosine ≈ 0.999) among 18 mutually-far random
+    bases — and pins (a) stream == batch twin at 0.9 and (b) the
+    detected pair set is EXACTLY the planted families' intra-family
+    pairs, nothing else."""
+    import numpy as np
+
+    from cdc_publisher_spark.operators.embed_lsh import embedding_neardup_banded
+    from cdc_publisher_spark.streaming.embed_monitor import (
+        read_embed_pairs,
+        read_embed_vec_state,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((18, 64))
+    rows = [(i + 1, base[i].tolist()) for i in range(18)]
+    families = [(0, 19), (0, 20), (1, 21), (1, 22), (2, 23), (2, 24)]
+    for src, nid in families:
+        noise = rng.standard_normal(64) * 0.03
+        rows.append((nid, (base[src] + noise).tolist()))
+    planted = {  # every intra-family (min, max) pair — and ONLY these
+        (1, 19), (1, 20), (19, 20),
+        (2, 21), (2, 22), (21, 22),
+        (3, 23), (3, 24), (23, 24),
+    }
+    docs = spark.createDataFrame(
+        [
+            (vid, f"planted corpus doc {vid} alpha beta", f"s{vid % 3}",
+             f"l{vid % 2}", vec)
+            for vid, vec in rows
+        ],
+        "doc_id long, text string, source string, label string, "
+        "embedding array<double>",
+    )
+    src_dir = str(tmp_path / "in")
+    docs.withColumn("part", F.pmod("doc_id", F.lit(3)).cast("int")).repartition(
+        "part"
+    ).write.partitionBy("part").parquet(src_dir)
+
+    root, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src_dir}/part=*")
+    )
+    q = stream_monitor_suite(stream, root, ckpt, embed_threshold=0.9)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = read_embed_pairs(spark, suite_dir(root, "embed_pairs"))
+    want = embedding_neardup_banded(
+        docs.select(F.col("doc_id").alias("vec_id"), "embedding"), 0.9
+    ).select("i", "j", "cosine")
+    assert _rows(got) == _rows(want)  # stream == batch at 0.9
+    got_pairs = {(r.i, r.j) for r in got.collect()}
+    assert got_pairs == planted, got_pairs  # the planted pairs, ONLY
+    assert all(r.cosine >= 0.9 for r in got.collect())
+    vec_state = read_embed_vec_state(spark, suite_dir(root, "embed_vecs"))
+    assert _rows(vec_state.select("doc_id")) == _rows(docs.select("doc_id"))
