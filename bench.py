@@ -16,7 +16,9 @@ Modes: (default) headline bench; ``--explain`` writes PLANS.md;
 ``--scaling`` writes SCALING.md across scale factors; ``--ab
 <git-ref>`` runs the same-host interleaved A/B against another
 revision and emits per-query ratios (see ``run_ab`` — the one-command
-form of the host-drift-vs-regression methodology).
+form of the host-drift-vs-regression methodology); ``--monitors``
+writes MONITORS.md — the monitor-suite rows-per-trigger amortization
+sweep (r12 VERDICT ask #2).
 """
 
 from __future__ import annotations
@@ -319,6 +321,167 @@ def _bench_monitor_suite(spark, sf_dir: str) -> float:
         return round(statistics.median(samples), 1)
     finally:
         shutil.rmtree(wd, ignore_errors=True)
+
+
+#: --monitors sweep points: (rows per trigger, triggers measured).
+#: Small points get two triggers so the figure is a steady-state
+#: average; the top point is one full-corpus trigger (the sf1 joined
+#: corpus is 20k rows — see write_monitors on why we do NOT replicate
+#: rows to go higher).
+MONITOR_SWEEP_POINTS = ((500, 2), (2000, 2), (8000, 2), (20000, 1))
+
+
+def write_monitors(path: str = "MONITORS.md") -> None:
+    """--monitors: rows-per-trigger amortization sweep for the composed
+    nine-consumer monitor suite (r12 VERDICT ask #2).
+
+    The 100 TB claim for the suite is that its per-trigger FIXED work
+    (state listing, the ~15 consumer DAG submissions, index probes'
+    constant factors) amortizes at deployment trigger sizes — this
+    measures it instead of arguing it: drain the same corpus through
+    ``stream_monitor_suite`` at several rows-per-trigger points (each
+    point a fresh state root + checkpoint + one file per trigger,
+    ``maxFilesPerTrigger=1``) and report rows/s per point. Rising
+    rows/s with trigger size = fixed overhead amortizing; flat or
+    falling = per-row work dominating (at which point the suite is
+    row-bound and bigger triggers stop helping).
+
+    Corpus: documents ⋈ embeddings from the LARGEST fixture decade
+    available (.localdata/sf1 preferred — 20k distinct joined rows).
+    We deliberately do NOT replicate rows to reach bigger triggers:
+    id-shifted copies share text and embedding, so every copy family
+    becomes an exact-dup/near-dup clique and the dedup, audio and
+    embedding consumers' pair output grows QUADRATICALLY in the copy
+    count — the sweep would measure that synthetic explosion, not
+    amortization. Points above the corpus size are skipped with a
+    note. Host-noise caveat (round-12 finding): same-tree suite
+    throughput sampled 18.9-29.9 rows/s across runs, so single-point
+    comparisons across ROUNDS are unreliable — the evidence here is
+    the monotone WITHIN-RUN trend across a 40× trigger-size range,
+    which survives noise that size."""
+    from pyspark.sql import functions as F
+
+    from cdc_publisher_spark.session import get_session
+    from cdc_publisher_spark.streaming.monitor_suite import stream_monitor_suite
+    from cdc_publisher_spark.tables import load
+
+    spark = get_session(
+        app_name="cdc_publisher_spark_monitors",
+        extra_confs={"spark.cleaner.periodicGC.interval": "1min"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    local_sf1 = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".localdata", "sf1"
+    )
+    corpus_dir = local_sf1 if os.path.isdir(local_sf1) else sf_dir
+    docs = (
+        load(spark, corpus_dir, "documents")
+        .join(
+            load(spark, corpus_dir, "embeddings"),
+            F.col("doc_id") == F.col("vec_id"),
+        )
+        .select("doc_id", "text", "source", "label", "embedding")
+    )
+    corpus_n = docs.count()
+
+    wd = tempfile.mkdtemp(prefix="cdc_bench_monitors_")
+    results: list[dict] = []
+    skipped: list[int] = []
+    try:
+        # warm-up drain: codegen + stream-query setup out of the
+        # timed points (same rationale as _bench_monitor_suite)
+        def run_point(tag: str, rows_per_trigger: int, n_triggers: int):
+            total = rows_per_trigger * n_triggers
+            src = os.path.join(wd, f"src_{tag}")
+            (
+                docs.orderBy("doc_id")
+                .limit(total)
+                .withColumn(
+                    "t", F.pmod("doc_id", F.lit(n_triggers)).cast("int")
+                )
+                .repartition("t")
+                .write.partitionBy("t")
+                .parquet(src)
+            )
+            glob_ = f"{src}/t=*"
+            actual = spark.read.parquet(glob_).count()
+            stream = (
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(glob_)
+            )
+            root = os.path.join(wd, f"state_{tag}")
+            ckpt = os.path.join(wd, f"ckpt_{tag}")
+            t0 = time.perf_counter()
+            q = stream_monitor_suite(stream, root, ckpt)
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            wall = time.perf_counter() - t0
+            return actual, wall
+
+        run_point("warm", 500, 1)
+        for rows_per_trigger, n_triggers in MONITOR_SWEEP_POINTS:
+            if rows_per_trigger * n_triggers > corpus_n:
+                skipped.append(rows_per_trigger)
+                continue
+            actual, wall = run_point(
+                f"p{rows_per_trigger}", rows_per_trigger, n_triggers
+            )
+            results.append(
+                {
+                    "rows_per_trigger": rows_per_trigger,
+                    "triggers": n_triggers,
+                    "rows": actual,
+                    "wall_s": round(wall, 1),
+                    "rows_per_sec": round(actual / wall, 1),
+                    "sec_per_trigger": round(wall / n_triggers, 1),
+                }
+            )
+            print(json.dumps(results[-1]), flush=True)
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+
+    with open(path, "w") as fh:
+        fh.write("# Monitor-suite rows-per-trigger amortization\n\n")
+        fh.write(
+            "Generated by `python bench.py --monitors`. Composed "
+            "nine-consumer suite (streaming/monitor_suite.py) drained "
+            "over the documents ⋈ embeddings corpus from "
+            f"`{corpus_dir}` ({corpus_n} rows), one parquet file per "
+            "trigger, fresh state root + checkpoint per point, one "
+            "warm-up drain first. Rising rows/s with trigger size = "
+            "the per-trigger fixed work (state listing, consumer DAG "
+            "submission, probe constant factors) amortizing — the "
+            "suite's 100 TB deployment claim, measured. No replicated "
+            "rows: id-shifted copies would share text/embedding and "
+            "plant quadratic cross-copy dup cliques, measuring pair "
+            "explosion instead of amortization (see the --monitors "
+            "docstring). Within-run trend is the evidence; absolute "
+            "rows/s carries the documented 1.5x host noise.\n\n"
+        )
+        fh.write(
+            "| rows/trigger | triggers | drain wall | rows/s | s/trigger |\n"
+            "|---|---|---|---|---|\n"
+        )
+        for r in results:
+            fh.write(
+                f"| {r['rows_per_trigger']} | {r['triggers']} | "
+                f"{r['wall_s']}s | {r['rows_per_sec']} | "
+                f"{r['sec_per_trigger']}s |\n"
+            )
+        if skipped:
+            fh.write(
+                f"\nSkipped points (corpus {corpus_n} rows too small, "
+                "replication deliberately not used): "
+                + ", ".join(str(s) for s in skipped)
+                + " rows/trigger.\n"
+            )
+    print(f"wrote {path}")
+    print(json.dumps({"monitor_sweep": results, "corpus": corpus_dir}))
 
 
 
@@ -742,6 +905,8 @@ if __name__ == "__main__":
         write_plans()
     elif "--scaling" in sys.argv:
         write_scaling()
+    elif "--monitors" in sys.argv:
+        write_monitors()
     elif "--ab" in sys.argv:
         i = sys.argv.index("--ab")
         ref = sys.argv[i + 1]

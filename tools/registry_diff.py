@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Import-diff the query registry between a git ref and the working
+tree (r12 VERDICT ask #7 — one leg of the judge's evidence chain).
+
+The registry's cross-round contract is STRICTLY ADDITIVE: names,
+semantics and oracle text never change or disappear, so the driver's
+non-rotating correctness sample keeps accumulating against stable
+targets. The judge verifies this by importing ``registry.all_specs()``
+in both trees and diffing; this script is that check as one command:
+
+    python tools/registry_diff.py r12
+
+Checks out the ref into a temporary ``git worktree`` (read-only use),
+imports each tree's registry in its OWN subprocess (two versions of
+the package cannot coexist in one interpreter), and reports additions,
+removals, and oracle-text edits. Exit 0 = additive (additions only);
+exit 1 = any removal or oracle edit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+DUMP = r"""
+import json, sys
+sys.path.insert(0, sys.argv[1])
+from cdc_publisher_spark.registry import all_specs
+print(json.dumps({
+    n: {"family": s.family, "oracle": s.oracle}
+    for n, s in all_specs().items()
+}))
+"""
+
+
+def registry_of(tree: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", DUMP, tree],
+        capture_output=True, text=True, check=True, cwd=tree,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> int:
+    ref = sys.argv[1] if len(sys.argv) > 1 else "r12"
+    head = registry_of(REPO)
+    with tempfile.TemporaryDirectory(prefix="registry_diff_") as td:
+        wt = os.path.join(td, "prev")
+        subprocess.run(
+            ["git", "worktree", "add", "--detach", wt, ref],
+            cwd=REPO, check=True, capture_output=True,
+        )
+        try:
+            prev = registry_of(wt)
+        finally:
+            subprocess.run(
+                ["git", "worktree", "remove", "--force", wt],
+                cwd=REPO, check=False, capture_output=True,
+            )
+    added = sorted(set(head) - set(prev))
+    removed = sorted(set(prev) - set(head))
+    edited = sorted(
+        n for n in set(head) & set(prev)
+        if head[n]["oracle"] != prev[n]["oracle"]
+    )
+    print(
+        f"registry {ref}: {len(prev)} -> HEAD: {len(head)} | "
+        f"added {len(added)}, removed {len(removed)}, "
+        f"oracle-edited {len(edited)}"
+    )
+    for label, names in (("+", added), ("-", removed), ("~", edited)):
+        for n in names:
+            print(f"  {label} {n}")
+    ok = not removed and not edited
+    print("ADDITIVE: OK" if ok else "ADDITIVE: VIOLATED")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
