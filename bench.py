@@ -557,6 +557,17 @@ SCALING_EXTRAS = (
     # (same one-pass corpus scan × a broadcast constant grid), now
     # given its own cross-sf row so the claim is measured, not argued
     "q_k115_threshold_sensitivity",
+    # r13 additions: the dedup-threshold knob table (k3's banded mine
+    # + grid binning), the bigram conditional-entropy templatedness
+    # screen, the md5 shard-export manifest, the banded-LSH recall
+    # curve (inherits q_k2's exact-quadratic diagnostic contract — see
+    # Expected exceptions), and the TwoNN probe-bounded intrinsic
+    # dimension
+    "q_k116_dedup_threshold_sensitivity",
+    "q_k117_bigram_entropy_rate",
+    "q_k118_shard_manifest",
+    "q_k119_lsh_recall_curve",
+    "q_k120_intrinsic_dimension",
 )
 
 
@@ -676,7 +687,11 @@ def write_scaling(path: str = "SCALING.md") -> None:
             "span with its data, restoring linearity); q_k92 composes "
             "the k22 exact pair graph and inherits q_k2/q_k21's "
             "declared-exact quadratic contract (JOIN_AUDIT_ALLOWLIST, "
-            "tests/test_plans.py); q_k109's nominate mass at the "
+            "tests/test_plans.py), as does q_k119 — a recall audit "
+            "needs the all-pairs ground truth BY DEFINITION, and the "
+            "31-word fixture vocabulary additionally densifies its "
+            "shared-shingle truth join exactly as it does "
+            "q_k32/q_k65/q_k66's; q_k109's nominate mass at the "
             "default 8-bit banding is ~n^2*bands/2^bits IN EXPECTATION "
             "on near-isotropic fixtures (non-near-dup pairs collide "
             "per band with p ~ (1/2)^bits; operators/embed_lsh.py:49), "

@@ -838,3 +838,140 @@ def q_k112_dup_metadata_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("first_doc")
     )
+
+
+# --------------------------------------------------------------------------
+# q_k120 — TwoNN intrinsic-dimension estimate per label
+# --------------------------------------------------------------------------
+@register(
+    "q_k120_intrinsic_dimension",
+    family="K",
+    doc="K-120 TwoNN intrinsic-dimension estimate (Facco et al. 2017, "
+    "'Estimating the intrinsic dimension of datasets by a minimal "
+    "neighborhood information'): per label, ID = n / sum(ln(d2/d1)) "
+    "over probe points, where d1/d2 are each probe's first/second "
+    "exact cosine-distance neighbors — the data-manifold audit run "
+    "before trusting dimension-sensitive downstream choices (ANN "
+    "banding width, PCA rank, Matryoshka truncation: a corpus whose "
+    "effective dimension is 9 does not need 64-dim indexes). Probe "
+    "set is the bounded md5 draw (seed 'twonn', the q_k73/q_k111 "
+    "convention) so cost is O(probes * n) with the probe block "
+    "broadcast — never O(n^2). Probes with d1 = 0 (exact duplicate "
+    "vectors) are excluded and counted. Each ln ratio is 8dp-rounded "
+    "and DECIMAL-summed (q_k72 convention); neighbor ties break on "
+    "vec_id in both engines.",
+    oracle=f"""
+        WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] e FROM embeddings),
+        q AS (
+            SELECT * FROM v
+            ORDER BY md5('twonn' || vec_id), vec_id
+            LIMIT {KNN_PROBES}
+        ),
+        scored0 AS (
+            SELECT q.vec_id AS qid, q.label AS label, c.vec_id AS cid,
+                   1.0 - list_dot_product(q.e, c.e)
+                         / (sqrt(list_dot_product(q.e, q.e))
+                            * sqrt(list_dot_product(c.e, c.e))) AS dist
+            FROM q JOIN v c ON c.vec_id <> q.vec_id
+        ),
+        scored AS (
+            SELECT qid, label, dist,
+                   row_number() OVER (
+                       PARTITION BY qid ORDER BY dist ASC, cid) AS rk
+            FROM scored0
+        ),
+        nn AS (
+            SELECT qid, label,
+                   MAX(CASE WHEN rk = 1 THEN dist END) AS d1,
+                   MAX(CASE WHEN rk = 2 THEN dist END) AS d2
+            FROM scored WHERE rk <= 2 GROUP BY qid, label
+        ),
+        terms AS (
+            SELECT label,
+                   CASE WHEN d1 > 0 THEN 1 ELSE 0 END AS ok,
+                   CASE WHEN d1 > 0
+                        THEN CAST(ROUND(ln(d2 / d1), 8) AS DECIMAL(18, 8))
+                        ELSE CAST(0 AS DECIMAL(18, 8)) END AS lt
+            FROM nn
+        )
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(COUNT(*) AS BIGINT) AS n_probes,
+               CAST(SUM(ok) AS BIGINT) AS n_used,
+               ROUND(SUM(ok) / CAST(SUM(lt) AS DOUBLE), 4) AS id_estimate
+        FROM terms
+        GROUP BY label
+        ORDER BY label
+    """,
+)
+def q_k120_intrinsic_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    probes = (
+        e.orderBy(
+            F.md5(F.concat(F.lit("twonn"), F.col("vec_id").cast("string"))),
+            "vec_id",
+        )
+        .limit(KNN_PROBES)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("label"),
+            F.col("embedding").alias("qv"),
+            VX.l2_norm(F.col("embedding")).alias("qn"),
+        )
+    )
+    cand = e.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cv"),
+        VX.l2_norm(F.col("embedding")).alias("cn"),
+    )
+    scored = (
+        cand.crossJoin(F.broadcast(probes))
+        .filter(F.col("cid") != F.col("qid"))
+        .select(
+            "qid",
+            "label",
+            "cid",
+            (
+                F.lit(1.0)
+                - VX.cosine_with_norms(
+                    F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+                )
+            ).alias("dist"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("cid"))
+    nn = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .groupBy("qid", "label")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("dist"))).alias("d1"),
+            F.max(F.when(F.col("rk") == 2, F.col("dist"))).alias("d2"),
+        )
+    )
+    terms = nn.select(
+        "label",
+        F.when(F.col("d1") > 0, 1).otherwise(0).alias("ok"),
+        F.when(
+            F.col("d1") > 0,
+            F.round(F.log(F.col("d2") / F.col("d1")), 8).cast("decimal(18,8)"),
+        )
+        .otherwise(F.lit(0).cast("decimal(18,8)"))
+        .alias("lt"),
+    )
+    return (
+        terms.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_probes"),
+            F.sum("ok").cast("bigint").alias("n_used"),
+            F.round(
+                F.sum("ok") / F.sum("lt").cast("double"), 4
+            ).alias("id_estimate"),
+        )
+        .select(
+            F.col("label").cast("bigint").alias("label"),
+            "n_probes",
+            "n_used",
+            "id_estimate",
+        )
+        .orderBy("label")
+    )

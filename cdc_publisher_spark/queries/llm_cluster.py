@@ -793,3 +793,115 @@ def q_k110_embedding_bucket_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_vecs"))
         .orderBy("band", "bh")
     )
+
+
+#: q_k116 candidate-threshold grid: integer percent points 50..95 —
+#: the Jaccard knob a dedup deployment sweeps before committing (the
+#: q_k115 quality-threshold pattern applied to the dedup decision).
+DEDUP_T_GRID = tuple(range(50, 96, 5))
+
+
+@register(
+    "q_k116_dedup_threshold_sensitivity",
+    family="K",
+    doc="K-2 dedup-threshold sensitivity sweep — the knob table a "
+    "deployment reads before committing a near-dup Jaccard threshold "
+    "(the q_k115 pattern applied to dedup): the q_k3 banded-LSH + "
+    "exact-verify pair set (threshold floor 0.5) is computed ONCE, "
+    "then binned against a broadcast grid of candidate thresholds "
+    "(50..95%); per threshold, surviving pair count, documents "
+    "dropped under the keep-min-id convention (distinct d2), and the "
+    "whitespace-token mass those drops recover. The pair mining costs "
+    "what q_k3 costs (banded nominate, exact verify on candidates "
+    "only); everything after is grid x pair-set sized. Comparisons "
+    "use the 4dp-rounded Jaccard both engines already agree on "
+    "bit-for-bit (the q_k3 hash-match), so the bin counts are exact "
+    "cross-engine.",
+    oracle=f"""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+            FROM w CROSS JOIN generate_series(1, 100000) g(i)
+            WHERE i + 2 <= len(ws)
+        ),
+        sz AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id d1, b.doc_id d2, COUNT(*) i
+            FROM sh a JOIN sh b USING (s)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT d1, d2, ROUND(i * 1.0 / (s1.n + s2.n - i), 4) AS jaccard
+            FROM inter
+            JOIN sz s1 ON s1.doc_id = d1
+            JOIN sz s2 ON s2.doc_id = d2
+            WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.5
+        ),
+        grid AS (SELECT g.t FROM generate_series(50, 95, 5) g(t)),
+        pg AS (
+            SELECT grid.t, p.d1, p.d2
+            FROM grid JOIN pairs p ON p.jaccard >= grid.t / 100.0
+        ),
+        pc AS (SELECT t, COUNT(*) AS n_pairs FROM pg GROUP BY t),
+        drops AS (
+            SELECT dd.t, COUNT(*) AS n_docs_dropped, SUM(dw.nw) AS tokens_dropped
+            FROM (SELECT DISTINCT t, d2 FROM pg) dd
+            JOIN (SELECT doc_id, len(string_split(text, ' ')) AS nw
+                  FROM documents) dw ON dw.doc_id = dd.d2
+            GROUP BY dd.t
+        )
+        SELECT CAST(grid.t AS BIGINT) AS threshold_pct,
+               CAST(COALESCE(pc.n_pairs, 0) AS BIGINT) AS n_pairs,
+               CAST(COALESCE(drops.n_docs_dropped, 0) AS BIGINT) AS n_docs_dropped,
+               CAST(COALESCE(drops.tokens_dropped, 0) AS BIGINT) AS tokens_dropped
+        FROM grid
+        LEFT JOIN pc ON pc.t = grid.t
+        LEFT JOIN drops ON drops.t = grid.t
+        ORDER BY threshold_pct
+    """,
+)
+def q_k116_dedup_threshold_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cdc_publisher_spark.operators.minhash import minhash_near_duplicates
+
+    docs = load(spark, sf_dir, "documents")
+    # mined once at the 0.5 floor — the grid only ever tightens it
+    pairs = track_persist(minhash_near_duplicates(docs, threshold=0.5))
+    grid = spark.createDataFrame([(t,) for t in DEDUP_T_GRID], "t int")
+    # pair-set x 10-row grid: the adjudicated scalar-broadcast BNLJ
+    pg = track_persist(
+        pairs.crossJoin(F.broadcast(grid))
+        .filter(F.col("jaccard") >= F.col("t") / 100.0)
+        .select("t", "d1", "d2")
+    )
+    pc = pg.groupBy("t").agg(F.count("*").cast("bigint").alias("n_pairs"))
+    nw = load(spark, sf_dir, "documents").select(
+        "doc_id", TX.n_words(F.col("text")).alias("nw")
+    )
+    drops = (
+        pg.select("t", "d2")
+        .distinct()
+        .join(nw, F.col("d2") == F.col("doc_id"))
+        .groupBy("t")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs_dropped"),
+            F.sum("nw").cast("bigint").alias("tokens_dropped"),
+        )
+    )
+    return (
+        grid.join(pc, "t", "left")
+        .join(drops, "t", "left")
+        .select(
+            F.col("t").cast("bigint").alias("threshold_pct"),
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce("n_docs_dropped", F.lit(0))
+            .cast("bigint")
+            .alias("n_docs_dropped"),
+            F.coalesce("tokens_dropped", F.lit(0))
+            .cast("bigint")
+            .alias("tokens_dropped"),
+        )
+        .orderBy("threshold_pct")
+    )

@@ -767,3 +767,91 @@ def q_k99_context_length_efficiency(
         )
         .orderBy("budget")
     )
+
+
+#: q_k118 shard fan: 16 output shards — small enough that the manifest
+#: is human-readable at any scale, large enough that the md5 balance
+#: audit is non-trivial on the fixture corpus.
+SHARD_FAN = 16
+
+
+@register(
+    "q_k118_shard_manifest",
+    family="K",
+    doc="K-118 deterministic shard-export manifest: every document is "
+    "assigned a shard by md5 content-free id draw (shard = "
+    "md5-uniform(doc_id) mod 16 — the q_k31/q_k36/q_k61 determinism "
+    "convention, so the assignment is reproducible on ANY engine and "
+    "stable under re-runs), and the manifest reports per shard the "
+    "doc count, whitespace-token mass, byte mass, id range, and the "
+    "load factor vs the ideal uniform share — the table a distributed "
+    "export job writes next to its output so downstream loaders can "
+    "size readers and verify completeness without scanning the data. "
+    "ONE hash aggregate over the corpus; at 100 TB the same plan "
+    "writes the actual shards via partitionBy(shard).",
+    oracle=f"""
+        WITH assign AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5('shard' || CAST(doc_id AS VARCHAR)),
+                                        1, 8)) AS UBIGINT) % {SHARD_FAN} AS shard,
+                   len(string_split(text, ' ')) AS nw,
+                   length(text) AS nb
+            FROM documents
+        ),
+        tot AS (SELECT COUNT(*) AS total FROM assign)
+        SELECT CAST(shard AS BIGINT) AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(nw) AS BIGINT) AS n_tokens,
+               CAST(SUM(nb) AS BIGINT) AS n_bytes,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+               CAST(MAX(doc_id) AS BIGINT) AS max_doc_id,
+               ROUND(COUNT(*) * {SHARD_FAN}.0 / MIN(tot.total), 4) AS load_factor
+        FROM assign, tot
+        GROUP BY shard
+        ORDER BY shard
+    """,
+)
+def q_k118_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    assign = docs.select(
+        "doc_id",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("shard"), F.col("doc_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % SHARD_FAN
+        ).alias("shard"),
+        TX.n_words(F.col("text")).alias("nw"),
+        F.length("text").alias("nb"),
+    )
+    per_shard = assign.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("nw").cast("bigint").alias("n_tokens"),
+        F.sum("nb").cast("bigint").alias("n_bytes"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        F.max("doc_id").cast("bigint").alias("max_doc_id"),
+    )
+    # corpus total re-derived from the 16-row aggregate (one corpus
+    # scan total); the scalar rides the adjudicated broadcast BNLJ
+    tot = per_shard.agg(F.sum("n_docs").alias("total"))
+    return (
+        per_shard.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("shard").cast("bigint").alias("shard"),
+            "n_docs",
+            "n_tokens",
+            "n_bytes",
+            "min_doc_id",
+            "max_doc_id",
+            F.round(
+                F.col("n_docs") * float(SHARD_FAN) / F.col("total"), 4
+            ).alias("load_factor"),
+        )
+        .orderBy("shard")
+    )

@@ -570,3 +570,125 @@ def q_k115_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rule", "threshold_pct")
     )
+
+
+# --------------------------------------------------------------------------
+# q_k117 — per-source bigram conditional-entropy rate
+# --------------------------------------------------------------------------
+@register(
+    "q_k117_bigram_entropy_rate",
+    family="K",
+    doc="K-117 per-source conditional entropy rate H(w2|w1) = "
+    "H(bigram) - H(context): the sequence-level templatedness screen "
+    "that q_k72's WITHIN-DOC unigram entropy and q_k100's distinct-n "
+    "ratios both miss — a source can have diverse vocabulary yet "
+    "near-deterministic transitions (boilerplate with slot-filling "
+    "scores low here and normal on both of those). Shannon (1948) "
+    "entropy-rate estimate from bigram/context multiset counts; one "
+    "posexplode + lead() window builds the bigram multiset "
+    "(functions/text.py shingle_rows k=2, distinct=False — linear, "
+    "codegen, no interpreted HOF), everything after is two hash "
+    "aggregates over (source, gram) plus vocabulary-bounded frames. "
+    "Each ln term is 8dp-rounded and DECIMAL-summed (the q_k72 "
+    "convention) so the per-source sums are order-independent and "
+    "bit-identical cross-engine; divisions and the final subtraction "
+    "run on identical doubles.",
+    oracle="""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+        bg AS (
+            SELECT doc_id, ws[i] AS w1, ws[i] || ' ' || ws[i+1] AS s
+            FROM w CROSS JOIN generate_series(1, 100000) g(i)
+            WHERE i + 1 <= len(ws)
+        ),
+        joint AS (
+            SELECT d.source, bg.s, MIN(bg.w1) AS w1, COUNT(*) AS c
+            FROM bg JOIN documents d USING (doc_id)
+            GROUP BY d.source, bg.s
+        ),
+        ntot AS (
+            SELECT source, SUM(c) AS n, COUNT(*) AS nd
+            FROM joint GROUP BY source
+        ),
+        ctx AS (
+            SELECT source, w1, SUM(c) AS cc FROM joint GROUP BY source, w1
+        ),
+        sb AS (
+            SELECT joint.source,
+                   SUM(CAST(joint.c AS DECIMAL(12, 0))
+                       * CAST(ROUND(ln(joint.c * 1.0 / ntot.n), 8)
+                              AS DECIMAL(18, 8))) AS lb
+            FROM joint JOIN ntot USING (source)
+            GROUP BY joint.source
+        ),
+        sc AS (
+            SELECT ctx.source,
+                   SUM(CAST(ctx.cc AS DECIMAL(12, 0))
+                       * CAST(ROUND(ln(ctx.cc * 1.0 / ntot.n), 8)
+                              AS DECIMAL(18, 8))) AS lc
+            FROM ctx JOIN ntot USING (source)
+            GROUP BY ctx.source
+        )
+        SELECT ntot.source,
+               CAST(ntot.n AS BIGINT) AS n_bigrams,
+               CAST(ntot.nd AS BIGINT) AS n_distinct_bigrams,
+               ROUND(-CAST(sb.lb AS DOUBLE) / ntot.n, 4) AS h_bigram,
+               ROUND(-CAST(sc.lc AS DOUBLE) / ntot.n, 4) AS h_context,
+               ROUND((-CAST(sb.lb AS DOUBLE) / ntot.n)
+                     - (-CAST(sc.lc AS DOUBLE) / ntot.n), 4) AS entropy_rate
+        FROM ntot
+        JOIN sb USING (source)
+        JOIN sc USING (source)
+        ORDER BY source
+    """,
+)
+def q_k117_bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_publisher_spark.functions.text import shingle_rows
+
+    docs = load(spark, sf_dir, "documents")
+    bg = shingle_rows(
+        docs.select("doc_id", "text"), k=2, distinct=False
+    )
+    joint = (
+        bg.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source", "s")
+        .agg(F.count("*").alias("c"))
+        .withColumn("w1", F.substring_index("s", " ", 1))
+    )
+    ntot = joint.groupBy("source").agg(
+        F.sum("c").alias("n"), F.count("*").alias("nd")
+    )
+    ctx = joint.groupBy("source", "w1").agg(F.sum("c").alias("cc"))
+
+    def lterm(cnt):
+        return (
+            cnt.cast("decimal(12,0)")
+            * F.round(F.log(cnt * 1.0 / F.col("n")), 8).cast("decimal(18,8)")
+        )
+
+    sb = (
+        joint.join(ntot, "source")
+        .select("source", lterm(F.col("c")).alias("lt"))
+        .groupBy("source")
+        .agg(F.sum("lt").alias("lb"))
+    )
+    sc = (
+        ctx.join(ntot, "source")
+        .select("source", lterm(F.col("cc")).alias("lt"))
+        .groupBy("source")
+        .agg(F.sum("lt").alias("lc"))
+    )
+    hb = -F.col("lb").cast("double") / F.col("n")
+    hc = -F.col("lc").cast("double") / F.col("n")
+    return (
+        ntot.join(sb, "source")
+        .join(sc, "source")
+        .select(
+            "source",
+            F.col("n").cast("bigint").alias("n_bigrams"),
+            F.col("nd").cast("bigint").alias("n_distinct_bigrams"),
+            F.round(hb, 4).alias("h_bigram"),
+            F.round(hc, 4).alias("h_context"),
+            F.round(hb - hc, 4).alias("entropy_rate"),
+        )
+        .orderBy("source")
+    )

@@ -1336,3 +1336,158 @@ def q_k96_containment_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s1", "s2")
     )
+
+
+# --------------------------------------------------------------------------
+# q_k119 — banded-LSH recall curve vs exact ground truth, by decile
+# --------------------------------------------------------------------------
+@register(
+    "q_k119_lsh_recall_curve",
+    family="K",
+    doc="K-119 banded-LSH RECALL curve — the s-curve measured, not "
+    "assumed: for every pair with ANY shingle overlap (the "
+    "declared-exact all-pairs reference, q_k2's audit contract), "
+    "which exact-Jaccard deciles does the md5-permutation banding "
+    "(q_k86's P=16, 8x2 scheme) actually nominate? Complements q_k86 "
+    "(which measures ESTIMATOR error on the candidates the banding "
+    "already found — it cannot see a missed pair): this is the table "
+    "that says 'at J=0.5 the banding catches X%', read before "
+    "trusting q_k3's threshold at a new (bands, rows) choice. Theory "
+    "is P(nominate) = 1-(1-J^2)^8; the fixture's collision-noise "
+    "deciles (J<0.1 mass from the 31-word vocabulary) should read "
+    "near-zero recall and the dup tail near-one. Inherits the q_k2 "
+    "exact-quadratic diagnostic contract (JOIN_AUDIT_ALLOWLIST) — "
+    "the production path never runs this; it is the audit's ground "
+    "truth by definition.",
+    oracle=f"""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+            FROM w CROSS JOIN generate_series(1, 100000) g(i)
+            WHERE i + 2 <= len(ws)
+        ),
+        sz AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id d1, b.doc_id d2, COUNT(*) i
+            FROM sh a JOIN sh b USING (s)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        truth AS (
+            SELECT d1, d2,
+                   CAST(ROUND(i * 1.0 / (s1.n + s2.n - i), 4)
+                        AS DECIMAL(10,4)) AS ex
+            FROM inter
+            JOIN sz s1 ON s1.doc_id = d1
+            JOIN sz s2 ON s2.doc_id = d2
+        ),
+        hv AS (
+            SELECT doc_id, g.i,
+                   MIN(CAST(('0x' || substr(md5('mh' || CAST(g.i AS VARCHAR)
+                                                || ':' || s), 1, 8)) AS UBIGINT)) AS h
+            FROM sh CROSS JOIN generate_series(0, {CAL_PERMS - 1}) g(i)
+            GROUP BY 1, 2
+        ),
+        bands AS (
+            SELECT a.doc_id, a.i // 2 AS band, a.h AS h1, b.h AS h2
+            FROM hv a JOIN hv b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+            WHERE a.i % 2 = 0
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+            FROM bands x JOIN bands y
+              ON x.band = y.band AND x.h1 = y.h1 AND x.h2 = y.h2
+             AND x.doc_id < y.doc_id
+        ),
+        flagged AS (
+            SELECT LEAST(CAST(FLOOR(t.ex * 10) AS INT), 9) AS decile,
+                   CASE WHEN c.d1 IS NULL THEN 0 ELSE 1 END AS nom
+            FROM truth t
+            LEFT JOIN cand c ON c.d1 = t.d1 AND c.d2 = t.d2
+        )
+        SELECT decile,
+               CAST(COUNT(*) AS BIGINT) AS n_true,
+               CAST(SUM(nom) AS BIGINT) AS n_nominated,
+               ROUND(SUM(nom) * 1.0 / COUNT(*), 4) AS recall
+        FROM flagged
+        GROUP BY decile
+        ORDER BY decile
+    """,
+)
+def q_k119_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sh = track_persist(TX.shingle_rows(docs, "doc_id", "text", 3))
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b_ = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b_, F.col("a.s") == F.col("b.s"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    s1, s2 = sz.alias("s1"), sz.alias("s2")
+    truth = (
+        inter.join(s1, F.col("d1") == F.col("s1.doc_id"))
+        .join(s2, F.col("d2") == F.col("s2.doc_id"))
+        .select(
+            "d1",
+            "d2",
+            F.round(
+                F.col("i") * 1.0 / (F.col("s1.n") + F.col("s2.n") - F.col("i")),
+                4,
+            )
+            .cast("decimal(10,4)")
+            .alias("ex"),
+        )
+    )
+
+    def hcol(i: int):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"mh{i}:"), F.col("s"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+
+    sig = sh.groupBy("doc_id").agg(
+        *[F.min(hcol(i)).alias(f"h{i}") for i in range(CAL_PERMS)]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.col(f"h{2 * b}").alias("h1"),
+                        F.col(f"h{2 * b + 1}").alias("h2"),
+                    )
+                    for b in range(CAL_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.h1", "bk.h2")
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(y, ["band", "h1", "h2"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
+        .distinct()
+        .withColumn("nom_flag", F.lit(1))
+    )
+    flagged = truth.join(cand, ["d1", "d2"], "left").select(
+        F.least(F.floor(F.col("ex") * 10).cast("int"), F.lit(9)).alias(
+            "decile"
+        ),
+        F.coalesce("nom_flag", F.lit(0)).alias("nom"),
+    )
+    return (
+        flagged.groupBy("decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_true"),
+            F.sum("nom").cast("bigint").alias("n_nominated"),
+            F.round(F.sum("nom") * 1.0 / F.count("*"), 4).alias("recall"),
+        )
+        .orderBy("decile")
+    )

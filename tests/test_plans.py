@@ -526,6 +526,15 @@ PERSIST_AUDIT_ALLOWLIST: dict[str, str] = {
     "audits — recompute means re-running the synth+FFT mapInPandas over "
     "the waveforms (orders of magnitude larger); the k55 contract for "
     "audio",
+    "q_k116_dedup_threshold_sensitivity": "both persisted frames are "
+    "near-dup PAIR sets (the q_k3 verified output at the 0.5 floor, and "
+    "that set x a 10-row grid) — O(dup-density), not O(corpus), the "
+    "k11 contract; each feeds two downstream consumers (pair counts + "
+    "drop attribution)",
+    "q_k119_lsh_recall_curve": "exact-Jaccard recall audit: persisted "
+    "shingle frame feeds the all-pairs ground truth AND the banded "
+    "signature side; all-pairs at audit scale by the same contract as "
+    "q_k86 (whose shape this extends with the missed-pair left join)",
 }
 
 
@@ -647,6 +656,14 @@ JOIN_AUDIT_ALLOWLIST: dict[str, str] = {
     "constant a deployment raises for selectivity — this IS the "
     "embedding-space scale path (k3's contract), and the stream twin "
     "probes it incrementally (streaming/embed_monitor.py)",
+    "q_k116_dedup_threshold_sensitivity": "the q_k3 banded LSH "
+    "candidate join + exact verify, mined once at the 0.5 floor; "
+    "same contract as q_k3 — everything added is grid x pair-set "
+    "sized",
+    "q_k119_lsh_recall_curve": "recall audit BY DEFINITION needs the "
+    "declared-exact all-pairs-by-shared-shingle ground truth (q_k2's "
+    "contract) plus the banded candidate join it grades (q_k86's "
+    "contract); diagnostic at audit scale, never the production path",
 }
 
 
