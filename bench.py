@@ -691,21 +691,28 @@ def write_scaling(path: str = "SCALING.md") -> None:
             "needs the all-pairs ground truth BY DEFINITION, and the "
             "31-word fixture vocabulary additionally densifies its "
             "shared-shingle truth join exactly as it does "
-            "q_k32/q_k65/q_k66's; q_k109's nominate mass at the "
-            "default 8-bit banding is ~n^2*bands/2^bits IN EXPECTATION "
-            "on near-isotropic fixtures (non-near-dup pairs collide "
-            "per band with p ~ (1/2)^bits; operators/embed_lsh.py:49), "
-            "so its sf1 cell drifts upward as that term emerges — the "
-            "r13 controlled re-measure (fresh JVM, 3 reps, GC between) "
-            "read sf1 at 5.4-6.5 s (~3.5x/decade, SUB-linear; the "
-            "committed r12 23.45 s cell was end-of-sweep host "
-            "contention, not plan growth), and `bits` is the LAYOUT "
-            "knob a deployment widens with corpus size (the measured "
-            "4-bit -> 8-bit history cut candidate mass 16x); q_k111 is "
-            "linear BY DESIGN — O(probes*n) with the bounded probe "
-            "block broadcast — so its per-decade ratio should read "
-            "~linear, not sub-linear, and that is correct, not a "
-            "regression.\n\n"
+            "q_k32/q_k65/q_k66's; q_k109's sf1 cell is structurally "
+            "super-linear ON THIS FIXTURE and that is the scheme's "
+            "declared tradeoff, now MEASURED rather than argued: "
+            "near-isotropic vectors collide per 8-bit band with "
+            "p ~ (1/2)^8, giving nominate mass ~n^2*bands/2^(bits+1) "
+            "— counted from the actual bucket histogram, 73,486 "
+            "candidate pairs at sf0.1 (n=2k) vs 7,367,019 at sf1 "
+            "(n=20k), a 100x-per-decade verify leg that dominates the "
+            "wall at sf1 (r13 isolation runs: count()-only plan "
+            "8.8-14 s, full noop plan 10.6-16 s standalone, ~25 s "
+            "in-sweep — the r12 'contradiction' between 4.7 s and "
+            "23.45 s was a count()-vs-full-plan measurement-path "
+            "difference on top of this real quadratic term, not host "
+            "contention); `bits` is the LAYOUT knob that buys "
+            "selectivity, with the tradeoff measured at sf1: 8->12->16 "
+            "bits = 7.37M -> 579k -> 49k candidate pairs (~12x per +4 "
+            "bits; a production corpus picks bits from its n — the "
+            "fixture keeps 8 so the audit stays non-trivial at sf0.01); "
+            "q_k111/q_k120 are linear BY DESIGN — O(probes*n) with the "
+            "bounded probe block broadcast — so their per-decade "
+            "ratios should read ~linear, not sub-linear, and that is "
+            "correct, not a regression.\n\n"
         )
         hdr = " | ".join(f"sf{s}" for s in sfs)
         ratios_hdr = " | ".join(f"x({a}->{b})" for a, b in zip(sfs, sfs[1:]))

@@ -58,7 +58,16 @@ RH_SCALE = 1_000_000
 #: lower. At truly selective thresholds (cosine ≥ 0.9 production
 #: near-dups) the collision probability p^8 concentrates sharply, so
 #: the same width serves both regimes; ``bits`` stays a layout
-#: constant a deployment tunes with corpus size.
+#: constant a deployment tunes with corpus size. Measured tradeoff
+#: (r13, sf1 fixtures, n=20k near-isotropic vectors, bands=8):
+#: candidate-pair mass counted from the bucket histogram is
+#: 7,367,019 at 8 bits -> 579,461 at 12 -> 49,294 at 16 (~12x per
+#: +4 bits; theory 16x, sign bits are mildly correlated). The mass
+#: is ~n^2*bands/2^(bits+1), i.e. QUADRATIC in n at fixed bits on
+#: unstructured data — a deployment picks bits from its corpus size
+#: (e.g. 16+ bits at n >= 10^6); the fixture default stays 8 so the
+#: sf0.01 audit keeps non-trivial collision structure. Changing bits
+#: is a state rebuild (BH_MOD contract below).
 RH_BANDS = 8
 RH_BITS = 8
 
