@@ -30,9 +30,9 @@ python tools/spot_oracle.py --n "$NSPOT" 2>/dev/null | grep -v '^26/\|WARN' || r
 echo "=== 4/4 diagnostic LoC ==="
 repo_loc=$(find cdc_publisher_spark -name '*.py' | xargs cat | wc -l)
 extra_loc=$(cat bench.py tools/gen_sf.py __spark_entry__.py | wc -l)
-ref_loc=$(cat /root/reference/src/*.clj 2>/dev/null | wc -l)
+ref_loc=$(find /root/reference/src -name '*.clj' 2>/dev/null | xargs cat 2>/dev/null | wc -l)
 echo "repo non-test source: $((repo_loc + extra_loc)) (package ${repo_loc} + bench/gen_sf/entry ${extra_loc})"
-echo "reference core (src/*.clj): ${ref_loc}"
+echo "reference core (src/**/*.clj): ${ref_loc}"
 
 echo "=== judge_repro: $([ "$rc" -eq 0 ] && echo ALL GREEN || echo FAILURES ABOVE) ==="
 exit "$rc"
