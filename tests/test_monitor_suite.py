@@ -325,3 +325,40 @@ def test_suite_embed_consumer_at_production_threshold(spark, tmp_path):
     assert all(r.cosine >= 0.9 for r in got.collect())
     vec_state = read_embed_vec_state(spark, suite_dir(root, "embed_vecs"))
     assert _rows(vec_state.select("doc_id")) == _rows(docs.select("doc_id"))
+
+
+def test_suite_workers_inherit_local_properties(spark, tmp_path, monkeypatch):
+    """r12 ADVICE #1 pin: with PYSPARK_PIN_THREAD (default), pool
+    worker threads map to fresh JVM threads that would NOT see the
+    streaming query's job group / local properties — the fan-out
+    clones the parent thread's properties into each worker, so
+    query.stop() can cancel in-flight consumer jobs and Spark-UI
+    attribution holds. Asserted directly: a local property set on the
+    calling thread is visible inside every pooled consumer thunk."""
+    from cdc_publisher_spark.streaming import monitor_suite as ms
+
+    seen = {}
+
+    def recorder(name):
+        def f(*a, **k):
+            seen[name] = spark.sparkContext.getLocalProperty("cdc.test.prop")
+        return f
+
+    consumers = (
+        "dedup_micro_batch", "audio_dup_micro_batch", "hll_micro_batch",
+        "cm_micro_batch", "exposure_micro_batch", "vocab_micro_batch",
+        "ctx_micro_batch",
+    )
+    for fn in consumers:
+        monkeypatch.setattr(ms, fn, recorder(fn))
+    batch = spark.createDataFrame(
+        [(1, "alpha beta gamma", "s0"), (2, "delta eps zeta", "s1")],
+        "doc_id long, text string, source string",
+    )
+    spark.sparkContext.setLocalProperty("cdc.test.prop", "r13-suite")
+    try:
+        ms.monitor_suite_batch(batch, 0, str(tmp_path / "state"))
+    finally:
+        spark.sparkContext.setLocalProperty("cdc.test.prop", None)
+    assert set(seen) == set(consumers)
+    assert set(seen.values()) == {"r13-suite"}, seen
