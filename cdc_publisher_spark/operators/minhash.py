@@ -241,9 +241,34 @@ def probe_candidate_pairs(
     )
 
 
-def estimated_jaccard(sig: DataFrame, id_col: str = "doc_id", n_hashes: int = DEFAULT_N_HASHES) -> DataFrame:
+#: `estimated_jaccard` refuses corpora above this many signatures —
+#: the all-pairs crossJoin is O(n²) by definition and exists only as a
+#: small-data diagnostic; at 100k signatures it would already emit
+#: ~5e9 pairs. Production near-dup uses the banded nominate path.
+MAX_ESTIMATED_JACCARD_SIGNATURES = 20_000
+
+
+def estimated_jaccard(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = DEFAULT_N_HASHES,
+    max_signatures: int = MAX_ESTIMATED_JACCARD_SIGNATURES,
+) -> DataFrame:
     """All-pairs signature agreement (estimate of J) — diagnostic for
-    small data; production uses the banded path above."""
+    small data; production uses the banded path above.
+
+    Guarded like ``train_bpe``'s max_vocab: more than
+    ``max_signatures`` input rows raises instead of silently planning
+    an O(n²) crossJoin over a corpus-sized frame.
+    """
+    n = sig.limit(max_signatures + 1).count()
+    if n > max_signatures:
+        raise ValueError(
+            f"estimated_jaccard: >{max_signatures} signatures — the "
+            "all-pairs crossJoin is a small-data diagnostic; use the "
+            "banded candidate_pairs path for corpora, or raise "
+            "max_signatures explicitly if you really mean it"
+        )
     cols = [f"h{i}" for i in range(n_hashes)]
     a, b = sig.alias("a"), sig.alias("b")
     agree = sum((F.col(f"a.{c}") == F.col(f"b.{c}")).cast("int") for c in cols)

@@ -897,7 +897,9 @@ def q_k112_dup_metadata_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame
         SELECT CAST(label AS BIGINT) AS label,
                CAST(COUNT(*) AS BIGINT) AS n_probes,
                CAST(SUM(ok) AS BIGINT) AS n_used,
-               ROUND(SUM(ok) / CAST(SUM(lt) AS DOUBLE), 4) AS id_estimate
+               CASE WHEN SUM(ok) = 0 OR SUM(lt) = 0 THEN NULL
+                    ELSE ROUND(SUM(ok) / CAST(SUM(lt) AS DOUBLE), 4)
+               END AS id_estimate
         FROM terms
         GROUP BY label
         ORDER BY label
@@ -963,8 +965,16 @@ def q_k120_intrinsic_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("bigint").alias("n_probes"),
             F.sum("ok").cast("bigint").alias("n_used"),
-            F.round(
-                F.sum("ok") / F.sum("lt").cast("double"), 4
+            # Degenerate-corpus guard (r13 ADVICE): a label whose
+            # sampled probes are ALL exact-duplicate vectors has
+            # SUM(ok)=0 and SUM(lt)=0 — Spark's 0/0 yields NULL while
+            # DuckDB's IEEE double division yields NaN, so both
+            # engines pin the ratio to NULL explicitly (and likewise
+            # for the SUM(lt)=0 tie-degenerate case, where Spark's
+            # x/0 is NULL but DuckDB's is +inf).
+            F.when(
+                (F.sum("ok") > 0) & (F.sum("lt") != 0),
+                F.round(F.sum("ok") / F.sum("lt").cast("double"), 4),
             ).alias("id_estimate"),
         )
         .select(

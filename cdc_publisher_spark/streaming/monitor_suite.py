@@ -61,6 +61,7 @@ the slicing-independent equality suite in tests/test_monitor_suite.py.
 from __future__ import annotations
 
 import os
+import time
 from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame
@@ -123,6 +124,7 @@ def monitor_suite_batch(
     threshold: float = 0.5,
     embed_threshold: float = 0.42,
     parallelism: int | None = None,
+    timings: dict[str, list[float]] | None = None,
 ) -> None:
     """foreachBatch body: one trigger's rows through all nine consumers.
 
@@ -156,7 +158,7 @@ def monitor_suite_batch(
             F.explode(words(F.col(text_col))).alias("w"),
         )
         thunks = [
-            lambda: dedup_micro_batch(
+            ("dedup_lsh", lambda: dedup_micro_batch(
                 batch,
                 batch_id,
                 suite_dir(state_root, "dedup_corpus"),
@@ -165,38 +167,38 @@ def monitor_suite_batch(
                 id_col=id_col,
                 text_col=text_col,
                 threshold=threshold,
-            ),
-            lambda: audio_dup_micro_batch(
+            )),
+            ("audio_dup", lambda: audio_dup_micro_batch(
                 synth_media_from_text(batch, id_col=id_col, text_col=text_col),
                 batch_id,
                 suite_dir(state_root, "audio_fpk"),
                 suite_dir(state_root, "audio_pairs"),
-            ),
-            lambda: hll_micro_batch(
+            )),
+            ("hll", lambda: hll_micro_batch(
                 word_rows, batch_id, suite_dir(state_root, "hll"),
                 group_col="source", value_col="w",
-            ),
-            lambda: cm_micro_batch(
+            )),
+            ("cm", lambda: cm_micro_batch(
                 word_rows, batch_id, suite_dir(state_root, "cm"),
                 value_col="w", group_cols=["source"],
-            ),
-            lambda: exposure_micro_batch(
+            )),
+            ("exposure", lambda: exposure_micro_batch(
                 batch, batch_id, suite_dir(state_root, "exposure"),
                 id_col=id_col, text_col=text_col, source_col=source_col,
-            ),
-            lambda: vocab_micro_batch(
+            )),
+            ("vocab", lambda: vocab_micro_batch(
                 batch, batch_id, suite_dir(state_root, "vocab"),
                 text_col=text_col, source_col=source_col,
-            ),
-            lambda: ctx_micro_batch(
+            )),
+            ("ctx", lambda: ctx_micro_batch(
                 batch, batch_id, suite_dir(state_root, "ctx"),
                 text_col=text_col,
-            ),
+            )),
         ]
         if vec_col in batch.columns:
             thunks.insert(  # heavy chain — submit with the other two
                 1,
-                lambda: embed_dup_micro_batch(
+                ("embed_dup", lambda: embed_dup_micro_batch(
                     batch.select(F.col(id_col), F.col(vec_col)),
                     batch_id,
                     suite_dir(state_root, "embed_idx"),
@@ -205,18 +207,36 @@ def monitor_suite_batch(
                     id_col=id_col,
                     vec_col=vec_col,
                     threshold=embed_threshold,
-                ),
+                )),
             )
             if label_col in batch.columns:
                 thunks.append(
-                    lambda: drift_micro_batch(
+                    ("drift", lambda: drift_micro_batch(
                         batch, batch_id, suite_dir(state_root, "drift"),
                         label_col=label_col, vec_col=vec_col,
-                    )
+                    ))
                 )
+        if timings is not None:
+            # Per-consumer wall clock INSIDE the trigger (r13 VERDICT
+            # ask #1) — the clock starts when a pool worker picks the
+            # thunk up, so queue wait is excluded and the figure is
+            # each chain's own wall under whatever executor contention
+            # the fan-out creates. dict-of-list appends are GIL-atomic
+            # and consumer names are distinct within a trigger.
+            def timed(name, t):
+                def f():
+                    t0 = time.perf_counter()
+                    out = t()
+                    timings.setdefault(name, []).append(
+                        time.perf_counter() - t0
+                    )
+                    return out
+                return f
+
+            thunks = [(name, timed(name, t)) for name, t in thunks]
         workers = parallelism if parallelism is not None else SUITE_PARALLELISM
         if workers <= 1:
-            for t in thunks:
+            for _name, t in thunks:
                 t()
         else:
             # With PYSPARK_PIN_THREAD (default since Spark 3.2) each
@@ -234,10 +254,19 @@ def monitor_suite_batch(
             except Exception:  # non-JVM test doubles
                 parent_props = None
 
-            def run_inheriting(t):
+            def run_inheriting(named):
+                _name, t = named
+                # Each worker gets its OWN clone: Spark mutates
+                # thread-local properties during actions (e.g.
+                # SQLExecution.withNewExecutionId sets/restores
+                # spark.sql.execution.id around every write), so a
+                # single Properties object shared across pool threads
+                # races — a sibling's restore can null the key
+                # mid-write and fail the trigger. Clone-per-thread is
+                # Spark's own InheritableThread recipe.
                 if parent_props is not None:
                     try:
-                        sc._jsc.sc().setLocalProperties(parent_props)
+                        sc._jsc.sc().setLocalProperties(parent_props.clone())
                     except Exception:
                         pass
                 return t()

@@ -25,7 +25,13 @@ echo "=== 2/4 registry import-diff vs ${PREV} ==="
 python tools/registry_diff.py "$PREV" || rc=1
 
 echo "=== 3/4 spot oracle over ${NSPOT} never-driver-sampled queries ==="
-python tools/spot_oracle.py --n "$NSPOT" 2>/dev/null | grep -v '^26/\|WARN' || rc=1
+# Capture the tool's exit status explicitly: deriving rc from a
+# `... | grep -v ... || rc=1` pipeline under pipefail conflates the
+# tool's status with grep's (grep exits 1 when every line is
+# filtered, mis-reporting an all-green run as a failure), and
+# 2>/dev/null hid real tracebacks from the evidence log.
+spot_out=$(python tools/spot_oracle.py --n "$NSPOT") || rc=1
+printf '%s\n' "$spot_out" | grep -v '^26/\|WARN' || true
 
 echo "=== 4/4 diagnostic LoC ==="
 repo_loc=$(find cdc_publisher_spark -name '*.py' | xargs cat | wc -l)
