@@ -67,7 +67,13 @@ RH_SCALE = 1_000_000
 #: unstructured data — a deployment picks bits from its corpus size
 #: (e.g. 16+ bits at n >= 10^6); the fixture default stays 8 so the
 #: sf0.01 audit keeps non-trivial collision structure. Changing bits
-#: is a state rebuild (BH_MOD contract below).
+#: is a state rebuild (BH_MOD contract below) and is EXECUTABLE:
+#: ``streaming.embed_monitor.migrate_embed_layout`` re-signs the
+#: stored vectors at the new scheme offline, replaces the
+#: scheme-versioned layout marker (``rows-ebm-<bands>x<bits>``), and a
+#: stale-scheme consumer then fails loudly instead of silently
+#: matching nothing (stream==batch across a mid-stream 8→12 migration
+#: is pinned by tests/test_streaming_embed.py).
 RH_BANDS = 8
 RH_BITS = 8
 
@@ -165,11 +171,11 @@ def rh_band_rows(
                 }
             )
 
-    return (
-        df.select(id_col, vec_col)
-        .repartition(F.col(id_col))
-        .mapInPandas(batches, schema=f"{id_col} long, band int, bh long")
-    )
+    from cdc_publisher_spark.streaming.state import aligned_repartition
+
+    return aligned_repartition(
+        df.select(id_col, vec_col), id_col
+    ).mapInPandas(batches, schema=f"{id_col} long, band int, bh long")
 
 
 def embedding_neardup_banded(

@@ -447,6 +447,37 @@ AUDIO_FP_FRAMES = 8
 AUDIO_FP_BANDS = 33
 
 
+#: Per-process memo for the word→tone waveform (r14: the md5 + sine
+#: evaluation per (tile, word) was ~a third of the audio chain's
+#: synth time, and corpus vocabulary is Zipfian so the hit rate is
+#: high). Values are the EXACT arrays the uncached formula produces —
+#: a pure memo, pinned by tests/test_audio_vectorized.py. Bounded so
+#: an adversarial vocabulary can't grow executor memory unboundedly
+#: (~100k × samples_per_word float64 ≈ 50 MB ceiling per worker).
+_TONE_CACHE: dict = {}
+_TONE_CACHE_MAX = 100_000
+
+
+def _synth_tone(key: str, rate: int, samples_per_word: int):
+    """amp·sin tone for one tile-salted word — memoized verbatim."""
+    import hashlib
+
+    import numpy as np
+
+    ck = (key, rate, samples_per_word)
+    tone = _TONE_CACHE.get(ck)
+    if tone is None:
+        d = hashlib.md5(key.encode("utf-8")).digest()
+        freq = 200.0 + (int.from_bytes(d[:4], "big") % 1600)
+        amp = 0.3 + 0.7 * (d[4] / 255.0)
+        t = np.arange(samples_per_word, dtype=np.float64)
+        tone = amp * np.sin(2.0 * np.pi * freq * t / rate)
+        tone.setflags(write=False)  # shared across callers — freeze
+        if len(_TONE_CACHE) < _TONE_CACHE_MAX:
+            _TONE_CACHE[ck] = tone
+    return tone
+
+
 def synth_wav_from_text(
     text: str,
     rate: int = 4000,
@@ -470,7 +501,6 @@ def synth_wav_from_text(
     the shipped fixtures (single-space-joined tokens) the two agree,
     but a future fixture with doubled spaces/tabs/newlines would
     silently hash-diverge under ``split()`` (ADVICE r11)."""
-    import hashlib
     import struct
 
     import numpy as np
@@ -481,14 +511,10 @@ def synth_wav_from_text(
     # the time-difference bits all zero, turning (frame>=1, subfp=0)
     # into a hot candidate bucket across all short docs
     n_tones = max(len(toks), -(-min_samples // samples_per_word))
-    tones = []
-    t = np.arange(samples_per_word, dtype=np.float64)
-    for j in range(n_tones):
-        w, tile = toks[j % len(toks)], j // len(toks)
-        d = hashlib.md5(f"{tile}#{w}".encode("utf-8")).digest()
-        freq = 200.0 + (int.from_bytes(d[:4], "big") % 1600)
-        amp = 0.3 + 0.7 * (d[4] / 255.0)
-        tones.append(amp * np.sin(2.0 * np.pi * freq * t / rate))
+    tones = [
+        _synth_tone(f"{j // len(toks)}#{toks[j % len(toks)]}", rate, samples_per_word)
+        for j in range(n_tones)
+    ]
     sig = np.concatenate(tones)[: max(min_samples, len(toks) * samples_per_word)]
     pcm = (np.clip(sig, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
     fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
@@ -521,26 +547,31 @@ def audio_fp_frames(
     if len(mono) < n_frames:
         mono = np.pad(mono, (0, n_frames - len(mono)))
     L = len(mono) // n_frames
-    prev = np.zeros(n_bands - 1)
-    out: list[int] = []
-    for i in range(n_frames):
-        spec = np.abs(np.fft.rfft(mono[i * L : (i + 1) * L])) ** 2
-        # log-spaced band edges over the positive-frequency bins; with
-        # short frames geomspace repeats integer edges — empty bands
-        # sum to 0, which is fine (the bits compare differences)
-        edges = np.geomspace(1, max(len(spec), 2), n_bands + 1).astype(int)
-        e = np.array(
-            [spec[a:b].sum() for a, b in zip(edges[:-1], edges[1:])]
-        )
-        d = e[:-1] - e[1:]
-        bits = (d - prev) > 0
-        prev = d
-        word = 0
-        for j, b in enumerate(bits[:32]):
-            if b:
-                word |= 1 << j
-        out.append(word)
-    return out
+    # All frames batched through ONE rfft call and per-band COLUMN
+    # sums instead of a per-frame Python loop (r14: the monitor-suite
+    # per-consumer breakdown named this chain the trigger wall; the
+    # frame loop's ~n_frames·n_bands interpreter-level slice sums were
+    # most of the Python time). BIT-EXACT with the original loop —
+    # pinned by tests/test_audio_vectorized.py against the loop twin:
+    # pocketfft transforms rows independently, axis-1 pairwise
+    # summation matches the 1-D case, and the d/prev recurrence is the
+    # same values shifted.
+    spec = np.abs(np.fft.rfft(mono[: n_frames * L].reshape(n_frames, L), axis=1)) ** 2
+    # log-spaced band edges over the positive-frequency bins; with
+    # short frames geomspace repeats integer edges — empty bands
+    # sum to 0, which is fine (the bits compare differences)
+    edges = np.geomspace(1, max(spec.shape[1], 2), n_bands + 1).astype(int)
+    e = np.stack(
+        [spec[:, a:b].sum(axis=1) for a, b in zip(edges[:-1], edges[1:])],
+        axis=1,
+    )  # n_frames × n_bands
+    d = e[:, :-1] - e[:, 1:]
+    dprev = np.vstack([np.zeros((1, n_bands - 1)), d[:-1]])
+    bits = (d - dprev) > 0
+    w = bits[:, :32].astype(np.int64) @ (
+        np.int64(1) << np.arange(min(32, n_bands - 1), dtype=np.int64)
+    )
+    return [int(x) for x in w]
 
 
 AUDIO_FP_FIELDS = "media_id long, frame int, subfp long"
@@ -646,11 +677,11 @@ def synth_media_from_text(
                 }
             )
 
-    return (
-        df.select(id_col, text_col)
-        .repartition(F.col(id_col))
-        .mapInPandas(batches, schema="media_id long, payload binary")
-    )
+    from cdc_publisher_spark.streaming.state import aligned_repartition
+
+    return aligned_repartition(
+        df.select(id_col, text_col), id_col
+    ).mapInPandas(batches, schema="media_id long, payload binary")
 
 
 DECODED_TOLERANT_FIELDS = (

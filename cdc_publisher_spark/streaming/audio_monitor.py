@@ -72,6 +72,7 @@ from pyspark.sql import functions as F
 
 from cdc_publisher_spark.operators.multimodal import audio_fingerprint
 from cdc_publisher_spark.streaming.state import (
+    aligned_repartition,
     compact_state,
     in_stream_watermark,
     inner_partition_prefixes,
@@ -207,7 +208,7 @@ def audio_dup_micro_batch(
         ).distinct().write.mode("overwrite").parquet(
             os.path.join(pairs_dir, f"batch={batch_id}")
         )
-        keyed.repartition(F.col("fm")).write.partitionBy("fm").mode(
+        aligned_repartition(keyed, "fm").write.partitionBy("fm").mode(
             "overwrite"
         ).parquet(os.path.join(state_dir, f"batch={batch_id}"))
         write_layout_marker(spark, state_dir, marker)
@@ -262,7 +263,7 @@ def migrate_audio_layout(
     out = df.withColumn("fm", _fm(F.col("fpk"), mod))
     tmp = os.path.join(state_dir, "_compact", "_migrating")
     target = os.path.join(state_dir, "_compact", f"upto={m}")
-    out.repartition(F.col("fm")).write.partitionBy("fm").mode(
+    aligned_repartition(out, "fm").write.partitionBy("fm").mode(
         "overwrite"
     ).parquet(tmp)
     from cdc_publisher_spark.streaming.state import hadoop_fs

@@ -102,6 +102,7 @@ from cdc_publisher_spark.operators.minhash import (
     verify_candidates,
 )
 from cdc_publisher_spark.streaming.state import (
+    aligned_repartition,
     batch_dirs,
     compact_state,
     compacted_upto,
@@ -395,8 +396,7 @@ def migrate_index_layout(
     tmp = os.path.join(index_dir, "_compact", "_migrating")
     target = os.path.join(index_dir, "_compact", f"upto={m}")
     (
-        df.select(*cols)
-        .repartition(F.col("bhm"))
+        aligned_repartition(df.select(*cols), "bhm")
         .write.partitionBy("bhm")
         .mode("overwrite")
         .parquet(tmp)
@@ -615,7 +615,9 @@ def _dedup_micro_batch_body(
         # local[32]; at 100 TB it is the classic small-files failure).
         # The hash-shuffle on dh costs one exchange of the batch — rows
         # of one dh land in one task, so file count == touched dh dirs.
-        batch.withColumn("dh", _dh(id_col)).repartition(F.col("dh")).write.partitionBy(
+        aligned_repartition(
+            batch.withColumn("dh", _dh(id_col)), "dh"
+        ).write.partitionBy(
             "dh"
         ).mode("overwrite").parquet(os.path.join(corpus_dir, f"batch={batch_id}"))
         # bloom delta rides beside the corpus write: any batch whose
@@ -636,7 +638,7 @@ def _dedup_micro_batch_body(
         # A dir that already holds LEGACY (band=, bhm=) state keeps
         # that structure (idx_cols, resolved above) until an explicit
         # migrate_index_layout — never an in-place layout mix.
-        new_buckets.repartition(*[F.col(c) for c in idx_cols]).write.partitionBy(
+        aligned_repartition(new_buckets, *idx_cols).write.partitionBy(
             *idx_cols
         ).mode("overwrite").parquet(os.path.join(index_dir, f"batch={batch_id}"))
         # declare each dir's merge algebra for the generic `maintain`

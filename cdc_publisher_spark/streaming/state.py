@@ -66,6 +66,27 @@ MANIFEST_PREFIX = "_compacted_upto="
 LAYOUT_PREFIX = "_layout."
 
 
+def aligned_repartition(df: DataFrame, *cols) -> DataFrame:
+    """Hash-repartition on ``cols`` with the partition COUNT pinned to
+    ``spark.sql.shuffle.partitions`` — the shuffle every
+    partition-aligned state write must ride.
+
+    An unpinned ``df.repartition(col)`` is an AQE-replannable shuffle:
+    measured in r14 (the per-consumer monitor breakdown), AQE expanded
+    the audio monitor's 1024-dir fan write into ~one task per distinct
+    value, 14-18 s per 8k-row trigger vs 2.5-3.3 s with the count
+    pinned at 32 (interleaved ×3). Pinning keeps the
+    one-file-per-partition-dir invariant — each value still hashes to
+    exactly one task — at a bounded task count, and the same rule
+    holds on a real cluster: the aligned write wants ~cores tasks,
+    never ~distinct-values tasks."""
+    try:
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:  # 'auto' or unset — fall back to cluster width
+        n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *[F.col(c) if isinstance(c, str) else c for c in cols])
+
+
 def hadoop_fs(spark: SparkSession, path: str):
     """(FileSystem, Path) for ``path`` via the JVM Hadoop API."""
     jvm = spark._jvm
@@ -348,8 +369,9 @@ def compact_state(
     if partition_cols:
         # partition-aligned write (r11, same rationale as the dedup
         # per-batch writes): one file per partition value in the
-        # compacted segment, not one per (task, value) pair
-        df = df.repartition(*[F.col(c) for c in partition_cols])
+        # compacted segment, not one per (task, value) pair —
+        # count-pinned (r14, aligned_repartition docstring)
+        df = aligned_repartition(df, *partition_cols)
     writer = df.write.mode("overwrite")
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
@@ -414,6 +436,7 @@ def vacuum_state(
 __all__ = [
     "LAYOUT_PREFIX",
     "MANIFEST_PREFIX",
+    "aligned_repartition",
     "batch_dirs",
     "checkpoint_committed_upto",
     "compact_state",
