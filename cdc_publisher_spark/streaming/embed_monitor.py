@@ -60,13 +60,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_publisher_spark.functions.vectors import cosine_with_norms, l2_norm
-from cdc_publisher_spark.operators.embed_lsh import rh_band_rows
+from cdc_publisher_spark.operators.embed_lsh import RH_BANDS, RH_BITS, rh_band_rows
 from cdc_publisher_spark.streaming.state import (
+    aligned_repartition,
+    batch_dirs,
     compact_state,
+    compacted_upto,
+    hadoop_fs,
     in_stream_watermark,
+    read_layout_marker,
     read_state,
+    replace_layout_marker,
     vacuum_state,
     write_layout_marker,
+    write_manifest,
 )
 
 #: Hive fans (layout constants — see module docstring). The scheme's
@@ -88,6 +95,19 @@ def _ebm(band, bh) -> F.Column:
     return F.pmod(F.xxhash64(band, bh), F.lit(EB_MOD)).cast("int")
 
 
+def scheme_layout(bands: int, bits: int) -> str:
+    """The signature index's ``_layout.`` marker name for a banding
+    scheme: plain ``rows-ebm`` for the code default (back-compat with
+    every dir written before schemes were versioned), else
+    ``rows-ebm-<bands>x<bits>`` — the rows-fm-1024 precedent: the
+    layout constant rides the marker NAME, so probing a 12-bit index
+    with 8-bit signatures fails loudly at the next trigger instead of
+    silently matching nothing."""
+    if (bands, bits) == (RH_BANDS, RH_BITS):
+        return "rows-ebm"
+    return f"rows-ebm-{bands}x{bits}"
+
+
 def _vh(col) -> F.Column:
     return F.pmod(F.xxhash64(col), F.lit(VEC_MOD)).cast("int")
 
@@ -101,21 +121,38 @@ def embed_dup_micro_batch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = EMBED_COS_THRESHOLD,
+    bands: int = RH_BANDS,
+    bits: int = RH_BITS,
 ) -> None:
     """foreachBatch body: sign the batch once, probe the persisted
     signature index reading ONLY the touched ``ebm=`` cells,
     exact-verify cosine reading ONLY the candidate ids' ``vh=`` vector
     partitions, emit normalized (i, j, cosine) detections, and
-    overwrite this batch's own state deltas."""
+    overwrite this batch's own state deltas.
+
+    ``bands``/``bits`` must match the persisted index's scheme (the
+    ``scheme_layout`` marker enforces it): change the banding via
+    ``migrate_embed_layout``, never by just passing different values —
+    signatures under two schemes never collide, so a mismatch would
+    silently detect nothing."""
     if not batch_df.take(1):
         return  # file-less batch dirs poison later schema inference
     spark = batch_df.sparkSession
+    layout = scheme_layout(bands, bits)
+    marker = read_layout_marker(spark, idx_dir)  # raises on conflict
+    if marker is not None and marker != layout:
+        raise ValueError(
+            f"{idx_dir} holds a {marker!r} signature index but this "
+            f"consumer signs at {layout!r} — run migrate_embed_layout"
+            "(spark, idx_dir, vecs_dir, bands=..., bits=...) with the "
+            "stream stopped, then restart with the new scheme"
+        )
     base = (
         batch_df.select(id_col, vec_col).dropDuplicates([id_col]).persist()
     )
     try:
         sig = (
-            rh_band_rows(base, id_col, vec_col)
+            rh_band_rows(base, id_col, vec_col, bands=bands, bits=bits)
             .withColumn("ebm", _ebm(F.col("band"), F.col("bh")))
             .persist()
         )
@@ -212,21 +249,22 @@ def embed_dup_micro_batch(
                 )
             finally:
                 cand.unpersist()
-            # partition-ALIGNED deltas (the r11 small-files rule)
-            base.withColumn("vh", _vh(F.col(id_col))).repartition(
-                F.col("vh")
+            # partition-ALIGNED deltas (the r11 small-files rule),
+            # count-pinned (r14, state.aligned_repartition)
+            aligned_repartition(
+                base.withColumn("vh", _vh(F.col(id_col))), "vh"
             ).write.partitionBy("vh").mode("overwrite").parquet(
                 os.path.join(vecs_dir, f"batch={batch_id}")
             )
-            sig.repartition(F.col("ebm")).write.partitionBy("ebm").mode(
+            aligned_repartition(sig, "ebm").write.partitionBy("ebm").mode(
                 "overwrite"
             ).parquet(os.path.join(idx_dir, f"batch={batch_id}"))
-            for d, layout in (
+            for d, lay in (
                 (pairs_dir, "rows"),
                 (vecs_dir, "rows-vh"),
-                (idx_dir, "rows-ebm"),
+                (idx_dir, layout),
             ):
-                write_layout_marker(spark, d, layout)
+                write_layout_marker(spark, d, lay)
         finally:
             sig.unpersist()
     finally:
@@ -245,6 +283,95 @@ def read_embed_index(spark: SparkSession, idx_dir: str) -> DataFrame | None:
 
 def read_embed_vec_state(spark: SparkSession, vecs_dir: str) -> DataFrame | None:
     return read_state(spark, vecs_dir)
+
+
+def migrate_embed_layout(
+    spark: SparkSession,
+    idx_dir: str,
+    vecs_dir: str,
+    bands: int = RH_BANDS,
+    bits: int = RH_BITS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    vacuum: bool = True,
+) -> int:
+    """Offline rebuild of the ebm-partitioned signature index at a new
+    ``(bands, bits)`` banding, from the STORED vectors (r13 VERDICT
+    ask #2 — the ``migrate_index_layout`` / ``migrate_audio_layout``
+    contract applied to the embed scheme).
+
+    The vector store is the source of truth and signatures are derived
+    state, so the rebuild is: read every accumulated vector
+    (``vecs_dir``, compact segment + live batches), re-sign at the new
+    scheme, restore each row's original ``batch`` id by joining on the
+    vector id (faithful replay-exclusion semantics), fold into
+    ``_compact/upto=max_batch`` with the same ``ebm=`` inner
+    partitioning the probes prune on, flip the manifest, and REPLACE
+    the layout marker with ``scheme_layout(bands, bits)`` — the marker
+    is what makes a stale-scheme consumer fail loudly at its next
+    trigger. Returns the new watermark batch id, or -1 when there is
+    no vector state to migrate (marker still replaced if the index dir
+    exists, so a half-initialized dir can't stay mixed).
+
+    Run with the stream STOPPED CLEANLY (the migrate_index_layout
+    contract): the fold covers every on-disk batch, and the
+    delete→rename segment swap is the one non-crash-safe step.
+    Idempotent — re-running re-derives the same segment. Pair history
+    (``pairs_dir``) is untouched: detections already emitted are
+    scheme-independent facts. Superseded old-width batch dirs sit at
+    or below the new watermark so readers ignore them even before the
+    ``vacuum`` reclaims the disk. A deployment raising n past ~10⁶
+    uses this to reach the measured 16-bit layout
+    (operators/embed_lsh.py:61-70) without hand surgery."""
+    vecs = read_state(spark, vecs_dir)
+    if vecs is None:
+        fs, jpath = hadoop_fs(spark, idx_dir)
+        if fs.exists(jpath):
+            replace_layout_marker(spark, idx_dir, scheme_layout(bands, bits))
+        return -1
+    vecs = vecs.select(id_col, vec_col, "batch").persist()
+    try:
+        m_vec = vecs.agg(F.max("batch")).first()[0]
+        marks = [k for k, _ in batch_dirs(spark, idx_dir)]
+        prev = compacted_upto(spark, idx_dir)
+        if prev is not None:
+            marks.append(prev)
+        m = max([m_vec] + marks)
+        sig = (
+            rh_band_rows(
+                vecs.select(id_col, vec_col).dropDuplicates([id_col]),
+                id_col,
+                vec_col,
+                bands=bands,
+                bits=bits,
+            )
+            # one signature row per (id, band) PER STORED BATCH — the
+            # same multiplicity the per-trigger writes produced (a
+            # redelivered id sits in two batch dirs; keep both rows)
+            .join(vecs.select(id_col, "batch"), id_col)
+            .withColumn("ebm", _ebm(F.col("band"), F.col("bh")))
+        )
+        tmp = os.path.join(idx_dir, "_compact", "_migrating")
+        target = os.path.join(idx_dir, "_compact", f"upto={m}")
+        (
+            aligned_repartition(sig, "ebm")
+            .write.partitionBy("ebm")
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        fs, _ = hadoop_fs(spark, idx_dir)
+        jvm = spark._jvm
+        jtarget = jvm.org.apache.hadoop.fs.Path(target)
+        if fs.exists(jtarget):
+            fs.delete(jtarget, True)
+        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), jtarget)
+        write_manifest(spark, idx_dir, m)
+        replace_layout_marker(spark, idx_dir, scheme_layout(bands, bits))
+        if vacuum:
+            vacuum_state(spark, idx_dir)
+        return m
+    finally:
+        vecs.unpersist()
 
 
 def compact_embed_state(
@@ -275,14 +402,20 @@ def stream_embedding_dups(
     threshold: float = EMBED_COS_THRESHOLD,
     compact_every: int | None = None,
     vacuum_grace: int | None = None,
+    bands: int = RH_BANDS,
+    bits: int = RH_BITS,
 ):
     """Start the monitor: vectors in, near-dup detections out. Offsets
     commit after all three writes (commit-on-success); in-stream
-    compaction folds COMMITTED batches only (state.in_stream_watermark)."""
+    compaction folds COMMITTED batches only (state.in_stream_watermark).
+    ``bands``/``bits`` select the signature scheme — must match the
+    persisted index (``migrate_embed_layout`` moves a dir between
+    schemes; the layout marker rejects a mismatch loudly)."""
 
     def body(df: DataFrame, bid: int) -> None:
         embed_dup_micro_batch(
-            df, bid, idx_dir, vecs_dir, pairs_dir, id_col, vec_col, threshold
+            df, bid, idx_dir, vecs_dir, pairs_dir, id_col, vec_col, threshold,
+            bands=bands, bits=bits,
         )
         upto = in_stream_watermark(df.sparkSession, vecs_dir, bid, compact_every)
         if upto is not None:
@@ -307,6 +440,7 @@ __all__ = [
     "VEC_MOD",
     "compact_embed_state",
     "embed_dup_micro_batch",
+    "migrate_embed_layout",
     "read_embed_index",
     "read_embed_pairs",
     "read_embed_vec_state",

@@ -84,6 +84,7 @@ target watermark, live/superseded dir counts — and writes nothing.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -303,7 +304,16 @@ def classify_state_dir(
     authoritative path. A declared layout whose required columns are
     absent from the actual schema is treated as unrecognized (a marker
     pasted onto the wrong dir must not trigger the wrong merge). With
-    no marker, full-signature schema fallback applies."""
+    no marker, full-signature schema fallback applies.
+
+    Scheme-versioned embed-index markers (``rows-ebm-<bands>x<bits>``,
+    written by ``embed_monitor.migrate_embed_layout`` — the rows-fm-1024
+    precedent with an open-ended scheme instead of a fixed modulus)
+    all compact identically to ``rows-ebm``: a verbatim rewrite
+    keeping the ``ebm=`` dirs, whose values were assigned under the
+    dir's own scheme."""
+    if layout is not None and re.fullmatch(r"rows-ebm-\d+x\d+", layout):
+        layout = "rows-ebm"
     spec = LAYOUTS.get(layout) if layout is not None else None
     if layout is not None and (spec is None or not spec.required <= set(columns)):
         return None

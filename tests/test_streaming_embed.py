@@ -118,6 +118,60 @@ def test_embed_dup_replay_and_layouts(spark, tmp_path):
         assert all(v == 1 for v in per_dir.values()), per_dir
 
 
+def test_embed_bits_migration_mid_stream(spark, tmp_path):
+    """r13 VERDICT ask #2: ``migrate_embed_layout`` makes the bits
+    change EXECUTABLE — plant near-dups, ingest half the corpus at the
+    default 8-bit scheme, migrate the index 8→12 bits offline, ingest
+    the rest at 12 bits: the detection set is unchanged (== the batch
+    twin at either scheme), the marker is replaced (scheme-versioned),
+    and a stale-scheme consumer fails loudly."""
+    import pytest
+
+    from cdc_publisher_spark.streaming.embed_monitor import (
+        migrate_embed_layout,
+        scheme_layout,
+    )
+    from cdc_publisher_spark.streaming.state import read_layout_marker
+
+    vecs = _vectors(spark)
+    # the two schemes must agree on the fixture's nominate set, or the
+    # "unchanged" claim would be vacuous — assert it first
+    expected8 = _expected_pairs(vecs)
+    expected12 = sorted(
+        (r.i, r.j, r.cosine)
+        for r in embedding_neardup_banded(vecs, THRESHOLD, bits=12).collect()
+    )
+    assert expected8 == expected12 and expected8  # non-vacuous
+
+    dirs = _dirs(tmp_path)
+    first = vecs.filter(F.col("vec_id") % 2 == 0)
+    second = vecs.filter(F.col("vec_id") % 2 == 1)
+    embed_dup_micro_batch(first, 0, *dirs, threshold=THRESHOLD)
+
+    m = migrate_embed_layout(spark, dirs[0], dirs[1], bands=8, bits=12)
+    assert m == 0  # the watermark is the last ingested batch
+    assert read_layout_marker(spark, dirs[0]) == scheme_layout(8, 12) == "rows-ebm-8x12"
+    idx = read_embed_index(spark, dirs[0])
+    # rebuilt signatures: every stored vector re-signed, original batch
+    # ids preserved, and genuinely 12-bit (some bucket value needs >8 bits)
+    assert idx.count() == first.count() * 8
+    assert idx.agg(F.max("bh")).first()[0] >= 256
+    assert set(r[0] for r in idx.select("batch").distinct().collect()) == {0}
+
+    # a stale-scheme consumer (code default 8 bits) fails loudly
+    with pytest.raises(ValueError, match="migrate_embed_layout"):
+        embed_dup_micro_batch(second, 1, *dirs, threshold=THRESHOLD)
+
+    embed_dup_micro_batch(second, 1, *dirs, threshold=THRESHOLD, bands=8, bits=12)
+    assert _got_pairs(spark, dirs[2]) == expected8  # detections unchanged
+
+    # idempotent: re-running the migration at the new watermark
+    # re-derives the same segment and the next trigger still probes
+    m2 = migrate_embed_layout(spark, dirs[0], dirs[1], bands=8, bits=12)
+    assert m2 == 1
+    assert _got_pairs(spark, dirs[2]) == expected8
+
+
 def test_embed_empty_batch_is_a_no_op(spark, tmp_path):
     vecs = _vectors(spark)
     dirs = _dirs(tmp_path)
