@@ -985,3 +985,110 @@ def q_k120_intrinsic_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# q_k121 — data-constrained epoch allocation (the REPEAT axis k78 lacks)
+# --------------------------------------------------------------------------
+
+#: Total training budget as a multiple of the corpus's unique token
+#: mass (3x: the regime where repetition decisions start to matter —
+#: Muennighoff et al. 2023, "Scaling Data-Constrained Language
+#: Models", find ~4 epochs of repeated data nearly as good as fresh).
+EPOCH_BUDGET_MULT = 3
+#: Per-source epoch ceiling: tokens served from one source never
+#: exceed EPOCH_CAP x its unique mass (beyond ~4 epochs repeated data
+#: stops paying — same paper).
+EPOCH_CAP = 4
+
+K121_ORACLE = f"""
+    WITH avail AS (
+        SELECT source,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS unique_tok
+        FROM documents GROUP BY source
+    ),
+    sized AS (
+        SELECT source, unique_tok,
+               ROW_NUMBER() OVER (ORDER BY source) AS nr,
+               COUNT(*) OVER () AS n,
+               SUM(unique_tok) OVER () * {EPOCH_BUDGET_MULT} AS b
+        FROM avail
+    ),
+    alloc AS (
+        SELECT source, unique_tok,
+               b // n + CASE WHEN nr <= b % n THEN 1 ELSE 0 END AS req_tok,
+               unique_tok * {EPOCH_CAP} AS cap_tok
+        FROM sized
+    )
+    SELECT source,
+           unique_tok,
+           CAST(req_tok AS BIGINT) AS req_tok,
+           CAST(LEAST(req_tok, cap_tok) AS BIGINT) AS served_tok,
+           req_tok > cap_tok AS epoch_capped,
+           ROUND(LEAST(req_tok, cap_tok) * 1.0 / unique_tok, 4) AS epochs,
+           CAST(GREATEST(LEAST(req_tok, cap_tok) - unique_tok, 0) AS BIGINT)
+               AS repeated_tok
+    FROM alloc
+    ORDER BY source
+"""
+
+
+@register(
+    "q_k121_epoch_allocation",
+    family="K",
+    doc="K-121 data-constrained epoch allocation (Muennighoff 2023): "
+    "q_k78 water-fills a sub-corpus budget over UNIQUE tokens; this is "
+    "the other regime — the budget EXCEEDS the corpus "
+    f"({EPOCH_BUDGET_MULT}x its unique mass), so sources must repeat. "
+    "Uniform per-source share (base = B div n, +1 token for the first "
+    f"B mod n sources in name order), capped at {EPOCH_CAP} epochs of "
+    "each source's unique mass (the repeated-data value decay the "
+    "paper measures); per source: unique/requested/served token mass, "
+    "whether the epoch cap bound, the implied epoch count (one 4dp "
+    "division of exact integers), and the repeated-token mass the "
+    "budget forces. Pure integer algebra end-to-end otherwise — "
+    "bit-identical cross-engine. Plan: ONE corpus pass (per-source "
+    "token sum); every window runs on the source-dimension aggregate.",
+    oracle=K121_ORACLE,
+)
+def q_k121_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_publisher_spark.functions.text import words
+
+    docs = load(spark, sf_dir, "documents")
+    avail = (
+        docs.select("source", F.size(words(F.col("text"))).alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").cast("bigint").alias("unique_tok"))
+    )
+    # dimension-sized frames from here on (the k78 convention):
+    # unpartitioned windows run over the per-source aggregate only
+    w_name = W.orderBy("source")
+    w_all = W.partitionBy()
+    sized = avail.select(
+        "source",
+        "unique_tok",
+        F.row_number().over(w_name).alias("nr"),
+        F.count("*").over(w_all).alias("n"),
+        (F.sum("unique_tok").over(w_all) * EPOCH_BUDGET_MULT).alias("b"),
+    )
+    alloc = sized.select(
+        "source",
+        "unique_tok",
+        (
+            F.expr("b div n")
+            + F.when(F.col("nr") <= F.expr("b % n"), 1).otherwise(0)
+        ).alias("req_tok"),
+        (F.col("unique_tok") * EPOCH_CAP).alias("cap_tok"),
+    )
+    served = F.least(F.col("req_tok"), F.col("cap_tok"))
+    return alloc.select(
+        "source",
+        "unique_tok",
+        F.col("req_tok").cast("bigint").alias("req_tok"),
+        served.cast("bigint").alias("served_tok"),
+        (F.col("req_tok") > F.col("cap_tok")).alias("epoch_capped"),
+        F.round(served * F.lit(1.0) / F.col("unique_tok"), 4).alias("epochs"),
+        F.greatest(served - F.col("unique_tok"), F.lit(0))
+        .cast("bigint")
+        .alias("repeated_tok"),
+    ).orderBy("source")

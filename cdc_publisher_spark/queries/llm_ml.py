@@ -792,3 +792,147 @@ def q_k59_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(True),
         ).alias("tokens_within_bounds"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_k122 — int8 quantization retrieval-fidelity audit
+# --------------------------------------------------------------------------
+
+#: cos(v, dequant(quant(v))) below this 8dp threshold counts a vector
+#: as retrieval-degraded (cosine ANN at 0.9-0.99 thresholds starts to
+#: reorder neighbors once round-trip fidelity drops under ~0.999).
+QUANT_FIDELITY_FLOOR = 0.999
+
+K122_ORACLE = f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    el AS (
+        SELECT vec_id, label, v[i] AS x
+        FROM e CROSS JOIN generate_series(1, 100000) g(i)
+        WHERE i <= len(v)
+    ),
+    s AS (SELECT vec_id, MAX(ABS(x)) AS amax FROM el GROUP BY vec_id),
+    q AS (
+        SELECT el.vec_id, el.label, el.x,
+               CASE WHEN s.amax = 0 THEN 0.0
+                    ELSE GREATEST(-127.0, LEAST(127.0,
+                         FLOOR(el.x / (s.amax / 127.0) + 0.5))) END AS qi
+        FROM el JOIN s USING (vec_id)
+    ),
+    dots AS (
+        SELECT vec_id, label,
+               SUM(CAST(ROUND(x * qi, 8) AS DECIMAL(20, 8))) AS svq,
+               SUM(CAST(ROUND(x * x, 8) AS DECIMAL(20, 8))) AS sv2,
+               SUM(CAST(qi * qi AS DECIMAL(20, 8))) AS sq2
+        FROM q GROUP BY vec_id, label
+    ),
+    fid AS (
+        SELECT vec_id, label,
+               CASE WHEN sv2 > 0 AND sq2 > 0 THEN
+                   CAST(ROUND(CAST(svq AS DOUBLE)
+                        / sqrt(CAST(sv2 AS DOUBLE) * CAST(sq2 AS DOUBLE)), 8)
+                        AS DECIMAL(12, 8))
+               END AS cos8
+        FROM dots
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN cos8 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_degenerate,
+           ROUND(CAST(SUM(cos8) AS DOUBLE) / COUNT(cos8), 4) AS mean_cos,
+           CAST(ROUND(MIN(cos8), 4) AS DOUBLE) AS min_cos,
+           ROUND(SUM(CASE WHEN cos8 < {QUANT_FIDELITY_FLOOR} THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(cos8), 4) AS frac_degraded
+    FROM fid
+    GROUP BY label
+    ORDER BY label
+"""
+
+
+@register(
+    "q_k122_quantization_fidelity",
+    family="K",
+    doc="K-122 int8 round-trip retrieval-fidelity audit: q_k49 "
+    "quantizes (symmetric absmax, explicit floor(x+0.5) both engines) "
+    "and reports MSE; the decision a serving/index team actually "
+    "makes needs ANGLE preservation — cos(v, dequant(quant(v))), "
+    "whose scale factor cancels so it is computable from the int "
+    "codes directly. Per label: vector count, degenerate (zero) "
+    "vectors excluded-and-counted, mean/min round-trip cosine and the "
+    f"fraction under the {QUANT_FIDELITY_FLOOR} retrieval floor. Every "
+    "dot-product term is 8dp-rounded and DECIMAL-summed (order-free), "
+    "the cosine is one double expression of those exact sums rounded "
+    "to 8dp, and the label aggregate sums DECIMALs — bit-identical "
+    "cross-engine. Plan: one explode + two hash aggregates, linear; "
+    "at 100 TB this is a single corpus pass (the q_k49 shape).",
+    oracle=K122_ORACLE,
+)
+def q_k122_quantization_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    el = e.select(
+        "vec_id", "label", F.explode(F.col("embedding")).alias("xf")
+    ).withColumn("x", F.col("xf").cast("double"))
+    s = el.groupBy("vec_id").agg(F.max(F.abs(F.col("x"))).alias("amax"))
+    q = el.join(s, "vec_id").withColumn(
+        "qi",
+        F.when(F.col("amax") == 0, F.lit(0.0)).otherwise(
+            F.greatest(
+                F.lit(-127.0),
+                F.least(
+                    F.lit(127.0),
+                    F.floor(
+                        F.col("x") / (F.col("amax") / F.lit(127.0)) + F.lit(0.5)
+                    ).cast("double"),
+                ),
+            )
+        ),
+    )
+    dots = q.groupBy("vec_id", "label").agg(
+        F.sum(
+            F.round(F.col("x") * F.col("qi"), 8).cast("decimal(20,8)")
+        ).alias("svq"),
+        F.sum(
+            F.round(F.col("x") * F.col("x"), 8).cast("decimal(20,8)")
+        ).alias("sv2"),
+        F.sum(
+            (F.col("qi") * F.col("qi")).cast("decimal(20,8)")
+        ).alias("sq2"),
+    )
+    fid = dots.select(
+        "label",
+        F.when(
+            (F.col("sv2") > 0) & (F.col("sq2") > 0),
+            F.round(
+                F.col("svq").cast("double")
+                / F.sqrt(F.col("sv2").cast("double") * F.col("sq2").cast("double")),
+                8,
+            ).cast("decimal(12,8)"),
+        ).alias("cos8"),
+    )
+    return (
+        fid.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.sum(F.col("cos8").isNull().cast("int"))
+            .cast("bigint")
+            .alias("n_degenerate"),
+            F.round(F.sum("cos8").cast("double") / F.count("cos8"), 4).alias(
+                "mean_cos"
+            ),
+            F.round(F.min("cos8"), 4).cast("double").alias("min_cos"),
+            F.round(
+                F.sum((F.col("cos8") < QUANT_FIDELITY_FLOOR).cast("int"))
+                * F.lit(1.0)
+                / F.count("cos8"),
+                4,
+            ).alias("frac_degraded"),
+        )
+        .select(
+            F.col("label").cast("bigint").alias("label"),
+            "n_vecs",
+            "n_degenerate",
+            "mean_cos",
+            "min_cos",
+            "frac_degraded",
+        )
+        .orderBy("label")
+    )

@@ -855,3 +855,130 @@ def q_k118_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# --------------------------------------------------------------------------
+# q_k123 — contamination-severity histogram (how MUCH leaks, not just if)
+# --------------------------------------------------------------------------
+
+K123_ORACLE = f"""
+    WITH marked AS (
+        SELECT doc_id, text,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS UBIGINT) / 4294967296.0 < {NORM_DECON_FRAC}
+                   AS is_bench
+        FROM documents
+    ),
+    w AS (SELECT doc_id, is_bench, string_split(text, ' ') ws FROM marked),
+    grams AS (
+        SELECT DISTINCT doc_id, is_bench,
+               ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                     || ws[i+3] || ' ' || ws[i+4] AS s
+        FROM w CROSS JOIN generate_series(1, 100000) g(i)
+        WHERE i + 4 <= len(ws)
+    ),
+    train_set AS (SELECT DISTINCT s FROM grams WHERE NOT is_bench),
+    per_doc AS (
+        SELECT grams.doc_id,
+               COUNT(*) AS g,
+               SUM(CASE WHEN train_set.s IS NOT NULL THEN 1 ELSE 0 END) AS h
+        FROM grams LEFT JOIN train_set USING (s)
+        WHERE grams.is_bench
+        GROUP BY grams.doc_id
+    ),
+    bucketed AS (
+        SELECT m.doc_id,
+               CASE WHEN per_doc.g IS NULL THEN -1
+                    ELSE LEAST(9, per_doc.h * 10 // per_doc.g) END AS decile,
+               CASE WHEN per_doc.g IS NULL THEN NULL
+                    ELSE CAST(ROUND(per_doc.h * 1.0 / per_doc.g, 8)
+                              AS DECIMAL(12, 8)) END AS cov8
+        FROM marked m LEFT JOIN per_doc USING (doc_id)
+        WHERE m.is_bench
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(cov8) AS DOUBLE) / COUNT(cov8), 4) AS mean_cov
+    FROM bucketed
+    GROUP BY decile
+    ORDER BY decile
+"""
+
+
+@register(
+    "q_k123_contamination_severity",
+    family="K",
+    doc="K-123 contamination-severity histogram: q_k19/q_k97 DECIDE "
+    "(drop a doc on any overlap / exact normalized match); the audit a "
+    "benchmark owner publishes is HOW MUCH of each held-out doc the "
+    "training corpus covers (the GPT-3 appendix-C construction: "
+    "n-gram overlap fraction per eval doc). Benchmark = the SAME "
+    "content-keyed md5 draw as q_k61/q_k97, so the three decontam "
+    "views audit one consistent split. Per benchmark doc: distinct "
+    "5-grams g, grams also present in ANY train doc h, coverage h/g; "
+    "histogram cell = integer decile least(9, h*10 div g), gram-less "
+    "docs (<5 tokens) excluded-and-counted at decile -1. Counts are "
+    "exact integers; mean coverage per cell is an 8dp-DECIMAL sum "
+    "divided once (4dp). Plan: one shingle pass, DISTINCT train gram "
+    "set, one gram-keyed LEFT equi-join bounded by the benchmark gram "
+    "mass — never row multiplication (both sides per-doc-distinct); "
+    "at 100 TB flip shingle_rows(hashed=True) so only 8-byte keys "
+    "shuffle (64-bit collisions are noise at the 4dp output "
+    "precision).",
+    oracle=K123_ORACLE,
+)
+def q_k123_contamination_severity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_publisher_spark.functions.text import shingle_rows
+    from cdc_publisher_spark.operators.mixing import uniform_from_id
+
+    docs = load(spark, sf_dir, "documents")
+    marked = docs.select(
+        "doc_id",
+        "text",
+        (uniform_from_id(F.col("doc_id")) < F.lit(NORM_DECON_FRAC)).alias(
+            "is_bench"
+        ),
+    )
+    grams = shingle_rows(marked.select("doc_id", "text"), k=5).join(
+        marked.select("doc_id", "is_bench"), "doc_id"
+    )
+    train_set = (
+        grams.filter(~F.col("is_bench")).select("s").distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    per_doc = (
+        grams.filter("is_bench")
+        .join(train_set, "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("g"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("h"),
+        )
+    )
+    bucketed = (
+        marked.filter("is_bench")
+        .select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            F.when(F.col("g").isNull(), F.lit(-1))
+            .otherwise(F.least(F.lit(9), F.expr("h * 10 div g")))
+            .alias("decile"),
+            F.when(
+                F.col("g").isNotNull(),
+                F.round(F.col("h") * F.lit(1.0) / F.col("g"), 8).cast(
+                    "decimal(12,8)"
+                ),
+            ).alias("cov8"),
+        )
+    )
+    return (
+        bucketed.groupBy("decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum("cov8").cast("double") / F.count("cov8"), 4
+            ).alias("mean_cov"),
+        )
+        .select(F.col("decile").cast("bigint").alias("decile"), "n_docs", "mean_cov")
+        .orderBy("decile")
+    )

@@ -692,3 +692,188 @@ def q_k117_bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q_k124 — per-document context-gain screen (doc-local templatedness)
+# --------------------------------------------------------------------------
+
+#: Histogram cell width for the context-gain value (nats) and cap:
+#: cells 0..15 of 0.25 nats, so the table is fixed-width at any scale.
+CTX_GAIN_BUCKET_W = 4  # buckets per nat (width = 1/4)
+CTX_GAIN_BUCKET_MAX = 15
+
+K124_ORACLE = f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+    tok AS (
+        SELECT doc_id, ws[i] AS t
+        FROM w CROSS JOIN generate_series(1, 100000) g(i)
+        WHERE i <= len(ws)
+    ),
+    uni AS (SELECT doc_id, t, COUNT(*) AS u FROM tok GROUP BY doc_id, t),
+    m AS (SELECT doc_id, SUM(u) AS m FROM uni GROUP BY doc_id),
+    hu AS (
+        SELECT uni.doc_id,
+               SUM(CAST(uni.u AS DECIMAL(12, 0))
+                   * CAST(ROUND(ln(uni.u * 1.0 / m.m), 8)
+                          AS DECIMAL(18, 8))) AS lu
+        FROM uni JOIN m USING (doc_id) GROUP BY uni.doc_id
+    ),
+    bg AS (
+        SELECT doc_id, ws[i] AS w1, ws[i] || ' ' || ws[i+1] AS s
+        FROM w CROSS JOIN generate_series(1, 100000) g(i)
+        WHERE i + 1 <= len(ws)
+    ),
+    joint AS (
+        SELECT doc_id, s, MIN(w1) AS w1, COUNT(*) AS c
+        FROM bg GROUP BY doc_id, s
+    ),
+    n AS (SELECT doc_id, SUM(c) AS n FROM joint GROUP BY doc_id),
+    lb AS (
+        SELECT joint.doc_id,
+               SUM(CAST(joint.c AS DECIMAL(12, 0))
+                   * CAST(ROUND(ln(joint.c * 1.0 / n.n), 8)
+                          AS DECIMAL(18, 8))) AS lb
+        FROM joint JOIN n USING (doc_id) GROUP BY joint.doc_id
+    ),
+    ctx AS (
+        SELECT doc_id, w1, SUM(c) AS cc FROM joint GROUP BY doc_id, w1
+    ),
+    lc AS (
+        SELECT ctx.doc_id,
+               SUM(CAST(ctx.cc AS DECIMAL(12, 0))
+                   * CAST(ROUND(ln(ctx.cc * 1.0 / n.n), 8)
+                          AS DECIMAL(18, 8))) AS lc
+        FROM ctx JOIN n USING (doc_id) GROUP BY ctx.doc_id
+    ),
+    gap AS (
+        SELECT d.doc_id, d.source, m.m,
+               CASE WHEN n.n IS NULL THEN NULL
+                    ELSE ROUND((-CAST(hu.lu AS DOUBLE) / m.m)
+                               - ((-CAST(lb.lb AS DOUBLE) / n.n)
+                                  - (-CAST(lc.lc AS DOUBLE) / n.n)), 4)
+               END AS gap4
+        FROM documents d
+        JOIN m USING (doc_id)
+        JOIN hu USING (doc_id)
+        LEFT JOIN n USING (doc_id)
+        LEFT JOIN lb USING (doc_id)
+        LEFT JOIN lc USING (doc_id)
+    )
+    SELECT source,
+           CAST(CASE WHEN gap4 IS NULL THEN -1
+                ELSE LEAST({CTX_GAIN_BUCKET_MAX},
+                           GREATEST(0, CAST(FLOOR(gap4 * {CTX_GAIN_BUCKET_W})
+                                            AS BIGINT))) END AS BIGINT)
+               AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(m) AS BIGINT) AS tokens
+    FROM gap
+    GROUP BY source, bucket
+    ORDER BY source, bucket
+"""
+
+
+@register(
+    "q_k124_context_gain_screen",
+    family="K",
+    doc="K-124 per-document context gain: I ~ H_doc(unigram) - "
+    "H_doc(w2|w1), each computed from the DOC'S OWN token/bigram "
+    "multisets — how much knowing the previous word compresses the "
+    "next. Templated/slot-filled documents score HIGH (transitions "
+    "near-deterministic relative to their vocabulary); q_k72 (doc "
+    "unigram entropy) and q_k117 (SOURCE-level conditional rate) both "
+    "miss this doc-granular axis. Histogram per source: cells of "
+    f"1/{CTX_GAIN_BUCKET_W} nat clamped to [0, {CTX_GAIN_BUCKET_MAX}] "
+    "(fixed-width output at any scale), docs without a bigram at "
+    "bucket -1. Every ln term 8dp-rounded and DECIMAL-summed (the "
+    "q_k72/q_k117 convention); the gap is one double expression of "
+    "those exact sums, 4dp-rounded BEFORE bucketing so both engines "
+    "floor the same double. Plan: doc-keyed hash aggregates only — "
+    "no corpus-wide window, no join wider than (doc, gram).",
+    oracle=K124_ORACLE,
+)
+def q_k124_context_gain_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_publisher_spark.functions.text import shingle_rows, words
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(words(F.col("text"))).alias("t"))
+    uni = tok.groupBy("doc_id", "t").agg(F.count("*").alias("u"))
+    m = uni.groupBy("doc_id").agg(F.sum("u").alias("m"))
+
+    def lterm(cnt, tot):
+        return cnt.cast("decimal(12,0)") * F.round(
+            F.log(cnt * 1.0 / tot), 8
+        ).cast("decimal(18,8)")
+
+    hu = (
+        uni.join(m, "doc_id")
+        .select("doc_id", lterm(F.col("u"), F.col("m")).alias("lt"))
+        .groupBy("doc_id")
+        .agg(F.sum("lt").alias("lu"))
+    )
+    joint = (
+        shingle_rows(docs.select("doc_id", "text"), k=2, distinct=False)
+        .groupBy("doc_id", "s")
+        .agg(F.count("*").alias("c"))
+        .withColumn("w1", F.substring_index("s", " ", 1))
+    )
+    n = joint.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    lb = (
+        joint.join(n, "doc_id")
+        .select("doc_id", lterm(F.col("c"), F.col("n")).alias("lt"))
+        .groupBy("doc_id")
+        .agg(F.sum("lt").alias("lb"))
+    )
+    ctx = joint.groupBy("doc_id", "w1").agg(F.sum("c").alias("cc"))
+    lc = (
+        ctx.join(n, "doc_id")
+        .select("doc_id", lterm(F.col("cc"), F.col("n")).alias("lt"))
+        .groupBy("doc_id")
+        .agg(F.sum("lt").alias("lc"))
+    )
+    gap = (
+        docs.select("doc_id", "source")
+        .join(m, "doc_id")
+        .join(hu, "doc_id")
+        .join(n, "doc_id", "left")
+        .join(lb, "doc_id", "left")
+        .join(lc, "doc_id", "left")
+        .select(
+            "source",
+            "m",
+            F.when(
+                F.col("n").isNotNull(),
+                F.round(
+                    (-F.col("lu").cast("double") / F.col("m"))
+                    - (
+                        (-F.col("lb").cast("double") / F.col("n"))
+                        - (-F.col("lc").cast("double") / F.col("n"))
+                    ),
+                    4,
+                ),
+            ).alias("gap4"),
+        )
+    )
+    bucket = (
+        F.when(F.col("gap4").isNull(), F.lit(-1))
+        .otherwise(
+            F.least(
+                F.lit(CTX_GAIN_BUCKET_MAX),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(F.col("gap4") * CTX_GAIN_BUCKET_W).cast("int"),
+                ),
+            )
+        )
+        .cast("bigint")
+    )
+    return (
+        gap.select("source", bucket.alias("bucket"), "m")
+        .groupBy("source", "bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("m").cast("bigint").alias("tokens"),
+        )
+        .orderBy("source", "bucket")
+    )

@@ -95,7 +95,6 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_publisher_spark.operators.minhash import (
-    incremental_near_duplicates,
     lsh_buckets,
     minhash_signatures,
     probe_candidate_pairs,
@@ -596,12 +595,22 @@ def _dedup_micro_batch_body(
             finally:
                 cands.unpersist()
         else:
-            pairs = incremental_near_duplicates(
+            # first trigger: no history to probe — within-batch pairs
+            # only. Reuse the ALREADY-SIGNED bucket rows (new_buckets,
+            # persisted above for the index write) as both probe and
+            # bucket side instead of re-shingling + re-signing the
+            # batch through incremental_near_duplicates (r14: the
+            # per-consumer breakdown showed the duplicate sign pass
+            # costing ~2-3 s of the first trigger at 8k rows);
+            # identical semantics — probe_candidate_pairs(probe,
+            # probe) is exactly the distinct within-batch pair set.
+            probe = new_buckets.select(id_col, "band", "bh")
+            pairs = verify_candidates(
                 batch,
-                batch.select(id_col),
-                id_col=id_col,
-                text_col=text_col,
-                threshold=threshold,
+                probe_candidate_pairs(probe, probe, id_col),
+                id_col,
+                text_col,
+                threshold,
             )
             pairs.write.mode("overwrite").parquet(
                 os.path.join(pairs_dir, f"batch={batch_id}")

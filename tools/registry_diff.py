@@ -13,8 +13,11 @@ in both trees and diffing; this script is that check as one command:
 Checks out the ref into a temporary ``git worktree`` (read-only use),
 imports each tree's registry in its OWN subprocess (two versions of
 the package cannot coexist in one interpreter), and reports additions,
-removals, and oracle-text edits. Exit 0 = additive (additions only);
-exit 1 = any removal or oracle edit.
+removals, and oracle-text edits. Exit 0 = additive (additions only,
+plus oracle edits listed in ADJUDICATED_ORACLE_EDITS below — each a
+judge-ADVICE-mandated fix, named visibly here per the allowlist
+convention so the exemption survives code review); exit 1 = any
+removal or unadjudicated oracle edit.
 """
 
 from __future__ import annotations
@@ -26,6 +29,21 @@ import sys
 import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: Oracle-text edits mandated by a judge ADVICE item — the one
+#: sanctioned exception to strict additivity. Each entry names the
+#: query and the reason; an edit NOT listed here still fails the
+#: check. Semantics on any non-degenerate corpus are unchanged
+#: (verified: q_k120 hash-exact at sf0.001/0.01/0.1 before and after
+#: the guard; the edit only pins a 0/0 / x/0 ratio to NULL in both
+#: engines).
+ADJUDICATED_ORACLE_EDITS: dict[str, str] = {
+    "q_k120_intrinsic_dimension": "r13 ADVICE (low): guard SUM(ok)=0 / "
+    "SUM(lt)=0 — Spark's 0/0 is NULL, DuckDB's IEEE division is "
+    "NaN/inf, so a fully-degenerate label made the engines disagree; "
+    "both now pin id_estimate to NULL (r14, both-engine pytest pins "
+    "in tests/test_r14_fixes.py)",
+}
 
 DUMP = r"""
 import json, sys
@@ -64,18 +82,22 @@ def main() -> int:
             )
     added = sorted(set(head) - set(prev))
     removed = sorted(set(prev) - set(head))
-    edited = sorted(
+    edited_all = sorted(
         n for n in set(head) & set(prev)
         if head[n]["oracle"] != prev[n]["oracle"]
     )
+    edited = [n for n in edited_all if n not in ADJUDICATED_ORACLE_EDITS]
+    adjudicated = [n for n in edited_all if n in ADJUDICATED_ORACLE_EDITS]
     print(
         f"registry {ref}: {len(prev)} -> HEAD: {len(head)} | "
         f"added {len(added)}, removed {len(removed)}, "
-        f"oracle-edited {len(edited)}"
+        f"oracle-edited {len(edited)} (+{len(adjudicated)} adjudicated)"
     )
     for label, names in (("+", added), ("-", removed), ("~", edited)):
         for n in names:
             print(f"  {label} {n}")
+    for n in adjudicated:
+        print(f"  ~ {n} [ADJUDICATED: {ADJUDICATED_ORACLE_EDITS[n]}]")
     ok = not removed and not edited
     print("ADDITIVE: OK" if ok else "ADDITIVE: VIOLATED")
     return 0 if ok else 1
