@@ -30,7 +30,10 @@ echo "=== 3/4 spot oracle over ${NSPOT} never-driver-sampled queries ==="
 # tool's status with grep's (grep exits 1 when every line is
 # filtered, mis-reporting an all-green run as a failure), and
 # 2>/dev/null hid real tracebacks from the evidence log.
-spot_out=$(python tools/spot_oracle.py --n "$NSPOT") || rc=1
+# --no-ledger keeps this reproduction read-only; to RECORD an
+# independent pass in the cumulative VERIFIED.md ledger instead, run
+#   python tools/spot_oracle.py --n 15 --source judge-spot --salt <own>
+spot_out=$(python tools/spot_oracle.py --n "$NSPOT" --no-ledger) || rc=1
 printf '%s\n' "$spot_out" | grep -v '^26/\|WARN' || true
 
 echo "=== 4/4 diagnostic LoC ==="
