@@ -10,15 +10,20 @@ one command:
 
     python tools/spot_oracle.py --n 12 [--sf /root/testdata/sf0.01]
 
-Selection is DETERMINISTIC but round-varying: candidates (registered
-queries with an oracle that appear in no CORRECTNESS_r*.json at the
-repo root) are ordered by md5("<salt>:<name>") with the salt
-defaulting to CURRENT round (highest recorded round + 1) so it
-rotates every round, and names already covered by the VERIFIED.md
-ledger sort LAST — coverage of the never-driver-sampled names
-ACCUMULATES across rounds instead of resampling (r13 VERDICT ask #4).
-``--names a,b,c`` overrides. Exit 0 = all selected queries hash-match
-the oracle.
+Selection is DETERMINISTIC but round-varying: candidates (all
+registered queries with an oracle) are ordered by
+md5("<salt>:<name>") with the salt defaulting to CURRENT round
+(highest recorded round + 1) so it rotates every round, and names
+already COVERED sort LAST so coverage ACCUMULATES across rounds
+instead of resampling (r13 VERDICT ask #4). "Covered" means *has at
+least one PASS event in the VERIFIED.md ledger at the sf this run
+targets* (r14 VERDICT ask #1: a FAIL row is a record of a failed
+check, never coverage — six r01/r02 ``no_oracle``-era FAIL rows had
+permanently masked their names from rotation under the old
+appears-in-any-CORRECTNESS predicate; and r14 ask #2: driver/ledger
+rows are sf-tagged, so an sf0.1 run rotates over names unverified at
+sf0.1 even when every name has an sf0.01 PASS). ``--names a,b,c``
+overrides. Exit 0 = all selected queries hash-match the oracle.
 
 Every run appends its results to the committed ``VERIFIED.md`` ledger
 (one row per name: round, source, salt, result — ``--no-ledger`` for
@@ -41,6 +46,13 @@ sys.path.insert(0, REPO)
 
 
 def sampled_names() -> tuple[set[str], int]:
+    """Union of names appearing in any driver artifact, plus latest round.
+
+    NOTE (r14 VERDICT ask #1): appearing in a CORRECTNESS file is NOT
+    coverage — a FAIL row is evidence of a failed check. Selection in
+    main() uses PASS events from the VERIFIED.md ledger instead; this
+    helper survives for the latest-round computation and diagnostics.
+    """
     names: set[str] = set()
     latest = 0
     for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
@@ -76,13 +88,53 @@ fresh-process/driver legs only.
 
 
 def ledger_names(path: str = LEDGER) -> set[str]:
-    """Names with at least one recorded verification event."""
+    """Names with at least one recorded verification event (any result)."""
     names: set[str] = set()
     if os.path.exists(path):
         with open(path) as fh:
             for line in fh:
                 if line.startswith("| q_"):
                     names.add(line.split("|")[1].strip())
+    return names
+
+
+def _detail_sf(detail: str) -> str | None:
+    """Normalize the sf tag out of a ledger detail cell.
+
+    Driver rows read ``sf0.01 sample``; spot rows read
+    ``salt=14 sf=/root/testdata/sf0.01`` (pre-r15) or
+    ``salt=15 sf=sf0.1`` (r15+). All normalize to the basename tag
+    (``sf0.01``).
+    """
+    for tok in detail.split():
+        if tok.startswith("sf="):
+            return os.path.basename(tok[len("sf="):].rstrip("/")) or None
+        if tok.startswith("sf0") or tok.startswith("sf1"):
+            return tok
+    return None
+
+
+def ledger_passed_names(path: str = LEDGER, sf: str | None = None) -> set[str]:
+    """Names with at least one PASS event — optionally at a given sf tag.
+
+    This is the coverage predicate (r14 VERDICT ask #1): a FAIL row
+    never counts as coverage, and (ask #2) coverage is per-sf so an
+    sf0.1 pass rotates independently of the sf0.01 evidence.
+    """
+    names: set[str] = set()
+    if not os.path.exists(path):
+        return names
+    with open(path) as fh:
+        for line in fh:
+            if not line.startswith("| q_"):
+                continue
+            parts = [c.strip() for c in line.split("|")]
+            # ['', name, round, source, detail, result, '']
+            if len(parts) < 7 or parts[5] != "PASS":
+                continue
+            if sf is not None and _detail_sf(parts[4]) != sf:
+                continue
+            names.add(parts[1])
     return names
 
 
@@ -142,29 +194,28 @@ def main() -> int:
     from cdc_publisher_spark.session import get_session
 
     specs = all_specs()
-    sampled, latest = sampled_names()
-    covered = ledger_names()
+    _, latest = sampled_names()
+    sf_tag = os.path.basename(args.sf.rstrip("/"))
+    covered = ledger_passed_names(sf=sf_tag)
     salt = args.salt if args.salt is not None else str(latest + 1)
     if args.names:
         chosen = [n.strip() for n in args.names.split(",") if n.strip()]
     else:
-        never = sorted(
-            n for n, s in specs.items()
-            if s.oracle is not None and n not in sampled
-        )
-        # accumulate: unledgered names first, then the rotating hash
-        never.sort(
+        pool = sorted(n for n, s in specs.items() if s.oracle is not None)
+        # accumulate: names with no PASS at this sf first, then the
+        # rotating hash (FAIL rows never count as coverage)
+        pool.sort(
             key=lambda n: (
                 n in covered,
                 hashlib.md5(f"{salt}:{n}".encode()).hexdigest(),
             )
         )
-        chosen = never[: args.n]
+        chosen = pool[: args.n]
         fresh = sum(1 for n in chosen if n not in covered)
         print(
-            f"{len(never)} never-driver-sampled oracle queries "
-            f"(salt={salt}, {len(covered)} ledgered); checking "
-            f"{len(chosen)} ({fresh} new to the ledger)"
+            f"{len(pool)} oracle queries (salt={salt}, "
+            f"{len(covered)} with a PASS at {sf_tag}); checking "
+            f"{len(chosen)} ({fresh} without a {sf_tag} PASS)"
         )
 
     spark = get_session(app_name="cdc_publisher_spark_spot_oracle")
@@ -180,20 +231,16 @@ def main() -> int:
         if not res.match:
             failures.append(name)
         events.append(
-            (name, rnd, args.source, f"salt={salt} sf={args.sf}",
+            (name, rnd, args.source, f"salt={salt} sf={sf_tag}",
              "PASS" if res.match else "FAIL")
         )
     if not args.no_ledger and events:
         ledger_append(events)
-        now = ledger_names()
-        never_all = {
-            n for n, s in specs.items()
-            if s.oracle is not None and n not in sampled
-        }
+        now = ledger_passed_names(sf=sf_tag)
+        oracle_all = {n for n, s in specs.items() if s.oracle is not None}
         print(
-            f"ledger: +{len(events)} events -> {len(now)} distinct names "
-            f"covered ({len(now & never_all)}/{len(never_all)} of the "
-            "never-driver-sampled set)"
+            f"ledger: +{len(events)} events -> {len(now & oracle_all)}/"
+            f"{len(oracle_all)} oracle queries with a PASS at {sf_tag}"
         )
     print(f"spot oracle: {len(chosen) - len(failures)}/{len(chosen)} green")
     return 1 if failures else 0
