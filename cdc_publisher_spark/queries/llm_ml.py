@@ -840,8 +840,10 @@ K122_ORACLE = f"""
                AS n_degenerate,
            ROUND(CAST(SUM(cos8) AS DOUBLE) / COUNT(cos8), 4) AS mean_cos,
            CAST(ROUND(MIN(cos8), 4) AS DOUBLE) AS min_cos,
-           ROUND(SUM(CASE WHEN cos8 < {QUANT_FIDELITY_FLOOR} THEN 1 ELSE 0 END)
-                 * 1.0 / COUNT(cos8), 4) AS frac_degraded
+           CASE WHEN COUNT(cos8) > 0 THEN
+               ROUND(SUM(CASE WHEN cos8 < {QUANT_FIDELITY_FLOOR}
+                          THEN 1 ELSE 0 END)
+                     * 1.0 / COUNT(cos8), 4) END AS frac_degraded
     FROM fid
     GROUP BY label
     ORDER BY label
@@ -919,11 +921,20 @@ def q_k122_quantization_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "mean_cos"
             ),
             F.round(F.min("cos8"), 4).cast("double").alias("min_cos"),
-            F.round(
-                F.sum((F.col("cos8") < QUANT_FIDELITY_FLOOR).cast("int"))
-                * F.lit(1.0)
-                / F.count("cos8"),
-                4,
+            # r14 ADVICE: a fully-degenerate label (every vector
+            # all-zero) has COUNT(cos8)=0 — DuckDB's IEEE 0/0 is NaN
+            # while Spark's NULL-sum / 0 is NULL; pin both to NULL
+            # (the q_k120 guard class). Spark's numerator skips NULL
+            # rows while the oracle's CASE counts them as 0 — same
+            # value; only the 0/0 denominator case diverged.
+            F.when(
+                F.count("cos8") > 0,
+                F.round(
+                    F.sum((F.col("cos8") < QUANT_FIDELITY_FLOOR).cast("int"))
+                    * F.lit(1.0)
+                    / F.count("cos8"),
+                    4,
+                ),
             ).alias("frac_degraded"),
         )
         .select(

@@ -32,17 +32,33 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 #: Oracle-text edits mandated by a judge ADVICE item — the one
 #: sanctioned exception to strict additivity. Each entry names the
-#: query and the reason; an edit NOT listed here still fails the
-#: check. Semantics on any non-degenerate corpus are unchanged
-#: (verified: q_k120 hash-exact at sf0.001/0.01/0.1 before and after
-#: the guard; the edit only pins a 0/0 / x/0 ratio to NULL in both
-#: engines).
-ADJUDICATED_ORACLE_EDITS: dict[str, str] = {
-    "q_k120_intrinsic_dimension": "r13 ADVICE (low): guard SUM(ok)=0 / "
-    "SUM(lt)=0 — Spark's 0/0 is NULL, DuckDB's IEEE division is "
-    "NaN/inf, so a fully-degenerate label made the engines disagree; "
-    "both now pin id_estimate to NULL (r14, both-engine pytest pins "
-    "in tests/test_r14_fixes.py)",
+#: query, the reason, AND the md5 of the exact post-edit oracle text
+#: (r14 ADVICE: a name-only allowlist would permanently exempt the
+#: query's oracle, letting any future unrelated edit pass as
+#: adjudicated — pinning the hash makes a mismatch an unadjudicated
+#: edit again). An edit NOT listed here, or whose HEAD oracle text
+#: does not hash to the pinned value, fails the check. Semantics on
+#: any non-degenerate corpus are unchanged (verified: hash-exact at
+#: sf0.001/0.01/0.1 before and after each guard; each edit only pins
+#: a 0/0 / x/0 ratio to NULL in both engines).
+ADJUDICATED_ORACLE_EDITS: dict[str, dict[str, str]] = {
+    "q_k120_intrinsic_dimension": {
+        "oracle_md5": "f2cd0451aca36e83a851b8ebc802ceaa",
+        "reason": "r13 ADVICE (low): guard SUM(ok)=0 / SUM(lt)=0 — "
+        "Spark's 0/0 is NULL, DuckDB's IEEE division is NaN/inf, so a "
+        "fully-degenerate label made the engines disagree; both now "
+        "pin id_estimate to NULL (r14, both-engine pytest pins in "
+        "tests/test_r14_fixes.py)",
+    },
+    "q_k122_quantization_fidelity": {
+        "oracle_md5": "3d4fec71a07df6ef6d968c5a4a95ba89",
+        "reason": "r14 ADVICE (low): same 0/0 class as q_k120 — a "
+        "fully-degenerate label has COUNT(cos8)=0, DuckDB's IEEE 0/0 "
+        "is NaN while Spark's NULL-sum/0 is NULL; both engines now "
+        "pin frac_degraded to NULL via CASE WHEN COUNT(cos8)>0 / "
+        "F.when(F.count('cos8')>0, ...) (r15, both-engine pytest "
+        "pins in tests/test_r15_fixes.py)",
+    },
 }
 
 DUMP = r"""
@@ -86,8 +102,17 @@ def main() -> int:
         n for n in set(head) & set(prev)
         if head[n]["oracle"] != prev[n]["oracle"]
     )
-    edited = [n for n in edited_all if n not in ADJUDICATED_ORACLE_EDITS]
-    adjudicated = [n for n in edited_all if n in ADJUDICATED_ORACLE_EDITS]
+    def is_adjudicated(n: str) -> bool:
+        entry = ADJUDICATED_ORACLE_EDITS.get(n)
+        if entry is None:
+            return False
+        import hashlib
+
+        head_md5 = hashlib.md5((head[n]["oracle"] or "").encode()).hexdigest()
+        return head_md5 == entry["oracle_md5"]
+
+    edited = [n for n in edited_all if not is_adjudicated(n)]
+    adjudicated = [n for n in edited_all if is_adjudicated(n)]
     print(
         f"registry {ref}: {len(prev)} -> HEAD: {len(head)} | "
         f"added {len(added)}, removed {len(removed)}, "
@@ -97,7 +122,7 @@ def main() -> int:
         for n in names:
             print(f"  {label} {n}")
     for n in adjudicated:
-        print(f"  ~ {n} [ADJUDICATED: {ADJUDICATED_ORACLE_EDITS[n]}]")
+        print(f"  ~ {n} [ADJUDICATED: {ADJUDICATED_ORACLE_EDITS[n]['reason']}]")
     ok = not removed and not edited
     print("ADDITIVE: OK" if ok else "ADDITIVE: VIOLATED")
     return 0 if ok else 1
