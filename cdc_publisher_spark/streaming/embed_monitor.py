@@ -95,17 +95,45 @@ def _ebm(band, bh) -> F.Column:
     return F.pmod(F.xxhash64(band, bh), F.lit(EB_MOD)).cast("int")
 
 
+#: Pre-versioning marker. Dirs written before schemes were versioned
+#: carry bare ``rows-ebm`` and were only ever written by the 8x8
+#: scheme; read-side it is treated as exactly ``rows-ebm-8x8``.
+#: Write-side it is NEVER produced anymore (r14 ADVICE: mapping the
+#: code default (RH_BANDS, RH_BITS) to the bare marker meant a
+#: deployment that changed the CONSTANTS — rather than passing
+#: bands/bits — left both the old index and the new consumer at
+#: ``rows-ebm``, reproducing the silent match-nothing mismatch the
+#: marker exists to catch).
+LEGACY_EBM_MARKER = "rows-ebm"
+_LEGACY_EBM_SCHEME = (8, 8)
+
+#: Transitional marker held by ``migrate_embed_layout`` while the
+#: segment swap + manifest flip are in flight: an interrupted
+#: migration leaves it behind, so EVERY consumer scheme mismatches
+#: loudly on restart (recovery: re-run the migration — it is
+#: idempotent) instead of an old-scheme consumer passing the marker
+#: check against half-migrated data (r14 ADVICE).
+EBM_MIGRATING_MARKER = "rows-ebm-migrating"
+
+
 def scheme_layout(bands: int, bits: int) -> str:
     """The signature index's ``_layout.`` marker name for a banding
-    scheme: plain ``rows-ebm`` for the code default (back-compat with
-    every dir written before schemes were versioned), else
-    ``rows-ebm-<bands>x<bits>`` — the rows-fm-1024 precedent: the
-    layout constant rides the marker NAME, so probing a 12-bit index
-    with 8-bit signatures fails loudly at the next trigger instead of
-    silently matching nothing."""
-    if (bands, bits) == (RH_BANDS, RH_BITS):
-        return "rows-ebm"
+    scheme: ALWAYS versioned, ``rows-ebm-<bands>x<bits>`` — the
+    rows-fm-1024 precedent: the layout constant rides the marker NAME,
+    so probing a 12-bit index with 8-bit signatures fails loudly at
+    the next trigger instead of silently matching nothing. The bare
+    pre-versioning marker is accepted read-side only
+    (``normalize_ebm_marker``)."""
     return f"rows-ebm-{bands}x{bits}"
+
+
+def normalize_ebm_marker(marker: str | None) -> str | None:
+    """Read-side marker normalization: bare pre-versioning
+    ``rows-ebm`` means the 8x8 scheme (the only scheme that ever
+    wrote it); everything else is already versioned."""
+    if marker == LEGACY_EBM_MARKER:
+        return scheme_layout(*_LEGACY_EBM_SCHEME)
+    return marker
 
 
 def _vh(col) -> F.Column:
@@ -140,7 +168,15 @@ def embed_dup_micro_batch(
     spark = batch_df.sparkSession
     layout = scheme_layout(bands, bits)
     marker = read_layout_marker(spark, idx_dir)  # raises on conflict
-    if marker is not None and marker != layout:
+    if marker == EBM_MIGRATING_MARKER:
+        raise ValueError(
+            f"{idx_dir} holds an INTERRUPTED scheme migration (marker "
+            f"{marker!r}): the segment swap / manifest flip did not "
+            "complete — re-run migrate_embed_layout(spark, idx_dir, "
+            "vecs_dir, bands=..., bits=...) with the stream stopped "
+            "(it is idempotent), then restart"
+        )
+    if marker is not None and normalize_ebm_marker(marker) != layout:
         raise ValueError(
             f"{idx_dir} holds a {marker!r} signature index but this "
             f"consumer signs at {layout!r} — run migrate_embed_layout"
@@ -262,9 +298,16 @@ def embed_dup_micro_batch(
             for d, lay in (
                 (pairs_dir, "rows"),
                 (vecs_dir, "rows-vh"),
-                (idx_dir, layout),
             ):
                 write_layout_marker(spark, d, lay)
+            if marker == LEGACY_EBM_MARKER:
+                # one-time upgrade of a pre-versioning dir (the
+                # scheme check above proved it is 8x8): REPLACE so
+                # the versioned marker never coexists with the bare
+                # one (two markers = read conflict)
+                replace_layout_marker(spark, idx_dir, layout)
+            else:
+                write_layout_marker(spark, idx_dir, layout)
         finally:
             sig.unpersist()
     finally:
@@ -359,6 +402,14 @@ def migrate_embed_layout(
             .mode("overwrite")
             .parquet(tmp)
         )
+        # Transitional marker BEFORE the visible swap (r14 ADVICE):
+        # a crash anywhere between here and the final marker leaves
+        # ``rows-ebm-migrating``, which mismatches EVERY consumer
+        # scheme loudly on restart — instead of new-scheme data under
+        # the old marker, which a restarted old-scheme consumer would
+        # pass and then silently detect nothing. Recovery: re-run
+        # this migration (idempotent — the segment is re-derived).
+        replace_layout_marker(spark, idx_dir, EBM_MIGRATING_MARKER)
         fs, _ = hadoop_fs(spark, idx_dir)
         jvm = spark._jvm
         jtarget = jvm.org.apache.hadoop.fs.Path(target)
@@ -436,8 +487,12 @@ def stream_embedding_dups(
 
 __all__ = [
     "EB_MOD",
+    "EBM_MIGRATING_MARKER",
     "EMBED_COS_THRESHOLD",
+    "LEGACY_EBM_MARKER",
     "VEC_MOD",
+    "normalize_ebm_marker",
+    "scheme_layout",
     "compact_embed_state",
     "embed_dup_micro_batch",
     "migrate_embed_layout",

@@ -256,3 +256,101 @@ def test_embed_stream_wiring_end_to_end(spark, tmp_path):
         q.stop()
     assert _got_pairs(spark, dirs[2]) == _expected_pairs(vecs)
     assert compacted_upto(spark, dirs[1]) is not None
+
+
+def test_embed_markers_are_versioned_even_at_code_defaults(spark, tmp_path):
+    """r14 ADVICE: the code-default scheme must write the VERSIONED
+    marker — mapping (RH_BANDS, RH_BITS) to bare ``rows-ebm`` meant a
+    deployment that changed the constants left both sides at the same
+    marker name, reproducing the silent match-nothing mismatch."""
+    from cdc_publisher_spark.streaming.embed_monitor import scheme_layout
+    from cdc_publisher_spark.streaming.state import read_layout_marker
+
+    vecs = _vectors(spark)
+    dirs = _dirs(tmp_path)
+    embed_dup_micro_batch(vecs, 0, *dirs, threshold=THRESHOLD)
+    assert read_layout_marker(spark, dirs[0]) == scheme_layout(8, 8) == "rows-ebm-8x8"
+
+
+def test_embed_legacy_bare_marker_accepted_and_upgraded(spark, tmp_path):
+    """A pre-versioning dir (bare ``rows-ebm`` marker) is an 8x8
+    index: the 8x8 consumer accepts it and upgrades the marker in
+    place; any other scheme still fails loudly."""
+    import pytest
+
+    from cdc_publisher_spark.streaming.embed_monitor import (
+        LEGACY_EBM_MARKER,
+        normalize_ebm_marker,
+    )
+    from cdc_publisher_spark.streaming.state import (
+        read_layout_marker,
+        replace_layout_marker,
+    )
+
+    assert normalize_ebm_marker(LEGACY_EBM_MARKER) == "rows-ebm-8x8"
+    assert normalize_ebm_marker("rows-ebm-8x12") == "rows-ebm-8x12"
+    assert normalize_ebm_marker(None) is None
+
+    vecs = _vectors(spark)
+    dirs = _dirs(tmp_path)
+    first = vecs.filter(F.col("vec_id") % 2 == 0)
+    second = vecs.filter(F.col("vec_id") % 2 == 1)
+    embed_dup_micro_batch(first, 0, *dirs, threshold=THRESHOLD)
+    # regress the dir to the pre-versioning marker
+    replace_layout_marker(spark, dirs[0], LEGACY_EBM_MARKER)
+
+    # a non-8x8 consumer must NOT pass the bare marker
+    with pytest.raises(ValueError, match="migrate_embed_layout"):
+        embed_dup_micro_batch(
+            second, 1, *dirs, threshold=THRESHOLD, bands=8, bits=12
+        )
+
+    # the 8x8 consumer accepts it, detections complete, marker upgraded
+    embed_dup_micro_batch(second, 1, *dirs, threshold=THRESHOLD)
+    assert _got_pairs(spark, dirs[2]) == _expected_pairs(vecs)
+    assert read_layout_marker(spark, dirs[0]) == "rows-ebm-8x8"
+
+
+def test_embed_interrupted_migration_fails_loudly(spark, tmp_path):
+    """r14 ADVICE: the transitional marker is written BEFORE the
+    segment swap / manifest flip, so a crash in that window leaves
+    ``rows-ebm-migrating`` — which mismatches EVERY consumer scheme on
+    restart — instead of new-scheme data under the old marker (which a
+    restarted old-scheme consumer would pass and silently detect
+    nothing). Re-running the migration recovers."""
+    import pytest
+
+    from cdc_publisher_spark.streaming import embed_monitor as em
+    from cdc_publisher_spark.streaming.state import read_layout_marker
+
+    vecs = _vectors(spark)
+    dirs = _dirs(tmp_path)
+    first = vecs.filter(F.col("vec_id") % 2 == 0)
+    second = vecs.filter(F.col("vec_id") % 2 == 1)
+    embed_dup_micro_batch(first, 0, *dirs, threshold=THRESHOLD)
+
+    real = em.write_manifest
+    try:
+        def boom(*a, **k):
+            raise RuntimeError("injected crash before manifest flip")
+
+        em.write_manifest = boom
+        with pytest.raises(RuntimeError, match="injected crash"):
+            em.migrate_embed_layout(spark, dirs[0], dirs[1], bands=8, bits=12)
+    finally:
+        em.write_manifest = real
+
+    assert read_layout_marker(spark, dirs[0]) == em.EBM_MIGRATING_MARKER
+    # BOTH the old-scheme and new-scheme consumer refuse the dir
+    for bands, bits in ((8, 8), (8, 12)):
+        with pytest.raises(ValueError, match="INTERRUPTED"):
+            embed_dup_micro_batch(
+                second, 1, *dirs, threshold=THRESHOLD, bands=bands, bits=bits
+            )
+    # recovery: re-run the (idempotent) migration, then ingest at the
+    # new scheme — detections equal the batch twin
+    m = em.migrate_embed_layout(spark, dirs[0], dirs[1], bands=8, bits=12)
+    assert m == 0
+    assert read_layout_marker(spark, dirs[0]) == "rows-ebm-8x12"
+    embed_dup_micro_batch(second, 1, *dirs, threshold=THRESHOLD, bands=8, bits=12)
+    assert _got_pairs(spark, dirs[2]) == _expected_pairs(vecs)
