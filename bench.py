@@ -142,11 +142,12 @@ def main() -> None:
     # A subset run is a targeted query A/B — the streaming pipeline
     # bench would only add minutes of identical work to both sides.
     if only:
-        streaming_rps, cdc_metrics, suite_rps = None, None, None
+        streaming_rps, cdc_metrics = None, None
+        suite_rps, suite_trigger_rows = None, None
     else:
         streaming_rps, cdc_metrics = _bench_streaming(spark, sf_dir)
         _session_gc(spark)
-        suite_rps = _bench_monitor_suite(spark, sf_dir)
+        suite_rps, suite_trigger_rows = _bench_monitor_suite(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -165,13 +166,58 @@ def main() -> None:
                 # monitor-layer regressions are visible the way batch/CDC
                 # ones are (VERDICT r10 ask #1)
                 "monitor_suite_rows_per_sec": suite_rps,
+                "monitor_suite_trigger_rows": suite_trigger_rows,
                 # the reference's four instrumented metrics (BASELINE.md):
                 # dequeue/enqueue counts via observe(), latency per batch,
                 # live-route gauge from the registry shape
                 "cdc_metrics": cdc_metrics,
+                # r14 VERDICT ask #3: this artifact read ALONE has
+                # misled four rounds running — make it self-describing
+                "measurement_notes": _measurement_notes(),
             }
         )
     )
+
+
+def _measurement_notes() -> dict:
+    """Noise disclosure embedded in the headline JSON (r14 VERDICT
+    ask #3): four rounds running, the raw per-round totals have read
+    as 1.4-2x regressions that the same-host interleaved A/B then
+    collapsed to 0.98-1.08 — a reader of this file alone must see
+    that before comparing rounds."""
+    import glob as _glob
+
+    latest = 0
+    here = os.path.dirname(os.path.abspath(__file__))
+    for p in _glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            latest = max(
+                latest,
+                int(os.path.basename(p)[len("CORRECTNESS_r"):-len(".json")]),
+            )
+        except ValueError:
+            continue
+    rnd = latest + 1
+    return {
+        "authoritative": f"AB_r{rnd}.json",
+        "raw_noise_band_per_query": 1.2,
+        "note": (
+            "Raw medians on this host whipsaw up to ±1.2x per query "
+            "and ~±15% on the total between identical trees (measured "
+            "r11-r14; every nominal raw regression those rounds "
+            "collapsed to 0.98-1.08 under the interleaved A/B). Treat "
+            "cross-round deltas in THIS file as host drift unless the "
+            "same-host interleaved A/B (bench.py --ab <prev_round_tag>"
+            f" -> AB_r{rnd}.json) reproduces them."
+        ),
+        "monitor_suite_note": (
+            "monitor_suite_rows_per_sec is measured at the small "
+            "monitor_suite_trigger_rows drain where per-trigger fixed "
+            "work dominates; the amortized regime is the MONITORS.md "
+            "sweep (rows/s rises ~20x from 500 to 20k rows/trigger). "
+            "Compare only at equal trigger size."
+        ),
+    }
 
 
 def _bench_streaming(spark, sf_dir: str):
@@ -318,7 +364,13 @@ def _bench_monitor_suite(spark, sf_dir: str) -> float:
         samples = [
             n_rows / drain(f"run{i}", "2") for i in range(BENCH_RUNS)
         ]
-        return round(statistics.median(samples), 1)
+        # rows per trigger reported alongside (r14 VERDICT ask #3):
+        # at the default sf0.1 drain this is a SMALL trigger where
+        # per-trigger fixed work dominates — the amortized regime is
+        # the MONITORS.md sweep (rows/s rises ~20x from 500 to 20k
+        # rows/trigger), so this figure is only comparable at equal
+        # trigger size
+        return round(statistics.median(samples), 1), n_rows // 4
     finally:
         shutil.rmtree(wd, ignore_errors=True)
 
