@@ -45,8 +45,23 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, n_shingles, h0..h{n-1}) — one row per doc."""
     exploded = shingle_rows(docs, id_col, text_col, shingle_k, hashed=True)
+    return minhash_signatures_from_shingles(exploded, id_col, n_hashes)
+
+
+def minhash_signatures_from_shingles(
+    tok: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = DEFAULT_N_HASHES,
+) -> DataFrame:
+    """Signatures from ALREADY-HASHED shingle rows (id, s) — i.e.
+    ``shingle_rows(docs, hashed=True)`` output. Split out so a caller
+    that needs BOTH the signatures and the shingle rows (the
+    incremental dedup trigger signs the batch AND exact-verifies
+    candidates) shingles the batch once, not twice — the shingle pass
+    is a posexplode + per-doc window, the most expensive linear stage
+    of the chain (r14 VERDICT ask #4a)."""
     aggs = [F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(n_hashes)]
-    return exploded.groupBy(id_col).agg(F.count("*").alias("n_shingles"), *aggs)
+    return tok.groupBy(id_col).agg(F.count("*").alias("n_shingles"), *aggs)
 
 
 def lsh_buckets(
@@ -134,6 +149,28 @@ def verify_candidates(
     )
     docs_needed = docs.join(touched, id_col, "semi")
     tok = shingle_rows(docs_needed, id_col, text_col, shingle_k, hashed=True)
+    return verify_candidates_from_shingles(tok, cands, id_col, threshold)
+
+
+def verify_candidates_from_shingles(
+    tok: DataFrame,
+    cands: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact shingle-Jaccard verify from PRECOMPUTED hashed shingle
+    rows — identical result to ``verify_candidates`` when ``tok`` is
+    ``shingle_rows(docs, hashed=True)`` covering every doc id in
+    ``cands`` (extra docs are pruned by the semi-join below). Lets the
+    incremental dedup trigger reuse the shingle rows it already
+    materialized for signing instead of re-shingling the candidate
+    docs from text (r14 VERDICT ask #4a)."""
+    touched = (
+        cands.select(F.col("d1").alias(id_col))
+        .unionByName(cands.select(F.col("d2").alias(id_col)))
+        .distinct()
+    )
+    tok = tok.join(touched, id_col, "semi")
     sizes = tok.groupBy(id_col).agg(F.count("*").alias("n"))
     inter = (
         tok.alias("ta")

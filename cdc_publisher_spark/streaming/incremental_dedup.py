@@ -97,9 +97,11 @@ from pyspark.sql import functions as F
 from cdc_publisher_spark.operators.minhash import (
     lsh_buckets,
     minhash_signatures,
+    minhash_signatures_from_shingles,
     probe_candidate_pairs,
-    verify_candidates,
+    verify_candidates_from_shingles,
 )
+from cdc_publisher_spark.functions.text import shingle_rows
 from cdc_publisher_spark.streaming.state import (
     aligned_repartition,
     batch_dirs,
@@ -527,7 +529,14 @@ def _dedup_micro_batch_body(
     # a conflicted dir fails fast here with the migrate-first error
     # instead of crash-looping the probe
     idx_marker, idx_cols = index_layout(spark, index_dir)
-    new_buckets = lsh_buckets(minhash_signatures(batch, id_col, text_col))
+    # shingle the batch ONCE: the same hashed shingle rows feed the
+    # signature aggregation here AND the exact verify below (r14
+    # VERDICT ask #4a — the verify leg previously re-shingled the
+    # candidate-touching batch docs from text; the shingle pass is a
+    # posexplode + per-doc window, the chain's most expensive linear
+    # stage)
+    tok_batch = shingle_rows(batch, id_col, text_col, 3, hashed=True).persist()
+    new_buckets = lsh_buckets(minhash_signatures_from_shingles(tok_batch, id_col))
     new_buckets = new_buckets.withColumn(
         "bhm", F.pmod(F.col("bh"), F.lit(BH_MOD)).cast("int")
     ).persist()
@@ -587,8 +596,19 @@ def _dedup_micro_batch_body(
                     if cand_dhs
                     else F.lit(False),
                 )
-                docs = history_docs.select(id_col, text_col).unionByName(batch)
-                pairs = verify_candidates(docs, cands, id_col, text_col, threshold)
+                # history docs must be shingled from stored text (only
+                # the candidate-touching dh partitions were read); the
+                # batch side reuses tok_batch verbatim
+                tok = shingle_rows(
+                    history_docs.select(id_col, text_col),
+                    id_col,
+                    text_col,
+                    3,
+                    hashed=True,
+                ).unionByName(tok_batch)
+                pairs = verify_candidates_from_shingles(
+                    tok, cands, id_col, threshold
+                )
                 pairs.write.mode("overwrite").parquet(
                     os.path.join(pairs_dir, f"batch={batch_id}")
                 )
@@ -605,11 +625,10 @@ def _dedup_micro_batch_body(
             # identical semantics — probe_candidate_pairs(probe,
             # probe) is exactly the distinct within-batch pair set.
             probe = new_buckets.select(id_col, "band", "bh")
-            pairs = verify_candidates(
-                batch,
+            pairs = verify_candidates_from_shingles(
+                tok_batch,
                 probe_candidate_pairs(probe, probe, id_col),
                 id_col,
-                text_col,
                 threshold,
             )
             pairs.write.mode("overwrite").parquet(
@@ -661,6 +680,7 @@ def _dedup_micro_batch_body(
             write_layout_marker(spark, d, layout)
     finally:
         new_buckets.unpersist()
+        tok_batch.unpersist()
 
 
 def compact_dedup_state(
