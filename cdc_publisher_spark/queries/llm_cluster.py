@@ -905,3 +905,135 @@ def q_k116_dedup_threshold_sensitivity(
         )
         .orderBy("threshold_pct")
     )
+
+
+# --------------------------------------------------------------------------
+# q_k127 — near-dup cluster purity (chaining-artifact audit)
+# --------------------------------------------------------------------------
+
+K127_ORACLE = """
+    WITH RECURSIVE
+    w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        FROM w CROSS JOIN generate_series(1, 100000) g(i)
+        WHERE i + 2 <= len(ws)
+    ),
+    sz AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id d1, b.doc_id d2, COUNT(*) i
+        FROM sh a JOIN sh b USING (s)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT d1, d2,
+               ROUND(i * 1.0 / (s1.n + s2.n - i), 4) AS j4
+        FROM inter
+        JOIN sz s1 ON s1.doc_id = d1
+        JOIN sz s2 ON s2.doc_id = d2
+        WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.5
+    ),
+    edges AS (SELECT d1 a, d2 b FROM pairs UNION SELECT d2, d1 FROM pairs),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach(id, lab) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.id
+    ),
+    cc AS (SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id),
+    csz AS (SELECT cluster_id, COUNT(*) AS csize FROM cc GROUP BY cluster_id),
+    pe AS (
+        SELECT cc.cluster_id, p.j4
+        FROM pairs p JOIN cc ON cc.id = p.d1
+    )
+    SELECT csz.cluster_id,
+           CAST(csz.csize AS BIGINT) AS csize,
+           CAST(COUNT(pe.j4) AS BIGINT) AS n_direct_pairs,
+           CAST(csz.csize * (csz.csize - 1) // 2 AS BIGINT) AS possible_pairs,
+           ROUND(COUNT(pe.j4) * 1.0
+                 / (csz.csize * (csz.csize - 1) // 2), 4) AS edge_density,
+           MIN(pe.j4) AS min_jaccard,
+           ROUND(CAST(SUM(CAST(pe.j4 AS DECIMAL(12, 4))) AS DOUBLE)
+                 / COUNT(pe.j4), 4) AS mean_jaccard,
+           COUNT(pe.j4) < csz.csize * (csz.csize - 1) // 2 AS chained
+    FROM csz JOIN pe ON pe.cluster_id = csz.cluster_id
+    GROUP BY csz.cluster_id, csz.csize
+    ORDER BY csz.cluster_id
+"""
+
+
+@register(
+    "q_k127_cluster_purity",
+    family="K",
+    doc="K-127 near-dup cluster purity — the chaining-artifact audit "
+    "for transitive dedup: q_k22's connected components merge docs "
+    "that never directly verified against each other (A~B, B~C puts "
+    "A,C in one cluster even when J(A,C) is far below threshold), so "
+    "a keep-one-per-cluster policy (q_k92) can silently drop "
+    "non-duplicates. Per component of the q_k2/q_k22 verified pair "
+    "graph (3-shingle Jaccard >= 0.5): size, direct verified pairs vs "
+    "the complete-graph possible pairs, edge density, min and mean "
+    "direct Jaccard (4dp pair values, DECIMAL-summed mean), and the "
+    "chained flag (density < 1 — the cluster exists partly by "
+    "transitivity, the cue to re-verify before dropping). Exact "
+    "cross-engine: pair Jaccards are exact-integer ratios rounded "
+    "4dp, components are the deterministic min-doc_id labels, "
+    "cluster aggregates are integer algebra + one DECIMAL mean. "
+    "Plan: the q_k22 shared-shingle pair join (collision-bounded, "
+    "never all-pairs) + min-label propagation on the pair graph "
+    "(component-diameter rounds) + one cluster-keyed aggregate; "
+    "cluster frames are component-sized. Scales like q_k22.",
+    oracle=K127_ORACLE,
+)
+def q_k127_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = TX.shingle_rows(docs, "doc_id", "text", 3, hashed=True)
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        tok.alias("a")
+        .join(tok.alias("b"), "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("i"))
+    )
+    jac = F.col("i") * F.lit(1.0) / (F.col("s1.n") + F.col("s2.n") - F.col("i"))
+    pairs = (
+        inter.join(sizes.alias("s1"), F.col("d1") == F.col("s1.doc_id"))
+        .join(sizes.alias("s2"), F.col("d2") == F.col("s2.doc_id"))
+        .filter(jac >= 0.5)
+        .select("d1", "d2", F.round(jac, 4).alias("j4"))
+    )
+    pairs = track_persist(pairs)
+    cc = neardup_clusters(pairs.select("d1", "d2"))  # (doc_id, cluster_id, csize)
+    pe = pairs.join(
+        cc.select(F.col("doc_id").alias("d1"), "cluster_id"), "d1"
+    ).select("cluster_id", "j4")
+    csz = cc.select("cluster_id", "csize").distinct()
+    possible = (F.col("csize") * (F.col("csize") - 1) / 2).cast("bigint")
+    return (
+        pe.groupBy("cluster_id")
+        .agg(
+            F.count("j4").cast("bigint").alias("n_direct_pairs"),
+            F.min("j4").alias("min_jaccard"),
+            F.round(
+                F.sum(F.col("j4").cast("decimal(12,4)")).cast("double")
+                / F.count("j4"),
+                4,
+            ).alias("mean_jaccard"),
+        )
+        .join(csz, "cluster_id")
+        .select(
+            "cluster_id",
+            F.col("csize").cast("bigint").alias("csize"),
+            "n_direct_pairs",
+            possible.alias("possible_pairs"),
+            F.round(F.col("n_direct_pairs") * F.lit(1.0) / possible, 4).alias(
+                "edge_density"
+            ),
+            "min_jaccard",
+            "mean_jaccard",
+            (F.col("n_direct_pairs") < possible).alias("chained"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -947,3 +947,257 @@ def q_k122_quantization_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# q_k125 — diagonal participation ratio (effective embedding dimension)
+# --------------------------------------------------------------------------
+
+K125_ORACLE = """
+    WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+    el AS (
+        SELECT label, i, v[i] AS x
+        FROM e CROSS JOIN generate_series(1, 100000) g(i)
+        WHERE i <= len(v)
+    ),
+    mom AS (
+        SELECT label, i, COUNT(*) AS n,
+               SUM(CAST(ROUND(x, 8) AS DECIMAL(20, 8))) AS s1,
+               SUM(CAST(ROUND(x * x, 8) AS DECIMAL(20, 8))) AS s2
+        FROM el GROUP BY label, i
+    ),
+    dims AS (
+        SELECT label, n,
+               ROUND(GREATEST((CAST(s2 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / n,
+                    0.0), 8) AS v8
+        FROM mom
+    ),
+    agg AS (
+        SELECT label, MAX(n) AS n_vecs, COUNT(*) AS d,
+               SUM(CAST(v8 AS DECIMAL(20, 8))) AS tr,
+               SUM(CAST(ROUND(v8 * v8, 8) AS DECIMAL(20, 8))) AS fr,
+               MAX(v8) AS vmax
+        FROM dims GROUP BY label
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(n_vecs AS BIGINT) AS n_vecs,
+           ROUND(CAST(tr AS DOUBLE), 6) AS total_var,
+           CASE WHEN fr > 0 THEN
+               ROUND(CAST(tr AS DOUBLE) * CAST(tr AS DOUBLE)
+                     / CAST(fr AS DOUBLE), 4)
+           END AS eff_dim,
+           CASE WHEN fr > 0 THEN
+               ROUND(CAST(tr AS DOUBLE) * CAST(tr AS DOUBLE)
+                     / CAST(fr AS DOUBLE) / d, 4)
+           END AS eff_dim_frac,
+           CASE WHEN tr > 0 THEN ROUND(vmax / CAST(tr AS DOUBLE), 4) END
+               AS top_var_frac
+    FROM agg
+    ORDER BY label
+"""
+
+
+@register(
+    "q_k125_participation_ratio",
+    family="K",
+    doc="K-125 diagonal participation ratio — the effective number of "
+    "embedding dimensions carrying variance, PR = tr(C)^2 / ||diag(C)||^2 "
+    "= (SUM var_i)^2 / SUM var_i^2 over the per-label per-dimension "
+    "variances (Gao et al. 2017's participation ratio of the covariance "
+    "spectrum, under the same diagonal-covariance simplification q_k114's "
+    "FID uses — no eigendecomposition, so the whole estimate is exactly "
+    "SQL-reproducible). Complements the geometry battery: q_k98 measures "
+    "mean pairwise cosine (collapse toward a cone), q_k120 the TwoNN "
+    "manifold dimension (local), q_k46 the global PCA axes — this is the "
+    "axis-aligned variance concentration, the cheapest screen for an "
+    "embedding model that wastes most of its width (PR << d means a few "
+    "coordinates dominate; random isotropic vectors read PR close to d). "
+    "Per label: vector count, total variance (6dp), effective dimension "
+    "and its fraction of d (4dp), and the top single-dimension variance "
+    "share. Per-dim variance is the standard one-pass identity "
+    "(S2 - S1^2/n)/n over 8dp-rounded DECIMAL sums, clamped at 0 before "
+    "its own 8dp rounding (a constant dimension must not go negative by "
+    "double noise); trace and Frobenius sums are DECIMAL over the 8dp "
+    "per-dim terms (order-free, 64 terms); fully-degenerate labels pin "
+    "eff_dim to NULL via the q_k120/q_k122 guard class from birth. Plan: "
+    "one posexplode + a (label, pos) hash aggregate (the q_k89/q_k114 "
+    "moment discipline) -> labels x 64 rows; everything after is "
+    "label-sized. Scales to 100 TB: one corpus pass, map-side combined.",
+    oracle=K125_ORACLE,
+)
+def q_k125_participation_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    el = e.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "xf")
+    ).withColumn("x", F.col("xf").cast("double"))
+    mom = el.groupBy("label", "pos").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("x"), 8).cast("decimal(20,8)")).alias("s1"),
+        F.sum(
+            F.round(F.col("x") * F.col("x"), 8).cast("decimal(20,8)")
+        ).alias("s2"),
+    )
+    v8 = F.round(
+        F.greatest(
+            (
+                F.col("s2").cast("double")
+                - F.col("s1").cast("double")
+                * F.col("s1").cast("double")
+                / F.col("n")
+            )
+            / F.col("n"),
+            F.lit(0.0),
+        ),
+        8,
+    )
+    dims = mom.select("label", "n", v8.alias("v8"))
+    agg = dims.groupBy("label").agg(
+        F.max("n").cast("bigint").alias("n_vecs"),
+        F.count("*").alias("d"),
+        F.sum(F.col("v8").cast("decimal(20,8)")).alias("tr"),
+        F.sum(
+            F.round(F.col("v8") * F.col("v8"), 8).cast("decimal(20,8)")
+        ).alias("fr"),
+        F.max("v8").alias("vmax"),
+    )
+    tr_d = F.col("tr").cast("double")
+    fr_d = F.col("fr").cast("double")
+    return agg.select(
+        F.col("label").cast("bigint").alias("label"),
+        "n_vecs",
+        F.round(tr_d, 6).alias("total_var"),
+        F.when(F.col("fr") > 0, F.round(tr_d * tr_d / fr_d, 4)).alias(
+            "eff_dim"
+        ),
+        F.when(
+            F.col("fr") > 0, F.round(tr_d * tr_d / fr_d / F.col("d"), 4)
+        ).alias("eff_dim_frac"),
+        F.when(F.col("tr") > 0, F.round(F.col("vmax") / tr_d, 4)).alias(
+            "top_var_frac"
+        ),
+    ).orderBy("label")
+
+
+# --------------------------------------------------------------------------
+# q_k128 — embedding norm outlier screen
+# --------------------------------------------------------------------------
+
+K128_ORACLE = """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    el AS (
+        SELECT vec_id, label, v[i] AS x
+        FROM e CROSS JOIN generate_series(1, 100000) g(i)
+        WHERE i <= len(v)
+    ),
+    nv AS (
+        SELECT vec_id, label,
+               ROUND(sqrt(CAST(SUM(CAST(ROUND(x * x, 8) AS DECIMAL(20, 8)))
+                               AS DOUBLE)), 8) AS norm8
+        FROM el GROUP BY vec_id, label
+    ),
+    lm AS (
+        SELECT label, COUNT(*) AS n,
+               ROUND(CAST(SUM(CAST(norm8 AS DECIMAL(20, 8))) AS DOUBLE)
+                     / COUNT(*), 8) AS mean8
+        FROM nv GROUP BY label
+    )
+    SELECT CAST(nv.label AS BIGINT) AS label,
+           CAST(lm.n AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN nv.norm8 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero,
+           ROUND(lm.mean8, 6) AS mean_norm,
+           ROUND(CAST(MIN(nv.norm8) AS DOUBLE), 4) AS min_norm,
+           ROUND(CAST(MAX(nv.norm8) AS DOUBLE), 4) AS max_norm,
+           ROUND(SUM(CASE WHEN nv.norm8 > 2 * lm.mean8 THEN 1 ELSE 0 END)
+                 * 1.0 / lm.n, 4) AS frac_high,
+           ROUND(SUM(CASE WHEN nv.norm8 < 0.5 * lm.mean8 THEN 1 ELSE 0 END)
+                 * 1.0 / lm.n, 4) AS frac_low
+    FROM nv JOIN lm ON lm.label = nv.label
+    GROUP BY nv.label, lm.n, lm.mean8
+    ORDER BY label
+"""
+
+
+@register(
+    "q_k128_norm_outlier_screen",
+    family="K",
+    doc="K-128 embedding norm outlier screen — the sanity gate before "
+    "any cosine-based op: a handful of runaway-norm vectors (bad "
+    "decode, truncated inputs, fp overflow upstream) dominate dot "
+    "products and silently distort q_k21/q_k35/q_k109 near-dup "
+    "verdicts even though cosine itself normalizes (their buckets, "
+    "quantization scales and centroids do not). Per label: vector "
+    "count, exact-zero vectors, mean L2 norm, min/max, and the "
+    "fraction beyond fixed mean-relative fences (> 2x mean, "
+    "< 0.5x mean) — fences over the MEAN rather than a quantile so "
+    "the whole screen is two hash aggregates with no per-label sort "
+    "or value buffering (percentile aggs hold a group's values in "
+    "memory; this never does). Exact cross-engine: per-vector norm "
+    "is the 8dp sqrt of an 8dp-DECIMAL square sum (the q_k122 "
+    "discipline), the label mean is an 8dp division of a DECIMAL "
+    "sum, fence comparisons are identical double expressions of "
+    "those 8dp values, and an all-zero label degrades to frac 0/0-"
+    "free zeros by construction (fences at 0 exclude equality). "
+    "Plan: one posexplode + (vec, label) hash aggregate -> one "
+    "label aggregate -> one broadcast-sized join back. Scales to "
+    "100 TB: two linear passes, label-sized intermediates.",
+    oracle=K128_ORACLE,
+)
+def q_k128_norm_outlier_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    el = e.select(
+        "vec_id", "label", F.explode(F.col("embedding")).alias("xf")
+    ).withColumn("x", F.col("xf").cast("double"))
+    nv = el.groupBy("vec_id", "label").agg(
+        F.round(
+            F.sqrt(
+                F.sum(
+                    F.round(F.col("x") * F.col("x"), 8).cast("decimal(20,8)")
+                ).cast("double")
+            ),
+            8,
+        ).alias("norm8")
+    )
+    lm = nv.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("norm8").cast("decimal(20,8)")).cast("double")
+            / F.count("*"),
+            8,
+        ).alias("mean8"),
+    )
+    return (
+        nv.join(lm, "label")
+        .groupBy("label", "n", "mean8")
+        .agg(
+            F.sum((F.col("norm8") == 0).cast("int"))
+            .cast("bigint")
+            .alias("n_zero"),
+            F.round(F.min("norm8"), 4).alias("min_norm"),
+            F.round(F.max("norm8"), 4).alias("max_norm"),
+            F.round(
+                F.sum((F.col("norm8") > 2 * F.col("mean8")).cast("int"))
+                * F.lit(1.0)
+                / F.col("n"),
+                4,
+            ).alias("frac_high"),
+            F.round(
+                F.sum((F.col("norm8") < 0.5 * F.col("mean8")).cast("int"))
+                * F.lit(1.0)
+                / F.col("n"),
+                4,
+            ).alias("frac_low"),
+        )
+        .select(
+            F.col("label").cast("bigint").alias("label"),
+            F.col("n").cast("bigint").alias("n_vecs"),
+            "n_zero",
+            F.round(F.col("mean8"), 6).alias("mean_norm"),
+            "min_norm",
+            "max_norm",
+            "frac_high",
+            "frac_low",
+        )
+        .orderBy("label")
+    )

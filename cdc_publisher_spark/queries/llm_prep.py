@@ -982,3 +982,139 @@ def q_k123_contamination_severity(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(F.col("decile").cast("bigint").alias("decile"), "n_docs", "mean_cov")
         .orderBy("decile")
     )
+
+
+# --------------------------------------------------------------------------
+# q_k126 — dedup keeper policy audit (which copy survives?)
+# --------------------------------------------------------------------------
+
+K126_ORACLE = """
+    WITH d AS (
+        SELECT doc_id, source,
+               md5(array_to_string(list_sort(list_distinct(
+                   string_split(text, ' '))), ' ')) AS fp,
+               len(string_split(text, ' ')) AS nt
+        FROM documents
+    ),
+    src AS (SELECT source, SUM(nt) AS src_tok FROM d GROUP BY source),
+    dd AS (SELECT d.*, src.src_tok FROM d JOIN src USING (source)),
+    cl AS (
+        SELECT fp, COUNT(*) AS csize, MIN(doc_id) AS keep_base,
+               MIN(src_tok) AS min_tok
+        FROM dd GROUP BY fp
+    ),
+    rar AS (
+        SELECT dd.fp, MIN(dd.doc_id) AS keep_rar
+        FROM dd JOIN cl ON cl.fp = dd.fp AND dd.src_tok = cl.min_tok
+        GROUP BY dd.fp
+    ),
+    flagged AS (
+        SELECT dd.source, dd.nt, cl.csize,
+               dd.doc_id = cl.keep_base AS is_base,
+               dd.doc_id = rar.keep_rar AS is_rar
+        FROM dd
+        JOIN cl ON cl.fp = dd.fp
+        JOIN rar ON rar.fp = dd.fp
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS n_tok,
+           CAST(SUM(CASE WHEN csize > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dup_docs,
+           CAST(SUM(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT)
+               AS kept_base,
+           CAST(SUM(CASE WHEN is_rar THEN 1 ELSE 0 END) AS BIGINT)
+               AS kept_rarity,
+           CAST(SUM(CASE WHEN is_base THEN nt ELSE 0 END) AS BIGINT)
+               AS tok_kept_base,
+           CAST(SUM(CASE WHEN is_rar THEN nt ELSE 0 END) AS BIGINT)
+               AS tok_kept_rarity,
+           CAST(SUM(CASE WHEN is_rar THEN nt ELSE 0 END)
+                - SUM(CASE WHEN is_base THEN nt ELSE 0 END) AS BIGINT)
+               AS tok_delta
+    FROM flagged
+    GROUP BY source
+    ORDER BY source
+"""
+
+
+@register(
+    "q_k126_dedup_keeper_policy",
+    family="K",
+    doc="K-126 dedup keeper-policy audit: every dedup pass must pick "
+    "WHICH copy of a duplicate cluster survives, and the common "
+    "default (keep the earliest-ingested doc, q_k92's min-doc_id "
+    "keeper) systematically drains token mass from under-represented "
+    "sources — the data-mixing side effect Muennighoff/Gopher-style "
+    "budgets then have to correct. This query scores the alternative "
+    "against the default on the q_k9 set-fingerprint clusters (the "
+    "q_k112 cluster definition): policy A keeps min doc_id; policy B "
+    "keeps the copy from the source with the SMALLEST corpus token "
+    "mass (rarest source first, min doc_id tie-break inside it). Per "
+    "source: docs/tokens, docs in >1-size clusters, docs and token "
+    "mass kept under each policy, and the signed token delta B-A — "
+    "the mass the rarity-aware keeper repatriates. Pure integer "
+    "algebra end-to-end, bit-identical cross-engine. Plan: one token "
+    "pass for masses, one fingerprint hash aggregate, two fp-keyed "
+    "joins (cluster frame is cluster-sized); the source table is "
+    "broadcast-sized. Scales to 100 TB: everything keys on fp or "
+    "source, no windows, no quadratic terms.",
+    oracle=K126_ORACLE,
+)
+def q_k126_dedup_keeper_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        TX.set_fingerprint(F.col("text")).alias("fp"),
+        F.size(TX.words(F.col("text"))).alias("nt"),
+    )
+    src = d.groupBy("source").agg(F.sum("nt").alias("src_tok"))
+    dd = d.join(src, "source")
+    cl = dd.groupBy("fp").agg(
+        F.count("*").alias("csize"),
+        F.min("doc_id").alias("keep_base"),
+        F.min("src_tok").alias("min_tok"),
+    )
+    rar = (
+        dd.join(cl.select("fp", "min_tok"), "fp")
+        .filter(F.col("src_tok") == F.col("min_tok"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_rar"))
+    )
+    flagged = (
+        dd.join(cl.select("fp", "csize", "keep_base"), "fp")
+        .join(rar, "fp")
+        .select(
+            "source",
+            "nt",
+            "csize",
+            (F.col("doc_id") == F.col("keep_base")).alias("is_base"),
+            (F.col("doc_id") == F.col("keep_rar")).alias("is_rar"),
+        )
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("n_tok"),
+            F.sum((F.col("csize") > 1).cast("int"))
+            .cast("bigint")
+            .alias("dup_docs"),
+            F.sum(F.col("is_base").cast("int")).cast("bigint").alias("kept_base"),
+            F.sum(F.col("is_rar").cast("int")).cast("bigint").alias("kept_rarity"),
+            F.sum(F.when(F.col("is_base"), F.col("nt")).otherwise(0))
+            .cast("bigint")
+            .alias("tok_kept_base"),
+            F.sum(F.when(F.col("is_rar"), F.col("nt")).otherwise(0))
+            .cast("bigint")
+            .alias("tok_kept_rarity"),
+            (
+                F.sum(F.when(F.col("is_rar"), F.col("nt")).otherwise(0))
+                - F.sum(F.when(F.col("is_base"), F.col("nt")).otherwise(0))
+            )
+            .cast("bigint")
+            .alias("tok_delta"),
+        )
+        .orderBy("source")
+    )

@@ -99,13 +99,18 @@ SUITE_DIRS = {
 }
 
 
-#: Concurrent consumer chains per trigger. 4 overlaps the three heavy
-#: consumers (the profiled 90% of trigger wall) while cycling the six
-#: cheap ones through the remaining slot, and bounds how many
-#: consumers' persisted intermediates are live at once — raise it on
-#: executors with memory headroom, or pass ``parallelism=1`` to
+#: Concurrent consumer chains per trigger. 6 overlaps the three heavy
+#: consumers (the profiled 90% of trigger wall) AND most of the six
+#: cheap ones, while still bounding how many consumers' persisted
+#: intermediates are live at once. Measured r15 at the 8k-rows/trigger
+#: point (interleaved fresh-JVM reps, sf1 corpus): width 6 beat the
+#: old width 4 consistently (~1.09-1.12x, medians 36.9 s vs 41.4 s
+#: over 5 reps; every width-6 sample 34.6-38.4 s vs width-4
+#: 37.4-64.8 s); width 9 measured WORSE than 6 (medians 43.6 vs
+#: 41.0 s — over-subscription, the same lesson as the rejected r12
+#: nested concurrency). Pass ``parallelism=1`` to
 #: ``monitor_suite_batch`` for strictly sequential fan-out.
-SUITE_PARALLELISM = 4
+SUITE_PARALLELISM = 6
 
 
 def suite_dir(state_root: str, name: str) -> str:
