@@ -700,6 +700,14 @@ SCALING_EXTRAS = (
     "q_k122_quantization_fidelity",
     "q_k123_contamination_severity",
     "q_k124_context_gain_screen",
+    # r15 additions: the diagonal-PR moment pass (k114 shape), the
+    # fingerprint-keyed keeper-policy joins, the k22 pair graph +
+    # component closure + cluster aggregate (inherits k22's audit
+    # contract), and the two-pass norm fence screen
+    "q_k125_participation_ratio",
+    "q_k126_dedup_keeper_policy",
+    "q_k127_cluster_purity",
+    "q_k128_norm_outlier_screen",
 )
 
 

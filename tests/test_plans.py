@@ -531,6 +531,10 @@ PERSIST_AUDIT_ALLOWLIST: dict[str, str] = {
     "that set x a 10-row grid) — O(dup-density), not O(corpus), the "
     "k11 contract; each feeds two downstream consumers (pair counts + "
     "drop attribution)",
+    "q_k127_cluster_purity": "the persisted frame is the VERIFIED "
+    "near-dup pair set (Jaccard >= 0.5) feeding both the component "
+    "closure and the per-cluster purity aggregate — O(dup-density), "
+    "not O(corpus), the k11/k116 contract",
     "q_k119_lsh_recall_curve": "exact-Jaccard recall audit: persisted "
     "shingle frame feeds the all-pairs ground truth AND the banded "
     "signature side; all-pairs at audit scale by the same contract as "
@@ -619,6 +623,10 @@ JOIN_AUDIT_ALLOWLIST: dict[str, str] = {
     "trigram-Jaccard reference pair set it is recall-audited against",
     "q_k22_neardup_clusters": "connected components over q_k2's "
     "declared-exact pair graph; audit scale by the same contract",
+    "q_k127_cluster_purity": "the chaining audit of q_k22's components "
+    "— rides the identical shared-shingle pair join and inherits the "
+    "same declared-exact audit contract (production nominates via the "
+    "banded k3/k79 route)",
     "q_k25_incremental_dedup": "batch x history shared-shingle check: "
     "the batch side is O(batch) by construction; exact-audit twin of "
     "the streaming banded probe (k79)",
