@@ -543,29 +543,37 @@ def write_monitors(path: str = "MONITORS.md") -> None:
             "\n## Per-consumer wall inside the trigger\n\n"
             "Mean seconds per trigger for each of the nine consumer "
             "chains (clock starts when a pool worker picks the chain "
-            "up, so queue wait is excluded; chains run 4-wide, so "
-            "columns overlap and do NOT sum to the trigger wall — the "
+            "up, so queue wait is excluded; chains run "
+            "SUITE_PARALLELISM-wide — 6 since r15 — so columns "
+            "overlap and do NOT sum to the trigger wall — the "
             "trigger wall tracks the longest chain plus scheduling "
             "slack). **bold** = the longest chain at that point.\n\n"
-            "Heavy-chain adjudications (r13 VERDICT ask #1, measured "
-            "r14): **audio_dup** was the longest chain at every "
-            "saturated point (38.4 s/trigger at 8k) and was improved "
-            "~2.2x — batched-rfft fingerprinting + memoized synth "
-            "tones (bit-exact, tests/test_audio_vectorized.py) and the "
-            "count-pinned aligned write (state.aligned_repartition; "
-            "the unpinned 1024-dir fan write alone cost 14-18 s vs "
-            "2.5-3.3 s pinned). **dedup_lsh**, the longest chain "
-            "after that fix, is row/stage-bound by decomposition "
-            "(standalone 8k-row trigger: sign+bucket 2.4 s batch-"
-            "linear hash aggregate, nominate 0.9 s bucket-bounded "
-            "equi-join on 4,633 candidates, exact verify 3.7 s "
-            "candidate-bound over 150k shingle rows, aligned writes "
-            "~2 s; the in-suite excess over the ~16 s standalone sum "
-            "is 4-wide executor contention, which is the fan-out "
-            "working as designed). **embed_dup** is the same shape "
-            "over the 256-cell ebm fan (nominate bucket-bounded, "
-            "verify cosine-on-candidates) — its wall tracks candidate "
-            "mass, the measured bits tradeoff in "
+            "Heavy-chain adjudications. r14: **audio_dup** (the then-"
+            "longest chain, 38.4 s/trigger at 8k) vectorized ~2.2x "
+            "bit-exact + count-pinned aligned writes. **dedup_lsh**, "
+            "the longest chain since, is row/stage-bound by "
+            "decomposition (standalone 8k-row trigger: sign+bucket "
+            "2.4 s linear hash aggregate, nominate 0.9 s bucket-"
+            "bounded equi-join on 4,633 candidates, exact verify "
+            "3.7 s candidate-bound, aligned writes ~2 s). r15 "
+            "(r14 VERDICT ask #4) attacked it with both suggested "
+            "levers, measured by interleaved fresh-JVM reps: "
+            "(a) shingle-REUSE — the trigger now shingles the batch "
+            "once and feeds both the signature agg and the exact "
+            "verify (verify_candidates_from_shingles) — measured "
+            "PARITY at 8k rows (old median 20.2 s vs new 20.1 s over "
+            "6 reps, identical 275-pair output); kept because the "
+            "plan drops one posexplode+window shuffle whose cost "
+            "grows with dup density, recorded as parity, not a win. "
+            "(b) suite fan-out width: 6 beat 4 consistently at the 8k "
+            "point (medians 36.9 s vs 41.4 s over 5 reps each — "
+            "~1.09-1.12x, every width-6 sample 34.6-38.4 s vs "
+            "width-4 37.4-64.8 s) and is adopted; width 9 measured "
+            "WORSE than 6 (medians 43.6 vs 41.0 s — over-"
+            "subscription, the r12 nested-concurrency lesson at "
+            "suite level) and is rejected. **embed_dup** is the same "
+            "shape over the 256-cell ebm fan — its wall tracks "
+            "candidate mass, the measured bits tradeoff in "
             "operators/embed_lsh.py. No remaining chain has "
             "per-trigger work that grows faster than its candidate "
             "set.\n\n"
