@@ -1,10 +1,13 @@
 #!/usr/bin/env bash
 # One-command judge reproduction (r12 VERDICT ask #7): runs the full
 # evidence chain and prints the four verdict numbers —
-#   1. full pytest suite result (the 203-query oracle sweep included)
+#   1. full pytest suite result (the all-registered-queries oracle
+#      sweep included)
 #   2. registry import-diff vs the previous round tag (strict
 #      additivity: zero removals / zero oracle edits)
-#   3. spot-oracle pass over N never-driver-sampled queries
+#   3. spot-oracle pass over N queries, rotation preferring names
+#      with no PASS event in the VERIFIED.md ledger at the target sf
+#      (r14 ask #1: FAIL rows never count as coverage)
 #   4. diagnostic LoC (repo non-test source vs reference core)
 #
 # usage: tools/judge_repro.sh [PREV_REF=r12] [N_SPOT=12]
@@ -24,7 +27,7 @@ python -m pytest tests/ -q 2>&1 | tail -2 || rc=1
 echo "=== 2/4 registry import-diff vs ${PREV} ==="
 python tools/registry_diff.py "$PREV" || rc=1
 
-echo "=== 3/4 spot oracle over ${NSPOT} never-driver-sampled queries ==="
+echo "=== 3/4 spot oracle over ${NSPOT} queries (unledgered-at-sf first) ==="
 # Capture the tool's exit status explicitly: deriving rc from a
 # `... | grep -v ... || rc=1` pipeline under pipefail conflates the
 # tool's status with grep's (grep exits 1 when every line is
