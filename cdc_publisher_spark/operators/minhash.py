@@ -149,7 +149,9 @@ def verify_candidates(
     )
     docs_needed = docs.join(touched, id_col, "semi")
     tok = shingle_rows(docs_needed, id_col, text_col, shingle_k, hashed=True)
-    return verify_candidates_from_shingles(tok, cands, id_col, threshold)
+    # tok is already candidate-pruned — skip the second semi-join the
+    # precomputed-shingles entry point needs
+    return _verify_from_shingles(tok, cands, id_col, threshold)
 
 
 def verify_candidates_from_shingles(
@@ -170,7 +172,18 @@ def verify_candidates_from_shingles(
         .unionByName(cands.select(F.col("d2").alias(id_col)))
         .distinct()
     )
-    tok = tok.join(touched, id_col, "semi")
+    return _verify_from_shingles(
+        tok.join(touched, id_col, "semi"), cands, id_col, threshold
+    )
+
+
+def _verify_from_shingles(
+    tok: DataFrame,
+    cands: DataFrame,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Shared verify core over candidate-pruned hashed shingle rows."""
     sizes = tok.groupBy(id_col).agg(F.count("*").alias("n"))
     inter = (
         tok.alias("ta")
