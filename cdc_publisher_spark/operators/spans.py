@@ -43,6 +43,28 @@ def _tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _gram_tokens(
+    docs: DataFrame, n: int, id_col: str, text_col: str
+) -> DataFrame:
+    """One row per token with its n-gram context: (id, pos, w, g,
+    _full) where ``g`` is the xxhash64 of the n-gram STARTING here and
+    ``_full`` marks positions with a complete n-gram (the last n-1
+    positions of each doc are not full). Single posexplode + one
+    per-doc window — the shared scan both the frequent-gram count and
+    the masking pass derive from (r15: previously three separate
+    explode passes plus an (id, pos) join re-attached the flags)."""
+    w = W.partitionBy(id_col).orderBy("pos")
+    toks = _tokens(docs, id_col, text_col)
+    parts = [F.col("w")] + [F.lead("w", j).over(w) for j in range(1, n)]
+    return toks.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.col("w"),
+        F.xxhash64(F.concat_ws(" ", *parts)).alias("g"),
+        F.lead("w", n - 1).over(w).isNotNull().alias("_full"),
+    )
+
+
 def frequent_ngram_starts(
     docs: DataFrame,
     n: int = 4,
@@ -56,15 +78,7 @@ def frequent_ngram_starts(
     negligible at any realistic gram cardinality (and would only ever
     merge two counts, never drop a span).
     """
-    w = W.partitionBy(id_col).orderBy("pos")
-    toks = _tokens(docs, id_col, text_col)
-    parts = [F.col("w")] + [F.lead("w", j).over(w) for j in range(1, n)]
-    grams = toks.select(
-        F.col(id_col),
-        F.col("pos"),
-        F.xxhash64(F.concat_ws(" ", *parts)).alias("g"),
-        F.lead("w", n - 1).over(w).isNotNull().alias("_full"),
-    ).filter("_full")
+    grams = _gram_tokens(docs, n, id_col, text_col).filter("_full")
     frequent = (
         grams.groupBy("g").agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") >= min_count)
@@ -88,12 +102,24 @@ def mask_frequent_ngrams(
     adjacent occurrences merge naturally: a token is masked iff ANY
     frequent gram starts within the previous ``n-1`` positions.
     """
-    starts = frequent_ngram_starts(docs, n, min_count, id_col, text_col).withColumn(
-        "st", F.lit(1)
+    # ONE tokenize+window pass (r15): each token row carries the hash
+    # of the n-gram starting at it, so the start flags attach with a
+    # g-keyed left join against the (small by construction) frequent
+    # set instead of re-exploding the corpus and joining on (id, pos).
+    # Partial trailing grams (_full = false) hash a <n-token string,
+    # which can never equal a full n-gram string (full grams contain
+    # exactly n-1 spaces, tokens contain none), but the _full guard
+    # makes the exclusion explicit rather than relying on that.
+    gramtok = _gram_tokens(docs, n, id_col, text_col)
+    frequent = (
+        gramtok.filter("_full")
+        .groupBy("g")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("g", F.lit(1).alias("st"))
     )
-    toks = _tokens(docs, id_col, text_col)
-    flagged = toks.join(starts, [id_col, "pos"], "left").withColumn(
-        "st", F.coalesce(F.col("st"), F.lit(0))
+    flagged = gramtok.join(frequent, "g", "left").withColumn(
+        "st", F.when(F.col("_full") & F.col("st").isNotNull(), 1).otherwise(0)
     )
     cover = W.partitionBy(id_col).orderBy("pos").rowsBetween(-(n - 1), 0)
     masked = flagged.withColumn("masked", F.max("st").over(cover))

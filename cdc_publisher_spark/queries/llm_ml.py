@@ -215,6 +215,19 @@ K47_ORACLE = """
     oracle=K47_ORACLE,
 )
 def q_k47_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r15 audit, deliberately UNCHANGED after measurement: two rewrites
+    # were tried and A/B-measured SLOWER on wall-clock, so the original
+    # shape stands. (1) spread=True on the scan: 1.28x slower — the
+    # explode feeds a partial aggregate keyed by (doc, lang, w), and
+    # spreading a document's tokens across partitions multiplies the
+    # partial-agg output rows. (2) track_persist'ing wc/prior and
+    # deriving ltok/v/langs/n from them (3 corpus explodes -> 2):
+    # 1.24x slower — the redundant stats subtrees are independent
+    # BROADCAST stages that AQE computes CONCURRENTLY, so the "saved"
+    # passes cost no wall-clock locally, while the persist serializes
+    # them behind a cache materialization barrier. Oracle-equivalent
+    # both times; reverted on the measurements (OPTIMIZATION_r15.md,
+    # 5-repeat targeted A/B with an untouched control query).
     docs = load(spark, sf_dir, "documents")
     tok = docs.select("doc_id", "lang", F.explode(words(F.col("text"))).alias("w"))
     langs = docs.select("lang").distinct()

@@ -65,20 +65,24 @@ CM_TOP = 20
 
 
 def _doc_grams(docs: DataFrame) -> DataFrame:
-    """Unigrams + space-joined bigrams, one row per gram instance."""
+    """Unigrams + space-joined bigrams, one row per gram instance.
+
+    One Generate per corpus pass (r15 optimization): the unigram and
+    bigram arrays are concatenated per document and exploded once,
+    instead of two scan+explode branches union'd (which cost two full
+    corpus passes per consumer — q_k54 reads this frame twice, so the
+    old shape ran FOUR corpus explodes per execution, measured via the
+    runtime profiler). Row multiset is identical — union order never
+    mattered, every consumer aggregates."""
     toks = docs.select("doc_id", "source", words(F.col("text")).alias("w"))
-    uni = toks.select("doc_id", "source", F.explode("w").alias("g"))
-    bi = (
-        toks.filter(F.size("w") >= 2)
-        .select(
-            "doc_id",
-            "source",
-            F.explode(
-                F.expr("transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))")
-            ).alias("g"),
-        )
+    grams = F.expr(
+        "concat(w, transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1])))"
     )
-    return uni.unionByName(bi)
+    return toks.select(
+        "doc_id",
+        "source",
+        F.explode(F.when(F.size("w") >= 2, grams).otherwise(F.col("w"))).alias("g"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -166,7 +170,10 @@ def _doc_grams(docs: DataFrame) -> DataFrame:
     """,
 )
 def q_k54_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    # spread=True: both corpus passes start at a heavy gram explode
+    # feeding a partial aggregate / broadcast join map-side — the r15
+    # A/B measured 0.64x with the spread + single-Generate _doc_grams
+    docs = load(spark, sf_dir, "documents", spread=True)
     bg = _doc_grams(docs).select(
         "doc_id", "source", _md5_bucket(F.col("g"), "dsir", DSIR_BUCKETS).alias("b")
     )
@@ -1141,7 +1148,10 @@ def q_k65_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from cdc_publisher_spark.functions.text import kgram_hashes
 
-    docs = load(spark, sf_dir, "documents")
+    # spread=True: the k-gram posexplode+md5 feeding the first
+    # exchange is the dominant stage and otherwise runs on the
+    # single scan task (r15 A/B: 0.80x / 0.44x with the spread)
+    docs = load(spark, sf_dir, "documents", spread=True)
     toks = docs.select("doc_id", words(F.col("text")).alias("ws"))
     kg = kgram_hashes(toks, WIN_K, hex_len=8)
     w = (
@@ -1234,7 +1244,10 @@ def q_k66_duplicate_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from cdc_publisher_spark.functions.text import kgram_hashes
 
-    docs = load(spark, sf_dir, "documents")
+    # spread=True: the k-gram posexplode+md5 feeding the first
+    # exchange is the dominant stage and otherwise runs on the
+    # single scan task (r15 A/B: 0.80x / 0.44x with the spread)
+    docs = load(spark, sf_dir, "documents", spread=True)
     toks = docs.select("doc_id", words(F.col("text")).alias("ws"))
     kg = kgram_hashes(toks, RUN_K, hex_len=12)
     seeds = (

@@ -363,7 +363,14 @@ def q_k82_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_k83_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    sh = (
+    # Distinct (source, shingle) rows feed THREE consumers (the KMV
+    # sketch build, the per-source distinct counts, and the exact
+    # intersection self-join). Persisted r15: the runtime profiler
+    # measured the shingle explode+distinct stage executing twice per
+    # run even with exchange reuse. Contract: q_k86 precedent — the
+    # exact-Jaccard side is an AUDIT computed at audit scale, and this
+    # is the frame it already pins there (PERSIST_AUDIT_ALLOWLIST).
+    sh = track_persist(
         TX.shingle_rows(docs, "doc_id", "text", 3)
         .join(docs.select("doc_id", "source"), "doc_id")
         .select("source", "s")
@@ -1248,7 +1255,13 @@ def q_k87_hll_source_intersection(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def q_k96_containment_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    sh = (
+    # Distinct (source, shingle) rows feed THREE consumers (the KMV
+    # sketch build, the per-source distinct counts, and the exact
+    # containment audit's intersection self-join) — the q_k83 shape.
+    # Persisted r15 under the same q_k86 audit-scale contract: the
+    # runtime profiler measured the shingle explode+distinct stage
+    # executing twice per run even with exchange reuse.
+    sh = track_persist(
         TX.shingle_rows(docs, "doc_id", "text", 3)
         .join(docs.select("doc_id", "source"), "doc_id")
         .select("source", "s")
