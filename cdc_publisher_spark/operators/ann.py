@@ -261,10 +261,13 @@ def _blas_candidate_pairs(
         n_tiles = max(1, math.ceil(n / tile_rows))
         # one materialization feeds n_tiles collects + n_tiles scans;
         # scoped via the registry tracker so a long-lived session frees
-        # it when the next registered query starts
+        # it when the next registered query starts. Vector-corpus
+        # cardinality: explicit SERIALIZED level (VERDICT r15 ask #6).
+        from pyspark.storagelevel import StorageLevel
+
         from cdc_publisher_spark.registry import track_persist
 
-        v = track_persist(v)
+        v = track_persist(v, level=StorageLevel.MEMORY_AND_DISK)
     # float32 mine (see _tile_miner): 1e-3 band >> f32 rounding, and
     # the exact re-score re-filters at the true threshold, so a wider
     # band costs only a few extra candidates, never a wrong pair.

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from cdc_publisher_spark.functions import text as TX
 from cdc_publisher_spark.operators.ann import cosine_pairs_exact
@@ -198,7 +199,9 @@ def q_k35_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mine once, cache the (small) pair set: the closure and the audit
     # both read it, and without the cache every reference re-runs the
     # k-means fit + within-cluster join
-    mined = track_persist(semantic_dedup_pairs(e, thr))
+    mined = track_persist(
+        semantic_dedup_pairs(e, thr), level=StorageLevel.MEMORY_AND_DISK
+    )
     sd = semantic_dedup(e, thr, pairs=mined)
 
     n_vec = e.agg(F.count("*").alias("_n_vec"))
@@ -868,13 +871,17 @@ def q_k116_dedup_threshold_sensitivity(
 
     docs = load(spark, sf_dir, "documents")
     # mined once at the 0.5 floor — the grid only ever tightens it
-    pairs = track_persist(minhash_near_duplicates(docs, threshold=0.5))
+    pairs = track_persist(
+        minhash_near_duplicates(docs, threshold=0.5),
+        level=StorageLevel.MEMORY_AND_DISK,
+    )
     grid = spark.createDataFrame([(t,) for t in DEDUP_T_GRID], "t int")
     # pair-set x 10-row grid: the adjudicated scalar-broadcast BNLJ
     pg = track_persist(
         pairs.crossJoin(F.broadcast(grid))
         .filter(F.col("jaccard") >= F.col("t") / 100.0)
-        .select("t", "d1", "d2")
+        .select("t", "d1", "d2"),
+        level=StorageLevel.MEMORY_AND_DISK,
     )
     pc = pg.groupBy("t").agg(F.count("*").cast("bigint").alias("n_pairs"))
     nw = load(spark, sf_dir, "documents").select(
@@ -1004,7 +1011,7 @@ def q_k127_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.5)
         .select("d1", "d2", F.round(jac, 4).alias("j4"))
     )
-    pairs = track_persist(pairs)
+    pairs = track_persist(pairs, level=StorageLevel.MEMORY_AND_DISK)
     cc = neardup_clusters(pairs.select("d1", "d2"))  # (doc_id, cluster_id, csize)
     pe = pairs.join(
         cc.select(F.col("doc_id").alias("d1"), "cluster_id"), "d1"

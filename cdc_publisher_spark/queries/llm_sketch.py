@@ -69,6 +69,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from cdc_publisher_spark.functions import text as TX
 from cdc_publisher_spark.registry import register, track_persist
@@ -170,7 +171,9 @@ def q_k81_bloom_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reused by the bloom build AND the exact-verdict join: cache the
     # even-split distinct so the scan + md5 + distinct shuffle runs once
     hist = track_persist(
-        docs.filter(F.col("doc_id") % 2 == 0).select(key.alias("k")).distinct()
+        docs.filter(F.col("doc_id") % 2 == 0).select(key.alias("k")).distinct(),
+        # doc-cardinality key frame: explicit serialized level (r15 #6)
+        level=StorageLevel.MEMORY_AND_DISK,
     )
     # the filter itself: bit positions packed into bigint words — the
     # groupBy's map-side combine merges per-partition partial filters
@@ -367,14 +370,21 @@ def q_k83_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sketch build, the per-source distinct counts, and the exact
     # intersection self-join). Persisted r15: the runtime profiler
     # measured the shingle explode+distinct stage executing twice per
-    # run even with exchange reuse. Contract: q_k86 precedent — the
-    # exact-Jaccard side is an AUDIT computed at audit scale, and this
-    # is the frame it already pins there (PERSIST_AUDIT_ALLOWLIST).
+    # run even with exchange reuse. The persist tripwire
+    # (tests/test_plans.py) passes this frame on its own merits — the
+    # distinct (source, shingle) aggregate is VALUE-cardinality
+    # (detector-clean), not via any allowlist entry; the exact-Jaccard
+    # consumer is an audit computed at audit scale (the q_k86 contract
+    # for the SEMANTICS, not the tripwire mechanism). Distinct shingles
+    # still scale with the corpus, so the level is explicitly
+    # SERIALIZED memory+disk, never the deserialized default
+    # (VERDICT r15 ask #6).
     sh = track_persist(
         TX.shingle_rows(docs, "doc_id", "text", 3)
         .join(docs.select("doc_id", "source"), "doc_id")
         .select("source", "s")
-        .distinct()
+        .distinct(),
+        level=StorageLevel.MEMORY_AND_DISK,
     )
     hs = sh.select(
         "source",
@@ -867,7 +877,12 @@ CAL_BANDS = 8  # 8 bands x 2 rows
 )
 def q_k86_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    sh = track_persist(TX.shingle_rows(docs, "doc_id", "text", 3))
+    # shingle-cardinality frame (corpus-scale): explicit SERIALIZED
+    # level, never the deserialized default (VERDICT r15 ask #6)
+    sh = track_persist(
+        TX.shingle_rows(docs, "doc_id", "text", 3),
+        level=StorageLevel.MEMORY_AND_DISK,
+    )
 
     def hcol(i: int):
         return F.conv(
@@ -877,7 +892,9 @@ def q_k86_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = track_persist(
         sh.groupBy("doc_id").agg(
             *[F.min(hcol(i)).alias(f"h{i}") for i in range(CAL_PERMS)]
-        )
+        ),
+        # one wide row per doc — doc-cardinality, serialized (r15 #6)
+        level=StorageLevel.MEMORY_AND_DISK,
     )
     bands = sig.select(
         "doc_id",
@@ -901,7 +918,8 @@ def q_k86_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         x.join(y, ["band", "h1", "h2"])
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
-        .distinct()
+        .distinct(),
+        level=StorageLevel.MEMORY_AND_DISK,
     )
     sa, sb = sig.alias("sa"), sig.alias("sb")
     nm = sum(
@@ -922,7 +940,10 @@ def q_k86_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = cand.select(F.col("d1").alias("doc_id")).union(
         cand.select(F.col("d2").alias("doc_id"))
     ).distinct()
-    shc = track_persist(sh.join(ids, "doc_id", "left_semi"))
+    shc = track_persist(
+        sh.join(ids, "doc_id", "left_semi"),
+        level=StorageLevel.MEMORY_AND_DISK,  # shingle-cardinality (r15 #6)
+    )
     a, b_ = shc.alias("a"), shc.alias("b")
     inter = (
         cand.join(a, F.col("d1") == F.col("a.doc_id"))
@@ -1257,15 +1278,16 @@ def q_k96_containment_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     # Distinct (source, shingle) rows feed THREE consumers (the KMV
     # sketch build, the per-source distinct counts, and the exact
-    # containment audit's intersection self-join) — the q_k83 shape.
-    # Persisted r15 under the same q_k86 audit-scale contract: the
-    # runtime profiler measured the shingle explode+distinct stage
-    # executing twice per run even with exchange reuse.
+    # containment audit's intersection self-join) — the q_k83 shape,
+    # same tripwire status (value-cardinality distinct, detector-clean,
+    # no allowlist entry) and same explicit SERIALIZED level: distinct
+    # shingles scale with the corpus (VERDICT r15 ask #6).
     sh = track_persist(
         TX.shingle_rows(docs, "doc_id", "text", 3)
         .join(docs.select("doc_id", "source"), "doc_id")
         .select("source", "s")
-        .distinct()
+        .distinct(),
+        level=StorageLevel.MEMORY_AND_DISK,
     )
     hs = sh.select(
         "source",
@@ -1429,7 +1451,11 @@ def q_k96_containment_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_k119_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    sh = track_persist(TX.shingle_rows(docs, "doc_id", "text", 3))
+    sh = track_persist(
+        TX.shingle_rows(docs, "doc_id", "text", 3),
+        # shingle-cardinality audit frame: serialized level (r15 #6)
+        level=StorageLevel.MEMORY_AND_DISK,
+    )
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b_ = sh.alias("a"), sh.alias("b")
     inter = (

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from cdc_publisher_spark.operators.ann import ann_topk
 from cdc_publisher_spark.operators.fingerprint import rolling_fingerprint
@@ -100,7 +101,10 @@ def q_k11_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     # both miners feed two audit branches each; cache the small pair sets
-    found = track_persist(simhash_near_duplicates(docs, max_hamming=3).select("d1", "d2"))
+    found = track_persist(
+        simhash_near_duplicates(docs, max_hamming=3).select("d1", "d2"),
+        level=StorageLevel.MEMORY_AND_DISK,
+    )
 
     # exact trigram-Jaccard >= 0.5 reference set (the q_k2 machinery)
     tok = TX.shingle_rows(docs, "doc_id", "text", 3, hashed=True)
@@ -118,7 +122,7 @@ def q_k11_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("i") * 1.0 / (F.col("s1.n") + F.col("s2.n") - F.col("i")) >= 0.5)
         .select("d1", "d2")
     )
-    ref = track_persist(ref)
+    ref = track_persist(ref, level=StorageLevel.MEMORY_AND_DISK)
     hits = ref.join(found, ["d1", "d2"], "left_semi")
     stats = ref.agg(F.count("*").alias("n_reference_pairs")).crossJoin(
         hits.agg(F.count("*").alias("_n_hit"))
@@ -358,7 +362,8 @@ def q_k55_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = docs.select(
         F.col("doc_id").alias("media_id"), F.md5("text").alias("tkey")
     ).join(hashes, "media_id")
-    keyed = track_persist(keyed)
+    # per-media fingerprint frame — media-cardinality, serialized (r15 #6)
+    keyed = track_persist(keyed, level=StorageLevel.MEMORY_AND_DISK)
     per_text = keyed.groupBy("tkey").agg(
         F.countDistinct("dhash").alias("n_hashes")
     )
@@ -438,7 +443,8 @@ def q_k106_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.synth_media_from_text(docs, id_col="doc_id", text_col="text")
     # fingerprint once; the candidate join, verify join-back, and the
     # per-text audits below all reuse the frame rows
-    fp = track_persist(MM.audio_fingerprint(media))
+    # per-media fingerprint rows — media-cardinality, serialized (r15 #6)
+    fp = track_persist(MM.audio_fingerprint(media), level=StorageLevel.MEMORY_AND_DISK)
     keyed = docs.select(
         F.col("doc_id").alias("media_id"), F.md5("text").alias("tkey")
     )

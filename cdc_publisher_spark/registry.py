@@ -35,12 +35,21 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 _PERSISTED: list[DataFrame] = []
 
 
-def track_persist(df: DataFrame) -> DataFrame:
+def track_persist(df: DataFrame, level=None) -> DataFrame:
     """``df.persist()`` with scoped lifetime: the cache is dropped when
     the next registered query starts (see ``_PERSISTED``). Use this —
     not bare ``.persist()`` — anywhere inside a registered callable or
-    an operator it delegates to."""
-    _PERSISTED.append(df.persist())
+    an operator it delegates to.
+
+    ``level``: optional ``pyspark.StorageLevel``. Frames whose
+    cardinality scales with the corpus (shingle/gram/signature frames —
+    anything the plan tripwire in tests/test_plans.py flags) must pass
+    an explicit SERIALIZED level (``StorageLevel.MEMORY_AND_DISK``):
+    the PySpark default is MEMORY_AND_DISK_DESER, and a deserialized
+    corpus-scale cache thrashes the block manager long before it spills
+    (VERDICT r15 ask #6). Bounded frames (pair sets, per-source
+    sketches, sample blocks) keep the default."""
+    _PERSISTED.append(df.persist(level) if level is not None else df.persist())
     return df
 
 

@@ -38,9 +38,13 @@ def table_path(sf_dir: str, name: str) -> str:
 #: per-row work downstream is too small to pay even a tiny exchange.
 _SPREAD_MIN_BYTES = 128 * 1024
 
-#: Cache of (sf_dir, name) -> scan partition count, so repeated load()
-#: calls (every query build) don't re-derive it.
-_SCAN_PARTS: dict[tuple[str, str], int] = {}
+#: Cache of scan partition counts, so repeated load() calls (every
+#: query build) don't re-derive one. Keyed by (application id, path,
+#: file size, file mtime) — ADVICE r15: the count depends on session
+#: config (maxPartitionBytes, parallelism) and the on-disk layout, so
+#: a second session in the same process, or a regenerated file at the
+#: same path, must not read a stale count.
+_SCAN_PARTS: dict[tuple, int] = {}
 
 #: Unique row key per table (where one exists) for the keyed spread.
 _SPREAD_KEYS: dict[str, str] = {
@@ -89,14 +93,16 @@ def _spread_small_scan(spark: SparkSession, df: DataFrame, path: str, key) -> Da
             os.path.getsize(os.path.join(r, f))
             for r, _, fs in os.walk(path) for f in fs
         )
+        mtime = os.stat(path).st_mtime_ns
     except OSError:
         return df
     if size < _SPREAD_MIN_BYTES:
         return df
     target = spark.sparkContext.defaultParallelism
-    if key not in _SCAN_PARTS:
-        _SCAN_PARTS[key] = df.rdd.getNumPartitions()
-    if _SCAN_PARTS[key] >= target:
+    cache_key = (spark.sparkContext.applicationId, path, size, mtime)
+    if cache_key not in _SCAN_PARTS:
+        _SCAN_PARTS[cache_key] = df.rdd.getNumPartitions()
+    if _SCAN_PARTS[cache_key] >= target:
         return df
     # Hash-repartition on the table's unique row key where one exists,
     # round-robin otherwise: the keyed form skips the local

@@ -559,7 +559,8 @@ def test_no_corpus_sized_persisted_frames(spark, sf_smoke, monkeypatch):
     captured: list = []
 
     def fake_persist(self, *a, **k):
-        captured.append(self)
+        level = a[0] if a else k.get("storageLevel") or k.get("level")
+        captured.append((self, level))
         return self
 
     import pyspark.sql.dataframe as _base
@@ -578,18 +579,33 @@ def test_no_corpus_sized_persisted_frames(spark, sf_smoke, monkeypatch):
             monkeypatch.setattr(cls, "cache", fake_persist)
     offenders = {}
     allowlisted_hits: set[str] = set()
+    deser_offenders = {}
     total_persists = 0
     for name, spec in sorted(all_specs().items()):
         captured.clear()
         spec.spark(spark, sf_smoke)
         total_persists += len(captured)
-        offs = [p for p in (corpus_sized_plan(c) for c in list(captured)) if p]
+        snap = list(captured)
+        offs = [p for df, _ in snap if (p := corpus_sized_plan(df))]
         if offs:
             if name in PERSIST_AUDIT_ALLOWLIST:
                 allowlisted_hits.add(name)
             else:
                 offenders[name] = offs[0][:160]
+        # VERDICT r15 ask #6 tripwire: a persist of a frame the detector
+        # flags corpus-sized must carry an EXPLICIT non-deserialized
+        # StorageLevel — the allowlist sanctions the persist's existence
+        # (audit contract / selectivity the plan can't show), never the
+        # deserialized-memory default, which thrashes the block manager
+        # at 100 TB long before it spills.
+        for df, level in snap:
+            if corpus_sized_plan(df) and (level is None or level.deserialized):
+                deser_offenders.setdefault(name, []).append(str(level))
     assert not offenders, offenders
+    assert not deser_offenders, (
+        "corpus-sized persisted frames defaulting to deserialized memory",
+        deser_offenders,
+    )
     # canary: the sweep must be NON-vacuous — the interception hook
     # captured real persists, and every allowlist entry is load-bearing
     # (a stale entry would hide a future regression behind an exemption)

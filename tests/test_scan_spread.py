@@ -25,6 +25,11 @@ from cdc_publisher_spark import tables
 from cdc_publisher_spark.tables import load
 
 SF01 = "/root/testdata/sf0.1"
+# Size-threshold tests pin the EXPLICIT sf0.01 path rather than the
+# env-overridable sf_oracle fixture (ADVICE r15): pointing
+# SPARK_GRAFT_TEST_SF_DIR at a bigger SF would push documents over the
+# 128 KiB spread floor and fail these tests spuriously.
+SF001 = "/root/testdata/sf0.01"
 
 
 def _plan(df) -> str:
@@ -38,11 +43,16 @@ def test_default_load_never_spreads(spark, sf_oracle):
         assert "Exchange" not in plan, (name, plan)
 
 
-def test_small_tables_keep_native_scan_even_opted_in(spark, sf_oracle):
+def test_small_tables_keep_native_scan_even_opted_in(spark):
     # nation is a DIM table; documents at sf0.01 is under the 128 KiB
     # spread floor — neither may pay an exchange even with spread=True
+    import os
+
+    from cdc_publisher_spark.tables import _SPREAD_MIN_BYTES, table_path
+
+    assert os.path.getsize(table_path(SF001, "documents")) < _SPREAD_MIN_BYTES
     for name in ("nation", "documents"):
-        plan = _plan(load(spark, sf_oracle, name, spread=True))
+        plan = _plan(load(spark, SF001, name, spread=True))
         assert "Exchange" not in plan, (name, plan)
 
 
@@ -72,7 +82,16 @@ def test_spread_is_noop_when_scan_already_parallel(spark, sf_oracle):
     # session's parallelism, no repartition is added. Simulated by the
     # exact branch load() takes — a cached scan-partition count at or
     # above target returns the frame untouched.
-    key = (sf_oracle, "lineitem")
+    import os
+
+    path = tables.table_path(sf_oracle, "lineitem")
+    st = os.stat(path)
+    key = (
+        spark.sparkContext.applicationId,
+        path,
+        os.path.getsize(path),
+        st.st_mtime_ns,
+    )
     old = tables._SCAN_PARTS.get(key)
     try:
         tables._SCAN_PARTS[key] = spark.sparkContext.defaultParallelism
@@ -102,11 +121,12 @@ def test_pushdown_and_pruning_survive_the_spread(spark):
     assert "LessThan(l_quantity" in scan
 
 
-def test_spread_rows_identical(spark, sf_oracle):
+def test_spread_rows_identical(spark):
     # the spread changes layout, never content: multiset equality on a
-    # spread table vs the raw reader
-    a = load(spark, sf_oracle, "orders", spread=True)  # 281 KiB -> fires (keyed)
-    b = spark.read.parquet(tables.table_path(sf_oracle, "orders"))
+    # spread table vs the raw reader. Pinned to the explicit sf0.01
+    # path (ADVICE r15) where orders (281 KiB) is known to fire.
+    a = load(spark, SF001, "orders", spread=True)
+    b = spark.read.parquet(tables.table_path(SF001, "orders"))
     assert a.count() == b.count()
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0

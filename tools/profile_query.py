@@ -53,7 +53,13 @@ def main() -> int:
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
-    base = "http://localhost:4055/api/v1"
+    # read the ACTUAL bound UI address — if 4055 was taken Spark retries
+    # onto 4056+ and a hardcoded URL would scrape a different app
+    # (ADVICE r15)
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        raise SystemExit("Spark UI not enabled — cannot profile")
+    base = f"{ui}/api/v1"
     app_id = _get(f"{base}/applications")[0]["id"]
 
     specs = all_specs()
