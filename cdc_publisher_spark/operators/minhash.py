@@ -119,10 +119,40 @@ def minhash_near_duplicates(
 
     Output (d1, d2, jaccard) — identical semantics to the exhaustive
     q_k2 join, at candidate-pair cost.
+
+    One shingle pass (r16, guide §2.4): the signature aggregation and
+    the exact verify both consume the SAME ``shingle_rows`` frame, so
+    the posexplode+shuffle under the shingle window is planned once and
+    its exchange REUSED by every consumer — previously the verify leg
+    re-shingled a semi-join-pruned doc frame, a *different* subtree
+    that exchange reuse cannot collapse, so every execution re-ran the
+    full corpus tokenize+shuffle (the streaming twin has shared the
+    frame this way since r14 — ask #4a). Measured 0.879 at sf1
+    (5-repeat interleaved A/B). No extra scan at 100 TB: the signing
+    pass must touch every document anyway, and the verify-side
+    semi-join prune still applies on top of the reused exchange output.
+
+    Two deeper rewrites were tried r16 and MEASURED WORSE, recorded
+    here so they are not re-tried blind: (1) an explicit barrier
+    ``repartition("s")`` above the distinct to stop the window+gram
+    pipeline replaying per consumer — the barrier shuffles the
+    UNCOMPRESSIBLE 8-byte hash rows (33.9 -> 282 MB total shuffle
+    write at sf1) and wall went 20.3 -> 25.4 s (a doc-keyed repartition
+    is removed as redundant by the planner, so it cannot serve as the
+    barrier at all); (2) feeding the verify's doc sizes from the
+    signature frame instead of ``tok.groupBy().count()`` — sig has no
+    exchange of its own (doc-clustered input), so the sizes consumer
+    replayed the 32×xxhash64 min-aggregate instead of a cheap count
+    (executor time 249 -> 330 s). The window pipeline replays above the
+    reused exchange remain the structural floor of this shape: every
+    materialization alternative (persist / localCheckpoint) pins a
+    corpus-cardinality frame, which the 100 TB persist tripwire
+    forbids.
     """
-    sig = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_k)
+    tok = shingle_rows(docs, id_col, text_col, shingle_k, hashed=True)
+    sig = minhash_signatures_from_shingles(tok, id_col, n_hashes)
     cands = lsh_candidate_pairs(sig, id_col, n_hashes, bands)
-    return verify_candidates(docs, cands, id_col, text_col, threshold, shingle_k)
+    return verify_candidates_from_shingles(tok, cands, id_col, threshold)
 
 
 def verify_candidates(
@@ -251,9 +281,17 @@ def incremental_near_duplicates(
     at ``threshold``.
     """
     if history_index is None:
-        sig = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_k)
+        # derived-index form: the signing pass shingles the whole
+        # corpus anyway, so the exact verify reuses the SAME shingle
+        # frame (exchange reuse collapses the two subtrees — the
+        # minhash_near_duplicates r16 treatment; the prune to
+        # candidate-touching ids happens inside the verify)
+        tok = shingle_rows(docs, id_col, text_col, shingle_k, hashed=True)
+        sig = minhash_signatures_from_shingles(tok, id_col, n_hashes)
         buckets = lsh_buckets(sig, id_col, n_hashes, bands)
         probe = buckets.join(new_ids, id_col, "semi")
+        cands = probe_candidate_pairs(probe, buckets, id_col)
+        return verify_candidates_from_shingles(tok, cands, id_col, threshold)
     else:
         if probe_buckets is not None:
             probe = probe_buckets.select(id_col, "band", "bh")

@@ -575,21 +575,40 @@ def q_k50_bpe_merge_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_k51_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.posexplode(words(F.col("text"))).alias("pos", "w")
+    # r16 (guide §2.4 — remove shuffles outright): windows are built by
+    # SLICING the per-doc token array instead of posexploding tokens
+    # and re-assembling them with a (doc_id, win_id) hash aggregate
+    # (collect_list + array_sort). That drops the aggregate's exchange
+    # entirely — the first shuffle is now the content-keyed window —
+    # and the Generate emits one row per WINDOW (n/8) instead of one
+    # per token. The exploded value is the window INDEX, not a
+    # transform()-built chunk: a lambda body referencing ws would
+    # inline the split() and re-evaluate it interpreted per element
+    # (the documented shingles() trap in functions/text.py), whereas
+    # generator semantics evaluate the split once per document and the
+    # slice/join run in codegen above the Generate. Content strings are
+    # byte-identical to the aggregate form (slice preserves token
+    # order; the tail window is the short remainder either way),
+    # re-proven against the DuckDB oracle. greatest(...,1) keeps
+    # single-window semantics for degenerate docs (words('') == ['']
+    # -> one window of one token; split never yields an empty array
+    # for non-null text).
+    ws = docs.select("doc_id", words(F.col("text")).alias("ws"))
+    n_win = F.greatest(
+        F.ceil(F.size("ws") / F.lit(PARA_WIN)).cast("int"), F.lit(1)
     )
+    chunk = F.slice(F.col("ws"), F.col("win_id") * PARA_WIN + 1, PARA_WIN)
     win = (
-        tok.withColumn("win_id", F.floor(F.col("pos") / PARA_WIN).cast("long"))
-        .groupBy("doc_id", "win_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
-                    lambda x: x["w"],
-                ),
-                " ",
-            ).alias("content"),
-            F.count("*").alias("n_tok"),
+        ws.select(
+            "doc_id",
+            "ws",
+            F.explode(F.sequence(F.lit(0), n_win - 1)).alias("win_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("win_id").cast("long").alias("win_id"),
+            F.array_join(chunk, " ").alias("content"),
+            F.size(chunk).cast("long").alias("n_tok"),
         )
     )
     w_occ = Window.partitionBy("content").orderBy("doc_id", "win_id")

@@ -90,6 +90,7 @@ multi-table applier (operators/cdc_apply.py).
 from __future__ import annotations
 
 import os
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -438,12 +439,27 @@ def dedup_micro_batch(
     bloom_dir: str | None = None,
     compact_every: int | None = None,
     vacuum_grace: int | None = None,
+    overlap_writes: bool = True,
 ) -> None:
     """foreachBatch body: sign the batch once, probe the persisted
     index READING ONLY the (band, bhm) partitions the probe touches,
     materialize candidates, then read corpus text ONLY from the dh
     partitions holding candidate docs, verify, and overwrite this
     batch's own state partitions.
+
+    ``overlap_writes`` (default on, r16 — guide §2.6): the corpus,
+    bloom-delta and index writes depend only on the persisted batch /
+    bucket frames, not on the candidate probe or the verify, so they
+    run CONCURRENTLY with the candidate→verify→pairs leg instead of
+    serially after it — the trigger's wall was a chain of sequential
+    driver-side job barriers (MONITORS.md: 14.8 s/trigger at 500 rows
+    vs 20.2 s at 20k — fixed work, not row work). Write ORDER within a
+    trigger is not correctness-bearing: replay excludes this batch's
+    dirs everywhere (path-filtered live, row-filtered compact), and the
+    offsets only commit after EVERY write returns (a failure in any
+    leg re-raises before the checkpoint commit). ``False`` restores the
+    sequential body — the equality pin in tests runs both and compares
+    the resulting state byte-for-semantics.
 
     Idempotence under replay: every write targets ``.../batch=N`` with
     mode("overwrite"), so a re-delivered batch (crash after any subset
@@ -489,7 +505,7 @@ def dedup_micro_batch(
         try:
             _dedup_micro_batch_body(
                 spark, batch, batch_id, corpus_dir, index_dir, pairs_dir, bdir,
-                id_col, text_col, threshold,
+                id_col, text_col, threshold, overlap_writes,
             )
         finally:
             batch.unpersist()
@@ -520,6 +536,7 @@ def _dedup_micro_batch_body(
     id_col: str,
     text_col: str,
     threshold: float,
+    overlap_writes: bool = True,
 ) -> None:
     if not batch.take(1):
         return
@@ -561,79 +578,81 @@ def _dedup_micro_batch_body(
         history_exists = compacted_upto(spark, corpus_dir) is not None or any(
             k != batch_id for k, _ in batch_dirs(spark, corpus_dir)
         )
-        if history_exists:
-            history_index = read_state(
-                spark, index_dir, exclude_batch=batch_id, part_filter=probe_pred
-            )
-            probe = new_buckets.select(id_col, "band", "bh")
-            if history_index is None:
-                # index lost out-of-band: rebuild from the history docs
-                history_docs = read_state(
-                    spark, corpus_dir, exclude_batch=batch_id
-                ).select(id_col, text_col)
-                history_index = lsh_buckets(
-                    minhash_signatures(history_docs, id_col, text_col)
+        def pairs_job() -> None:
+            if history_exists:
+                history_index = read_state(
+                    spark, index_dir, exclude_batch=batch_id, part_filter=probe_pred
                 )
-            buckets = history_index.select(id_col, "band", "bh").unionByName(probe)
-            cands = probe_candidate_pairs(probe, buckets, id_col).persist()
-            try:
-                # candidate docs' dh values: ≤ DOC_MOD distinct by
-                # construction — bounded driver collect
-                cand_dhs = [
-                    r[0]
-                    for r in cands.select(
-                        F.explode(F.array("d1", "d2")).alias("_i")
+                probe = new_buckets.select(id_col, "band", "bh")
+                if history_index is None:
+                    # index lost out-of-band: rebuild from the history docs
+                    hd = read_state(
+                        spark, corpus_dir, exclude_batch=batch_id
+                    ).select(id_col, text_col)
+                    history_index = lsh_buckets(
+                        minhash_signatures(hd, id_col, text_col)
                     )
-                    .select(_dh("_i").alias("_dh"))
-                    .distinct()
-                    .collect()
-                ]
-                history_docs = read_state(
-                    spark,
-                    corpus_dir,
-                    exclude_batch=batch_id,
-                    part_filter=F.col("dh").isin(cand_dhs)
-                    if cand_dhs
-                    else F.lit(False),
-                )
-                # history docs must be shingled from stored text (only
-                # the candidate-touching dh partitions were read); the
-                # batch side reuses tok_batch verbatim
-                tok = shingle_rows(
-                    history_docs.select(id_col, text_col),
-                    id_col,
-                    text_col,
-                    3,
-                    hashed=True,
-                ).unionByName(tok_batch)
+                buckets = history_index.select(id_col, "band", "bh").unionByName(probe)
+                cands = probe_candidate_pairs(probe, buckets, id_col).persist()
+                try:
+                    # candidate docs' dh values: ≤ DOC_MOD distinct by
+                    # construction — bounded driver collect
+                    cand_dhs = [
+                        r[0]
+                        for r in cands.select(
+                            F.explode(F.array("d1", "d2")).alias("_i")
+                        )
+                        .select(_dh("_i").alias("_dh"))
+                        .distinct()
+                        .collect()
+                    ]
+                    history_docs = read_state(
+                        spark,
+                        corpus_dir,
+                        exclude_batch=batch_id,
+                        part_filter=F.col("dh").isin(cand_dhs)
+                        if cand_dhs
+                        else F.lit(False),
+                    )
+                    # history docs must be shingled from stored text (only
+                    # the candidate-touching dh partitions were read); the
+                    # batch side reuses tok_batch verbatim
+                    tok = shingle_rows(
+                        history_docs.select(id_col, text_col),
+                        id_col,
+                        text_col,
+                        3,
+                        hashed=True,
+                    ).unionByName(tok_batch)
+                    pairs = verify_candidates_from_shingles(
+                        tok, cands, id_col, threshold
+                    )
+                    pairs.write.mode("overwrite").parquet(
+                        os.path.join(pairs_dir, f"batch={batch_id}")
+                    )
+                finally:
+                    cands.unpersist()
+            else:
+                # first trigger: no history to probe — within-batch pairs
+                # only. Reuse the ALREADY-SIGNED bucket rows (new_buckets,
+                # persisted above for the index write) as both probe and
+                # bucket side instead of re-shingling + re-signing the
+                # batch through incremental_near_duplicates (r14: the
+                # per-consumer breakdown showed the duplicate sign pass
+                # costing ~2-3 s of the first trigger at 8k rows);
+                # identical semantics — probe_candidate_pairs(probe,
+                # probe) is exactly the distinct within-batch pair set.
+                probe = new_buckets.select(id_col, "band", "bh")
                 pairs = verify_candidates_from_shingles(
-                    tok, cands, id_col, threshold
+                    tok_batch,
+                    probe_candidate_pairs(probe, probe, id_col),
+                    id_col,
+                    threshold,
                 )
                 pairs.write.mode("overwrite").parquet(
                     os.path.join(pairs_dir, f"batch={batch_id}")
                 )
-            finally:
-                cands.unpersist()
-        else:
-            # first trigger: no history to probe — within-batch pairs
-            # only. Reuse the ALREADY-SIGNED bucket rows (new_buckets,
-            # persisted above for the index write) as both probe and
-            # bucket side instead of re-shingling + re-signing the
-            # batch through incremental_near_duplicates (r14: the
-            # per-consumer breakdown showed the duplicate sign pass
-            # costing ~2-3 s of the first trigger at 8k rows);
-            # identical semantics — probe_candidate_pairs(probe,
-            # probe) is exactly the distinct within-batch pair set.
-            probe = new_buckets.select(id_col, "band", "bh")
-            pairs = verify_candidates_from_shingles(
-                tok_batch,
-                probe_candidate_pairs(probe, probe, id_col),
-                id_col,
-                threshold,
-            )
-            pairs.write.mode("overwrite").parquet(
-                os.path.join(pairs_dir, f"batch={batch_id}")
-            )
+
         # Partition-ALIGNED writes (r11): repartition on the Hive key
         # before partitionBy, so each dh= dir gets exactly one file per
         # batch instead of one per (input-partition, dh) pair — without
@@ -643,18 +662,22 @@ def _dedup_micro_batch_body(
         # local[32]; at 100 TB it is the classic small-files failure).
         # The hash-shuffle on dh costs one exchange of the batch — rows
         # of one dh land in one task, so file count == touched dh dirs.
-        aligned_repartition(
-            batch.withColumn("dh", _dh(id_col)), "dh"
-        ).write.partitionBy(
-            "dh"
-        ).mode("overwrite").parquet(os.path.join(corpus_dir, f"batch={batch_id}"))
+        def corpus_job() -> None:
+            aligned_repartition(
+                batch.withColumn("dh", _dh(id_col)), "dh"
+            ).write.partitionBy(
+                "dh"
+            ).mode("overwrite").parquet(os.path.join(corpus_dir, f"batch={batch_id}"))
+
         # bloom delta rides beside the corpus write: any batch whose
         # offsets commit has both (replay rewrites both), so the filter
         # covers exactly the committed corpus ids — the guard's
         # no-false-negative invariant
-        id_bloom_delta(batch, id_col).write.mode("overwrite").parquet(
-            os.path.join(bloom_dir, f"batch={batch_id}")
-        )
+        def bloom_job() -> None:
+            id_bloom_delta(batch, id_col).write.mode("overwrite").parquet(
+                os.path.join(bloom_dir, f"batch={batch_id}")
+            )
+
         # Index dirs partition on bhm ALONE for fresh state (r11).
         # Every document populates every band by construction (band is
         # the signature slice index), so band= dirs never prune a probe
@@ -666,9 +689,48 @@ def _dedup_micro_batch_body(
         # A dir that already holds LEGACY (band=, bhm=) state keeps
         # that structure (idx_cols, resolved above) until an explicit
         # migrate_index_layout — never an in-place layout mix.
-        aligned_repartition(new_buckets, *idx_cols).write.partitionBy(
-            *idx_cols
-        ).mode("overwrite").parquet(os.path.join(index_dir, f"batch={batch_id}"))
+        def index_job() -> None:
+            aligned_repartition(new_buckets, *idx_cols).write.partitionBy(
+                *idx_cols
+            ).mode("overwrite").parquet(os.path.join(index_dir, f"batch={batch_id}"))
+
+        if not overlap_writes:
+            pairs_job(); corpus_job(); bloom_job(); index_job()
+        else:
+            # guide §2.6 — the three state writes are independent of
+            # the candidate→verify→pairs leg (they read only persisted
+            # frames); submit them from a small pool so their jobs
+            # back-fill the executor while the verify leg's driver-side
+            # barriers (bounded collects, state listings) leave it
+            # idle. Every write targets this batch's OWN batch=N dir
+            # and offsets commit only after all four return, so the
+            # replay contract is unchanged; a failure in any leg
+            # re-raises here and fails the trigger. Per-thread JVM
+            # local-property clones — the monitor_suite/ InheritableThread
+            # recipe — keep UI attribution and query.stop() cancellation
+            # working under PYSPARK_PIN_THREAD.
+            sc = spark.sparkContext
+            try:
+                parent_props = sc._jsc.sc().getLocalProperties().clone()
+            except Exception:  # non-JVM test doubles
+                parent_props = None
+
+            def run_inheriting(job):
+                if parent_props is not None:
+                    try:
+                        sc._jsc.sc().setLocalProperties(parent_props.clone())
+                    except Exception:
+                        pass
+                return job()
+
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                futs = [
+                    pool.submit(run_inheriting, j)
+                    for j in (corpus_job, bloom_job, index_job)
+                ]
+                pairs_job()
+                for f in futs:
+                    f.result()
         # declare each dir's merge algebra for the generic `maintain`
         # pass (explicit markers, not schema guessing — ADVICE r9)
         for d, layout in (

@@ -140,7 +140,15 @@ def load(
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    if spread and name not in DIM_TABLES:
+    # SPARK_GRAFT_SPREAD_ALL=1: measurement-only override that applies
+    # the spread to EVERY non-DIM load — the one-command form of the
+    # blanket-vs-opt-in A/B (r15 measured blanket a net loss at sf0.1;
+    # VERDICT r15 ask #9 re-runs the audit at sf1 where the break-even
+    # moves). Never set by the bench/driver; adoption decisions are
+    # committed per query via spread=True.
+    if name not in DIM_TABLES and (
+        spread or os.environ.get("SPARK_GRAFT_SPREAD_ALL")
+    ):
         df = _spread_small_scan(spark, df, path, (sf_dir, name))
     return df
 
