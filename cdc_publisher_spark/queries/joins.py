@@ -514,7 +514,11 @@ INTERVAL_BIN_US = 60_000_000
     """,
 )
 def q_c14_binned_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+    # spread=True (r16 sf1 audit): 0.46 at sf1 (the bucket explode
+    # and epoch math run off a single-task scan), 1.11 at sf0.1 —
+    # adopted on the scale evidence; the sf0.1 cost is one exchange of
+    # a 3 MB table.
+    ev = load(spark, sf_dir, "events", spread=True)
     # 60-second buckets over microsecond epochs. b.ts within a.ts +- 60 s
     # implies floor-bucket(b) is in {bucket(a)-1, bucket(a), bucket(a)+1},
     # so exploding the build side into its three candidate buckets makes

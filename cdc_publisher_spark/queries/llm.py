@@ -84,7 +84,12 @@ K2_ORACLE = """
     oracle=K2_ORACLE,
 )
 def q_k2_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    # spread=True (r16 sf1 audit): the shingle posexplode feeding the
+    # content-key shuffle otherwise runs on the single scan task —
+    # measured 0.75 at sf1 / 0.82 at sf0.1 (blanket on/off, 2+2
+    # interleaved). The declared exact-quadratic JOIN shape is
+    # unchanged; only the scan layout is.
+    docs = load(spark, sf_dir, "documents", spread=True)
     # row-wise shingling (codegen path) + int64-hashed join key: the
     # shuffle moves 8-byte keys, not trigram strings
     tok = TX.shingle_rows(docs, "doc_id", "text", 3, hashed=True)
@@ -215,7 +220,9 @@ def q_k5_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_k6_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    # spread=True (r16 sf1 audit): fold-expression cosine off a
+    # single-task scan — 0.38 at sf1, parity at sf0.1.
+    e = load(spark, sf_dir, "embeddings", spread=True)
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),

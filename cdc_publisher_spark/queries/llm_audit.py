@@ -364,6 +364,11 @@ def q_k75_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_k76_cleaning_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_publisher_spark.functions.text import words
 
+    # spread examined r16 and NOT adopted: the blanket sf1 audit read
+    # 0.42, but that run also spread the nested q_k71 pass — spreading
+    # only THIS load measured 0.83 at sf1 and 1.42 at sf0.1 (5-repeat
+    # committed-set A/B, control 0.93), failing the
+    # parity-at-driver-scale gate. Left alone.
     docs = load(spark, sf_dir, "documents")
     gp = q_k71_gopher_rules(spark, sf_dir).select("doc_id", "keep")
     keepers = (

@@ -56,7 +56,10 @@ NEARDUP_COS_THRESHOLD = 0.42
     """,
 )
 def q_k21_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    # spread=True (r16 sf1 audit): the exact cosine pair mine is pure
+    # per-row compute off a single-task scan — 0.27 at sf1 / 0.92 at
+    # sf0.1 with the keyed spread (the largest win of the audit).
+    e = load(spark, sf_dir, "embeddings", spread=True)
     return cosine_pairs_exact(e, NEARDUP_COS_THRESHOLD).orderBy("i", "j")
 
 
@@ -333,7 +336,10 @@ def q_k40_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_publisher_spark.operators.ann import brute_force_topk
     from cdc_publisher_spark.operators.ivf import build_ivf, ivf_topk
 
-    e = load(spark, sf_dir, "embeddings")
+    # spread=True (r16 sf1 audit): 0.40 at sf1, ~parity (1.04) at
+    # sf0.1 — the probe-bounded scoring is per-row compute off a
+    # single-task scan.
+    e = load(spark, sf_dir, "embeddings", spread=True)
     corpus = e.filter(F.col("vec_id") >= 5)
     queries = e.filter(F.col("vec_id") < 5)
     index = build_ivf(corpus, n_lists=16)

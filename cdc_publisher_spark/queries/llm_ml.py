@@ -228,6 +228,13 @@ def q_k47_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # them behind a cache materialization barrier. Oracle-equivalent
     # both times; reverted on the measurements (OPTIMIZATION_r15.md,
     # 5-repeat targeted A/B with an untouched control query).
+    # r16 re-test UNDER CONTENTION (VERDICT r15 ask #8): the same
+    # persist re-applied and A/B-measured at sf1 with
+    # SPARK_GRAFT_CPUS=8 (0.995 — exact parity, control 1.065) and
+    # again at sf0.1/local[32] (1.034 slower-leaning, control 0.964).
+    # No scale or contention level shows a win, so the rejection
+    # stands re-confirmed; the saved sibling-broadcast passes remain
+    # wall-clock-free even at 8 cores.
     docs = load(spark, sf_dir, "documents")
     tok = docs.select("doc_id", "lang", F.explode(words(F.col("text"))).alias("w"))
     langs = docs.select("lang").distinct()

@@ -365,7 +365,10 @@ def q_k82_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_k83_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    # spread=True (r16 sf1 audit): 0.95/0.96 at sf1/sf0.1 — the
+    # shingle explode feeding the persisted distinct starts on one
+    # scan task.
+    docs = load(spark, sf_dir, "documents", spread=True)
     # Distinct (source, shingle) rows feed THREE consumers (the KMV
     # sketch build, the per-source distinct counts, and the exact
     # intersection self-join). Persisted r15: the runtime profiler

@@ -81,7 +81,10 @@ _MIN_COUNT = 3
     """,
 )
 def q_k32_ngram_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    # spread=True (r16 sf1 audit): 0.86 at both sf0.1 and sf1 — the
+    # single _gram_tokens posexplode+window otherwise starts on one
+    # scan task.
+    docs = load(spark, sf_dir, "documents", spread=True)
     out = mask_frequent_ngrams(docs, n=_N, min_count=_MIN_COUNT)
     return out.select(
         "doc_id",
